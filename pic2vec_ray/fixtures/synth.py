@@ -1,0 +1,175 @@
+"""Deterministic synthetic image-table generator.
+
+``BASELINE.json`` ``input_hint`` fixes the engine's input table shape:
+``(image_id:string, bytes:binary, w:int32, h:int32, fmt:string,
+caption:string, phash:int64)``. No external data exists in this
+sandbox, so the table is synthesized deterministically FROM the
+driver-provided ``part`` parquet table: one image per part row, keyed
+by ``p_partkey``, caption = ``p_name`` (which makes caption
+byte-equality and decoded-dimension checks expressible as DuckDB oracle
+SQL over the registered ``part`` view).
+
+Row roles mirror the reference's fixture corpus
+(``/root/reference/tests/feature_preprocessing_testing/test_images/``:
+valid bmp/png, an invalid ``heidegger.gif``, blank and duplicate CSV
+rows — see SURVEY.md §5). Role is ``p_partkey % 20``:
+
+==== =======================================================
+role meaning
+==== =======================================================
+0-14 valid image (png for even content-seed, bmp for odd)
+12,13 exact-duplicate pair: role 13 reuses role 12's content
+15   grayscale-source PNG (single channel)
+16   all-black valid image (pixel-derived "missing" rule)
+17   invalid format: GIF bytes (whitelist rejection)
+18   empty bytes (missing placeholder → zeros + missing=True)
+19   undecodable garbage bytes (decode-failure path)
+==== =======================================================
+
+Valid-row dimensions follow a closed-form rule so oracle SQL can
+recompute them:  ``w = 64 + (cs % 4) * 16``, ``h = 64 + (cs % 3) * 32``
+with content-seed ``cs = p_partkey - 1`` if role==13 else ``p_partkey``.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+import numpy as np
+import pyarrow as pa
+
+from ..codecs.bmp import encode_bmp
+from ..codecs.png import encode_png
+from ..functions.image_ops import average_hash
+
+SEED = 5102020  # reference tests pin this seed (tests/test_feature_preprocessing.py:20)
+
+IMAGES_SCHEMA = pa.schema(
+    [
+        ("image_id", pa.string()),
+        ("bytes", pa.binary()),
+        ("w", pa.int32()),
+        ("h", pa.int32()),
+        ("fmt", pa.string()),
+        ("caption", pa.string()),
+        ("phash", pa.int64()),
+    ]
+)
+
+
+def content_seed(partkey: int) -> int:
+    return partkey - 1 if partkey % 20 == 13 else partkey
+
+
+def valid_dims(cs: int) -> tuple[int, int]:
+    return 64 + (cs % 4) * 16, 64 + (cs % 3) * 32  # (w, h)
+
+
+def render_pixels(cs: int, w: int, h: int, *, black: bool = False, gray: bool = False) -> np.ndarray:
+    """Deterministic gradient+noise image for content-seed ``cs``."""
+    if black:
+        return np.zeros((h, w, 3), dtype=np.uint8)
+    rng = np.random.default_rng(SEED + cs)
+    yy, xx = np.mgrid[0:h, 0:w]
+    base = ((xx * 255) // max(w - 1, 1) + (yy * 131) // max(h - 1, 1)) % 256
+    noise = rng.integers(0, 64, size=(h, w, 3), dtype=np.int64)
+    img = (base[:, :, None] + noise) % 256
+    img = img.astype(np.uint8)
+    if gray:
+        return img[:, :, :1]
+    return img
+
+
+def make_image_row(partkey: int, caption: str) -> dict:
+    """Build one image-table row; pure function of (partkey, caption)."""
+    role = partkey % 20
+    cs = content_seed(partkey)
+    image_id = f"img_{partkey:08d}"
+    if role == 17:  # invalid GIF (mirrors heidegger.gif)
+        data = b"GIF89a" + bytes(np.random.default_rng(SEED + cs).integers(0, 256, 64, dtype=np.uint8))
+        return dict(image_id=image_id, bytes=data, w=0, h=0, fmt="gif", caption=caption, phash=0)
+    if role == 18:  # empty placeholder
+        return dict(image_id=image_id, bytes=b"", w=0, h=0, fmt="png", caption=caption, phash=0)
+    if role == 19:  # garbage claiming to be png
+        data = b"\x89PNG\r\n\x1a\n" + bytes(np.random.default_rng(SEED + cs).integers(0, 256, 128, dtype=np.uint8))
+        return dict(image_id=image_id, bytes=data, w=0, h=0, fmt="png", caption=caption, phash=0)
+    w, h = valid_dims(cs)
+    black = role == 16
+    gray = role == 15
+    px = render_pixels(cs, w, h, black=black, gray=gray)
+    if gray:
+        data, fmt = encode_png(px), "png"
+    elif cs % 2 == 0:
+        data, fmt = encode_png(px), "png"
+    else:
+        data, fmt = encode_bmp(px), "bmp"
+    return dict(
+        image_id=image_id, bytes=data, w=w, h=h, fmt=fmt, caption=caption,
+        phash=average_hash(px),
+    )
+
+
+def _rows_to_table(keys: np.ndarray, captions: list[str]) -> pa.Table:
+    rows = [make_image_row(int(k), c) for k, c in zip(keys, captions)]
+    cols = {name: [r[name] for r in rows] for name in IMAGES_SCHEMA.names}
+    return pa.table(cols, schema=IMAGES_SCHEMA)
+
+
+def synth_images_batch(batch: pa.Table) -> pa.Table:
+    """map_batches UDF: part rows (p_partkey, p_name) → image rows."""
+    return _rows_to_table(
+        batch["p_partkey"].to_numpy(zero_copy_only=False),
+        batch["p_name"].to_pylist(),
+    )
+
+
+def images_table_path(sf_dir: str, cache_root: str = "/tmp/pic2vec_ray_cache") -> str:
+    """Build (or reuse) the synthetic images parquet for ``sf_dir``.
+
+    Generation runs distributed via Ray Data map_batches over the part
+    table and writes partitioned parquet; cached by sf_dir so repeated
+    test/bench runs skip the encode work.
+    """
+    import ray.data as rd
+
+    tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:12]
+    out_dir = os.path.join(cache_root, f"images_{tag}")
+    done = os.path.join(out_dir, "_SUCCESS")
+    if os.path.exists(done):
+        return out_dir
+    part = rd.read_parquet(os.path.join(sf_dir, "part.parquet"), columns=["p_partkey", "p_name"])
+    ds = part.map_batches(synth_images_batch, batch_format="pyarrow", batch_size=512)
+    tmp = out_dir + ".tmp"
+    import shutil
+
+    shutil.rmtree(tmp, ignore_errors=True)
+    shutil.rmtree(out_dir, ignore_errors=True)
+    ds.write_parquet(tmp)
+    os.rename(tmp, out_dir)
+    with open(done, "w") as f:
+        f.write("ok\n")
+    return out_dir
+
+
+def make_feature_events(sf_dir: str, max_versions: int = 3) -> pa.Table:
+    """Timestamped feature-availability table (image_id, feature_ts).
+
+    1–3 versions per image with a deterministic per-entity clock, used
+    by the temporal-layer pytest oracles (FIXTURES.md T3).
+    """
+    import pyarrow.parquet as pq
+
+    part = pq.read_table(os.path.join(sf_dir, "part.parquet"), columns=["p_partkey"])
+    keys = part["p_partkey"].to_numpy()
+    ids, tss = [], []
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    for k in keys:
+        k = int(k)
+        n = 1 + (k % max_versions)
+        for v in range(n):
+            ids.append(f"img_{k:08d}")
+            tss.append(base + np.timedelta64((k % 97) * 3600 + v * 7200, "s"))
+    return pa.table(
+        {"image_id": ids, "feature_ts": pa.array(tss, type=pa.timestamp("us"))}
+    )

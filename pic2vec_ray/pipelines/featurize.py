@@ -1,0 +1,73 @@
+"""The flagship featurize pipeline: read → fused decode+embed actor pool → features.
+
+Ray-Data-native re-expression of ``ImageFeaturizer.featurize``
+(``/root/reference/pic2vec/image_featurizer.py:362-482``): where the
+reference loops sequentially over 1000-image slices
+(``image_featurizer.py:678-729``), here the streaming executor
+pipelines Arrow blocks through a stateful actor pool with backpressure;
+the batch loop, tail-batch clamp and ETA logging all disappear into
+Ray Data scheduling.
+
+Multi-column support (``image_featurizer.py:587-593``): each image
+column is featurized by its own actor-pool stage appending
+``{col}_features`` / ``{col}_missing`` — the positional
+``pd.concat(axis=1)`` of the reference (M9) is unnecessary because
+features are computed in-line in the same rows.
+"""
+
+from __future__ import annotations
+
+import ray.data as rd
+
+from ..model.zoo import validate_config
+from ..stages.embed import EmbedActor
+
+
+def featurize_images(
+    images,
+    model_str: str = "tinynet",
+    depth: int = 1,
+    downsample: bool = False,
+    num_pooled_features: int = 0,
+    image_columns: str | list[str] = "bytes",
+    batch_size: int = 128,
+    concurrency=None,
+):
+    """images: a Dataset or a parquet path of the input_hint schema.
+
+    Returns a lazy Dataset with ``{prefix}features`` +
+    ``{prefix}missing`` appended per image column. ``concurrency``
+    sizes the actor pool; None lets Ray autoscale.
+    """
+    validate_config(model_str, depth, downsample, num_pooled_features)
+    ds = rd.read_parquet(images) if isinstance(images, str) else images
+    if isinstance(image_columns, str):
+        image_columns = [image_columns]
+    if concurrency is None:
+        # autoscaling actor pool: Ray sizes it to available CPUs with
+        # backpressure; a callable-class stage requires an explicit pool.
+        import ray
+
+        n = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
+        concurrency = (1, max(2, n))
+    multi = len(image_columns) > 1
+    for col in image_columns:
+        prefix = f"{col}_" if multi else ""
+        ds = ds.map_batches(
+            EmbedActor,
+            fn_constructor_kwargs=dict(
+                model_str=model_str,
+                depth=depth,
+                downsample=downsample,
+                num_pooled_features=num_pooled_features,
+                bytes_col=col,
+                features_col=f"{prefix}features",
+            ),
+            batch_format="pyarrow",
+            batch_size=batch_size,
+            concurrency=concurrency,
+        )
+        if multi:
+            # each stage emits a bare ``missing``; qualify it per column
+            ds = ds.rename_columns({"missing": f"{prefix}missing"})
+    return ds

@@ -1,0 +1,101 @@
+"""Decode / preprocess map_batches stage (SURVEY.md §2.2 M1–M6).
+
+Stateless task stage: Arrow batch in → Arrow batch out. Per row it
+sniffs + decodes the ``bytes`` column (pure-numpy codecs), converts to
+RGB, optionally resizes to a model target size, and sets ``missing``.
+
+Reference semantics mirrored:
+
+- decode/fetch failure or empty bytes → zero image + ``missing=True``,
+  never a pipeline error
+  (``/root/reference/pic2vec/feature_preprocessing.py:318-323,443-446``);
+- within-batch exact dedup: repeated identical bytes are decoded once
+  and the result reused (memo dict, ``feature_preprocessing.py:449-455``
+  — reference scopes the memo to one batch; ours likewise, so the
+  stage stays stateless and shuffle-free at any scale);
+- aspect ratio squashed by direct resize, nearest interpolation (M1).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..codecs.registry import DecodeError, decode_image
+from ..functions.image_ops import resize_nearest, to_rgb
+
+
+def decode_rgb(data: bytes) -> np.ndarray | None:
+    """bytes → (H, W, 3) uint8, or None on any decode failure."""
+    try:
+        return to_rgb(decode_image(data))
+    except (DecodeError, Exception):
+        return None
+
+
+class BatchDecoder:
+    """Reusable per-batch decoding core with exact within-batch dedup.
+
+    Returns (images, missing) where ``images`` is a list of (H,W,3)
+    arrays (None for missing rows) — or, when ``target_size`` is set, a
+    dense (N, H, W, 3) uint8 tensor with zero slices for missing rows.
+    """
+
+    def __init__(self, target_size: tuple[int, int] | None = None):
+        self.target_size = target_size
+
+    def decode_column(self, byte_rows: list) -> tuple[list, np.ndarray]:
+        memo: dict[bytes, int] = {}
+        images: list = []
+        missing = np.zeros(len(byte_rows), dtype=bool)
+        for i, data in enumerate(byte_rows):
+            data = bytes(data) if data is not None else b""
+            key = data
+            if key in memo:
+                j = memo[key]
+                images.append(images[j])
+                missing[i] = missing[j]
+                continue
+            img = decode_rgb(data) if data else None
+            if img is None:
+                missing[i] = True
+                images.append(None)
+            else:
+                if self.target_size is not None:
+                    img = resize_nearest(img, self.target_size)
+                images.append(img)
+            memo[key] = i
+        return images, missing
+
+    def decode_dense(self, byte_rows: list) -> tuple[np.ndarray, np.ndarray]:
+        if self.target_size is None:
+            raise ValueError("dense decode requires a target_size")
+        images, missing = self.decode_column(byte_rows)
+        h, w = self.target_size
+        out = np.zeros((len(images), h, w, 3), dtype=np.uint8)
+        for i, img in enumerate(images):
+            if img is not None:
+                out[i] = img
+        return out, missing
+
+
+def make_decode_stats_fn(bytes_col: str = "bytes"):
+    """Factory for a map_batches fn emitting per-row decode metadata.
+
+    Output: passthrough columns (minus bytes) + ``decoded_w``,
+    ``decoded_h``, ``missing``. Used by correctness checks (decoded
+    dimensions are oracle-SQL-predictable for the synthetic table).
+    """
+    decoder = BatchDecoder(target_size=None)
+
+    def decode_stats(batch: pa.Table) -> pa.Table:
+        images, missing = decoder.decode_column(batch[bytes_col].to_pylist())
+        dw = np.array([0 if im is None else im.shape[1] for im in images], dtype=np.int32)
+        dh = np.array([0 if im is None else im.shape[0] for im in images], dtype=np.int32)
+        out = batch.drop_columns([bytes_col])
+        out = out.append_column("decoded_w", pa.array(dw, type=pa.int32()))
+        out = out.append_column("decoded_h", pa.array(dh, type=pa.int32()))
+        out = out.append_column("missing", pa.array(missing))
+        return out
+
+    return decode_stats

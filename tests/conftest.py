@@ -1,0 +1,42 @@
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_UNIT = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="session")
+def ray_session():
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=4,
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    yield ray
+    ray.shutdown()
+
+
+@pytest.fixture(scope="session")
+def sf_dir():
+    return SF_UNIT
+
+
+@pytest.fixture(scope="session")
+def images_dir(ray_session, sf_dir):
+    """Synthetic images parquet dir for sf0.001 (cached under /tmp)."""
+    from pic2vec_ray.fixtures.synth import images_table_path
+
+    return images_table_path(sf_dir)

@@ -1,0 +1,88 @@
+"""Synthetic-table + decode-stage tests (FIXTURES.md T1 invariants)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from pic2vec_ray.fixtures.synth import (
+    content_seed,
+    make_image_row,
+    render_pixels,
+    valid_dims,
+)
+from pic2vec_ray.codecs.registry import decode_image
+from pic2vec_ray.functions.image_ops import psnr, to_rgb
+from pic2vec_ray.stages.decode import BatchDecoder, make_decode_stats_fn
+
+
+def test_row_roles():
+    cap = "a caption"
+    assert make_image_row(17, cap)["fmt"] == "gif"
+    assert make_image_row(18, cap)["bytes"] == b""
+    garbage = make_image_row(19, cap)
+    with pytest.raises(Exception):
+        decode_image(garbage["bytes"])
+    # duplicate pair shares bytes + phash
+    a, b = make_image_row(32, cap), make_image_row(33, cap)
+    assert a["bytes"] == b["bytes"] and a["phash"] == b["phash"]
+    # all-black row decodes to zeros
+    black = make_image_row(16, cap)
+    assert decode_image(black["bytes"]).sum() == 0
+    # grayscale row is single channel
+    gray = make_image_row(15, cap)
+    assert decode_image(gray["bytes"]).shape[2] == 1
+
+
+def test_valid_rows_decode_exactly():
+    """Lossless formats must round-trip pixel-exact (PSNR = inf ≥ 40dB)."""
+    for k in (1, 2, 3, 4, 20, 21):
+        row = make_image_row(k, f"cap {k}")
+        cs = content_seed(k)
+        w, h = valid_dims(cs)
+        img = to_rgb(decode_image(row["bytes"]))
+        src = to_rgb(render_pixels(cs, w, h))
+        assert img.shape == (h, w, 3) == src.shape
+        assert psnr(img, src) == float("inf")
+        assert (row["w"], row["h"]) == (w, h)
+
+
+def test_batch_decoder_dedup_and_missing():
+    rows = [make_image_row(k, "c") for k in (1, 2, 33, 32, 18, 19)]
+    dec = BatchDecoder(target_size=(32, 32))
+    images, missing = dec.decode_column([r["bytes"] for r in rows])
+    assert list(missing) == [False, False, False, False, True, True]
+    # dup pair decoded once: identical array object reused
+    assert images[2] is images[3]
+    dense, missing2 = dec.decode_dense([r["bytes"] for r in rows])
+    assert dense.shape == (6, 32, 32, 3)
+    assert dense[4].sum() == 0 and dense[5].sum() == 0
+
+
+def test_decode_stats_stage_on_ray(ray_session, images_dir):
+    import ray.data as rd
+
+    ds = rd.read_parquet(images_dir)
+    out = ds.map_batches(make_decode_stats_fn(), batch_format="pyarrow").to_pandas()
+    assert len(out) == 200  # sf0.001 part table
+    valid = out[out.image_id.str[-2:].astype(int) % 20 < 17]
+    bad = out[out.image_id.str[-2:].astype(int) % 20 >= 17]
+    assert not valid.missing.any()
+    assert bad.missing.all()
+    # decoded dims equal the stored/oracle dims for valid rows
+    assert (valid.decoded_w == valid.w).all()
+    assert (valid.decoded_h == valid.h).all()
+
+
+def test_images_parquet_schema(images_dir):
+    t = pq.read_table(images_dir)
+    assert t.column_names == ["image_id", "bytes", "w", "h", "fmt", "caption", "phash"]
+    assert t.schema.field("bytes").type == pa.binary()
+    assert t.schema.field("phash").type == pa.int64()
+    # captions come from part.p_name byte-identically
+    part = pq.read_table("/root/testdata/sf0.001/part.parquet", columns=["p_partkey", "p_name"])
+    caps = dict(zip(t["image_id"].to_pylist(), t["caption"].to_pylist()))
+    for k, name in zip(part["p_partkey"].to_pylist(), part["p_name"].to_pylist()):
+        assert caps[f"img_{k:08d}"] == name
