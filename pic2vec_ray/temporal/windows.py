@@ -1,0 +1,128 @@
+"""Windowed feature engineering over entity partitions (north_rule):
+lag/lead, backfill, gap-threshold sessionization, range rolling
+aggregates. New relative to the reference (SURVEY.md §2.5 — the
+reference has no cross-row aggregation at all); semantics are pinned to
+the ANSI-SQL window-function equivalents the oracle tests run.
+
+All operators share the contract:
+
+- deterministic order inside an entity: ``ORDER BY order_col, tiebreak``
+  (ties on the timestamp are broken by an explicit unique id column —
+  FIXTURES.md T2 requires the tie-break rule be pinned);
+- one hash shuffle on the entity key via ``partitioned_apply``; inside
+  a partition everything is vectorized pandas groupby ops.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from .core import DEFAULT_PARTITIONS, partitioned_apply
+
+
+def _sorted(df: pd.DataFrame, by: str, order: str, tiebreak: str | None) -> pd.DataFrame:
+    keys = [by, order] + ([tiebreak] if tiebreak else [])
+    return df.sort_values(keys, kind="mergesort")
+
+
+def lag_lead(ds, *, by: str, order: str, cols: list[str], lags=(1,), leads=(1,),
+             tiebreak: str | None = None, num_partitions: int = DEFAULT_PARTITIONS):
+    """SQL: ``lag(col, n) OVER (PARTITION BY by ORDER BY order, tiebreak)``
+    (and ``lead``). Output columns: ``{col}_lag{n}`` / ``{col}_lead{n}``."""
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        df = _sorted(df, by, order, tiebreak)
+        g = df.groupby(by, sort=False)
+        for col in cols:
+            for n in lags:
+                df[f"{col}_lag{n}"] = g[col].shift(n)
+            for n in leads:
+                df[f"{col}_lead{n}"] = g[col].shift(-n)
+        return df
+
+    return partitioned_apply(ds, by, fn, num_partitions)
+
+
+def backfill(ds, *, by: str, order: str, cols: list[str], direction: str = "forward",
+             limit: int | None = None, tiebreak: str | None = None,
+             num_partitions: int = DEFAULT_PARTITIONS, out_suffix: str = "_filled"):
+    """Forward/backward fill of nullable columns along the entity timeline.
+
+    SQL (forward): ``last_value(col IGNORE NULLS) OVER (PARTITION BY by
+    ORDER BY order, tiebreak ROWS UNBOUNDED PRECEDING)``.
+    """
+    if direction not in ("forward", "backward"):
+        raise ValueError("direction must be 'forward' or 'backward'")
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        df = _sorted(df, by, order, tiebreak)
+        g = df.groupby(by, sort=False)
+        for col in cols:
+            filled = g[col].ffill(limit=limit) if direction == "forward" else g[col].bfill(limit=limit)
+            df[f"{col}{out_suffix}"] = filled
+        return df
+
+    return partitioned_apply(ds, by, fn, num_partitions)
+
+
+def sessionize(ds, *, by: str, order: str, gap: pd.Timedelta,
+               tiebreak: str | None = None, num_partitions: int = DEFAULT_PARTITIONS,
+               session_col: str = "session_id"):
+    """Gap-threshold sessionization: a new session starts when
+    ``order - prev(order) > gap`` (strictly greater). 1-based per
+    entity.
+
+    SQL: ``SUM(CASE WHEN prev_ts IS NULL OR ts - prev_ts > gap THEN 1
+    ELSE 0 END) OVER (PARTITION BY by ORDER BY ts, tiebreak ROWS
+    UNBOUNDED PRECEDING)``.
+    """
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        df = _sorted(df, by, order, tiebreak)
+        prev = df.groupby(by, sort=False)[order].shift(1)
+        new_session = prev.isna() | ((df[order] - prev) > gap)
+        df[session_col] = new_session.groupby(df[by], sort=False).cumsum().astype("int64")
+        return df
+
+    return partitioned_apply(ds, by, fn, num_partitions)
+
+
+def rolling_range_agg(ds, *, by: str, order: str, value: str | None, window: pd.Timedelta,
+                      agg: str = "count", tiebreak: str | None = None,
+                      num_partitions: int = DEFAULT_PARTITIONS, out_col: str | None = None):
+    """Rolling aggregate over the time range ``[t - window, t]`` per entity.
+
+    Semantics match SQL ``RANGE BETWEEN window PRECEDING AND CURRENT
+    ROW`` exactly — including *peer rows*: every row whose timestamp
+    equals the current row's is inside the frame, which pandas'
+    ``rolling`` cannot express; implemented with two vectorized
+    ``searchsorted`` bounds per entity over prefix sums.
+    """
+    if agg not in ("count", "sum", "mean"):
+        raise ValueError("agg must be count/sum/mean")
+    out_col = out_col or f"{value or 'rows'}_{agg}_{int(window.total_seconds())}s"
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        df = _sorted(df, by, order, tiebreak)
+        results = np.empty(len(df), dtype=np.float64)
+        pos = 0
+        for _, g in df.groupby(by, sort=False):
+            ts = g[order].to_numpy()
+            lo = np.searchsorted(ts, ts - window, side="left")
+            hi = np.searchsorted(ts, ts, side="right")  # includes ts-peers
+            n = hi - lo
+            if agg == "count":
+                out = n.astype(np.float64)
+            else:
+                csum = np.concatenate([[0.0], np.cumsum(g[value].to_numpy(dtype=np.float64))])
+                s = csum[hi] - csum[lo]
+                out = s if agg == "sum" else s / np.maximum(n, 1)
+            results[pos : pos + len(g)] = out
+            pos += len(g)
+        df[out_col] = results
+        if agg == "count":
+            df[out_col] = df[out_col].astype("int64")
+        return df
+
+    return partitioned_apply(ds, by, fn, num_partitions)
