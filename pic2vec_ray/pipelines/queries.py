@@ -1,0 +1,567 @@
+"""Named query/pipeline registry — the driver-facing surface.
+
+Each ``QUERIES[name]`` is a callable ``(sf_dir) -> Dataset/DataFrame``
+implementing one operator family from SURVEY.md §2 (+ the
+training-data extensions); ``ORACLE_SQL[name]`` is the ANSI-SQL DuckDB
+equivalent over the same parquet tables. Column names are identical on
+both sides (the driver hashes values after sorting columns by name).
+
+Float discipline: aggregates that sum many doubles are rounded to a
+fixed number of decimals ON BOTH SIDES (summation order differs
+between engines; passthrough floats and int arithmetic are left
+unrounded because identical operands give identical doubles).
+
+None of these call ray.init()/shutdown() — the driver owns the session.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+SESSION_GAP_MIN = 30
+ROLL_WINDOW_H = 1
+ANN_QUERY_IDS = (0, 1, 2)
+ANN_K = 10
+
+
+def _rd():
+    import ray.data as rd
+
+    return rd
+
+
+# --------------------------------------------------------------- generic SQL
+
+
+def q1_pricing_summary(sf_dir: str):
+    """TPC-H-Q1-style grouped aggregate with per-batch partial
+    pre-aggregation (the combine-before-shuffle pattern: the all-to-all
+    exchange moves one row per (flag,status) per batch, not 600k rows)."""
+    rd = _rd()
+    from ray.data.aggregate import Sum
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        df = t.to_pandas()
+        df["disc_price"] = df.l_extendedprice * (1 - df.l_discount)
+        g = df.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
+            p_sum_qty=("l_quantity", "sum"),
+            p_sum_base=("l_extendedprice", "sum"),
+            p_sum_disc=("disc_price", "sum"),
+            p_count=("l_quantity", "size"),
+        )
+        return g
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("p_sum_qty", alias_name="sum_qty"),
+            Sum("p_sum_base", alias_name="sum_base_price"),
+            Sum("p_sum_disc", alias_name="sum_disc_price"),
+            Sum("p_count", alias_name="count_order"),
+        )
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df["avg_qty"] = (df.sum_qty / df.count_order).round(6)
+        df["sum_qty"] = df.sum_qty.round(2)
+        df["sum_base_price"] = df.sum_base_price.round(2)
+        df["sum_disc_price"] = df.sum_disc_price.round(2)
+        df["count_order"] = df.count_order.astype("int64")
+        return df
+
+    return agg.map_batches(finish, batch_format="pandas")
+
+
+SQL_Q1 = """
+SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_quantity), 2) AS sum_qty,
+       ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       COUNT(*) AS count_order,
+       ROUND(SUM(l_quantity) / COUNT(*), 6) AS avg_qty
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q2_top_customers(sf_dir: str):
+    """Grouped revenue + broadcast dimension join + deterministic top-k.
+
+    The customer table is the small side: materialized once, shipped
+    via ray.put, joined with a dict lookup inside map_batches — no
+    shuffle join for a dimension table."""
+    import ray
+    import pyarrow.parquet as pq
+
+    rd = _rd()
+    from ray.data.aggregate import Count, Sum
+
+    ct = pq.read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"])
+    name_ref = ray.put(dict(zip(ct["c_custkey"].to_pylist(), ct["c_name"].to_pylist())))
+
+    agg = (
+        rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"])
+        .groupby("o_custkey")
+        .aggregate(Sum("o_totalprice", alias_name="revenue"), Count(alias_name="n_orders"))
+    )
+
+    def attach(df: pd.DataFrame) -> pd.DataFrame:
+        names = ray.get(name_ref)
+        df = df[df.o_custkey.isin(names)].copy()  # inner join semantics
+        df["c_name"] = df.o_custkey.map(names)
+        df["revenue"] = df.revenue.round(2)
+        df["n_orders"] = df.n_orders.astype("int64")
+        return df.rename(columns={"o_custkey": "c_custkey"})
+
+    out = agg.map_batches(attach, batch_format="pandas")
+    return (
+        out.sort(["revenue", "c_custkey"], descending=[True, False])
+        .limit(10)
+        .select_columns(["c_custkey", "c_name", "revenue", "n_orders"])
+    )
+
+
+SQL_Q2 = """
+SELECT o_custkey AS c_custkey, MAX(c_name) AS c_name,
+       ROUND(SUM(o_totalprice), 2) AS revenue, COUNT(*) AS n_orders
+FROM orders JOIN customer ON c_custkey = o_custkey
+GROUP BY o_custkey
+ORDER BY ROUND(SUM(o_totalprice), 2) DESC, o_custkey
+LIMIT 10
+"""
+
+
+# ----------------------------------------------------------- temporal layer
+
+
+def _events(sf_dir: str, columns=None):
+    return _rd().read_parquet(f"{sf_dir}/events.parquet", columns=columns)
+
+
+def _purchases(sf_dir: str):
+    ds = _events(sf_dir, columns=["user_id", "ts", "event_type", "value"])
+
+    def f(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["event_type"], "purchase"))
+        return t.drop_columns(["event_type"]).rename_columns(["user_id", "ts", "purchase_value"])
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def _view_clicks(sf_dir: str):
+    ds = _events(sf_dir, columns=["event_id", "user_id", "ts", "event_type"])
+
+    def f(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_in(t["event_type"], value_set=pa.array(["view", "click"])))
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def _asof(sf_dir: str, allow_exact: bool):
+    from ..temporal.asof import asof_join
+
+    out = asof_join(
+        _view_clicks(sf_dir), _purchases(sf_dir), on="ts", by="user_id",
+        allow_exact_matches=allow_exact, suffix="_r", num_partitions=32,
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.rename(columns={"ts_r": "purchase_ts"})
+        return df[["event_id", "user_id", "ts", "purchase_ts", "purchase_value"]]
+
+    return out.map_batches(finish, batch_format="pandas")
+
+
+def asof_purchase(sf_dir: str):
+    """Backward inclusive as-of join: latest purchase at ts' <= ts."""
+    return _asof(sf_dir, allow_exact=True)
+
+
+def asof_purchase_strict(sf_dir: str):
+    """Leakage-safe strict as-of join: latest purchase at ts' < ts."""
+    return _asof(sf_dir, allow_exact=False)
+
+
+_SQL_ASOF_TMPL = """
+SELECT e.event_id, e.user_id, e.ts, p.ts AS purchase_ts, p.value AS purchase_value
+FROM (SELECT event_id, user_id, ts FROM events WHERE event_type IN ('view', 'click')) e
+ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') p
+  ON e.user_id = p.user_id AND e.ts {op} p.ts
+"""
+SQL_ASOF = _SQL_ASOF_TMPL.format(op=">=")
+SQL_ASOF_STRICT = _SQL_ASOF_TMPL.format(op=">")
+
+
+def lag_lead_value(sf_dir: str):
+    from ..temporal.windows import lag_lead
+
+    ds = _events(sf_dir, columns=["event_id", "user_id", "ts", "value"])
+    out = lag_lead(ds, by="user_id", order="ts", cols=["value"], lags=(1,), leads=(1,),
+                   tiebreak="event_id", num_partitions=32)
+    return out.select_columns(["event_id", "user_id", "ts", "value", "value_lag1", "value_lead1"])
+
+
+SQL_LAG_LEAD = """
+SELECT event_id, user_id, ts, value,
+       LAG(value) OVER w AS value_lag1,
+       LEAD(value) OVER w AS value_lead1
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+def backfill_purchase_value(sf_dir: str):
+    from ..temporal.windows import backfill
+
+    ds = _events(sf_dir, columns=["event_id", "user_id", "ts", "event_type", "value"])
+
+    def add_pv(t: pa.Table) -> pa.Table:
+        pv = pc.if_else(pc.equal(t["event_type"], "purchase"), t["value"], pa.scalar(None, pa.float64()))
+        return t.append_column("pv", pv)
+
+    out = backfill(ds.map_batches(add_pv, batch_format="pyarrow"),
+                   by="user_id", order="ts", cols=["pv"], tiebreak="event_id",
+                   num_partitions=32)
+    return out.select_columns(["event_id", "user_id", "ts", "pv_filled"])
+
+
+SQL_BACKFILL = """
+SELECT event_id, user_id, ts,
+       LAST_VALUE(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS)
+         OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv_filled
+FROM events
+"""
+
+
+def sessionize_events(sf_dir: str):
+    from ..temporal.windows import sessionize
+
+    ds = _events(sf_dir, columns=["event_id", "user_id", "ts"])
+    out = sessionize(ds, by="user_id", order="ts", gap=pd.Timedelta(minutes=SESSION_GAP_MIN),
+                     tiebreak="event_id", num_partitions=32)
+    return out.select_columns(["event_id", "user_id", "ts", "session_id"])
+
+
+SQL_SESSIONIZE = f"""
+SELECT event_id, user_id, ts,
+       CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+FROM (
+  SELECT event_id, user_id, ts,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                OR ts - LAG(ts) OVER w > INTERVAL {SESSION_GAP_MIN} MINUTE
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+"""
+
+
+def rolling_1h(sf_dir: str):
+    from ..temporal.windows import rolling_range_agg
+
+    ds = _events(sf_dir, columns=["event_id", "user_id", "ts", "value"])
+    out = rolling_range_agg(ds, by="user_id", order="ts", value="value",
+                            window=pd.Timedelta(hours=ROLL_WINDOW_H), agg="sum",
+                            tiebreak="event_id", num_partitions=32, out_col="sum_1h")
+    out = rolling_range_agg(out, by="user_id", order="ts", value=None,
+                            window=pd.Timedelta(hours=ROLL_WINDOW_H), agg="count",
+                            tiebreak="event_id", num_partitions=32, out_col="cnt_1h")
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df["sum_1h"] = df.sum_1h.round(6)
+        return df[["event_id", "user_id", "ts", "cnt_1h", "sum_1h"]]
+
+    return out.map_batches(finish, batch_format="pandas")
+
+
+SQL_ROLLING = f"""
+SELECT event_id, user_id, ts,
+       COUNT(*) OVER w AS cnt_1h,
+       ROUND(SUM(value) OVER w, 6) AS sum_1h
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL {ROLL_WINDOW_H} HOUR PRECEDING AND CURRENT ROW)
+"""
+
+
+# ------------------------------------------------------- dedup / text / sim
+
+
+def dedup_exact_docs(sf_dir: str):
+    from ..stages.dedup import dedup_exact
+
+    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return dedup_exact(ds, col="text", id_col="doc_id", num_partitions=32).select_columns(["doc_id"])
+
+
+SQL_DEDUP_EXACT = "SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text"
+
+
+def text_stats_docs(sf_dir: str):
+    from ..stages.text import TextStats, count_tokens_bpe_ish
+
+    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    out = ds.map_batches(TextStats, batch_format="pandas", concurrency=(1, 4)) \
+            .map_batches(count_tokens_bpe_ish, batch_format="pandas")
+    return out.select_columns(
+        ["doc_id", "n_chars_calc", "n_tokens", "n_words", "n_punct", "punct_ratio", "n_bpe_tokens"]
+    )
+
+
+SQL_TEXT_STATS = r"""
+SELECT doc_id,
+       LENGTH(text) AS n_chars_calc,
+       LEN(regexp_extract_all(text, '\S+')) AS n_tokens,
+       LEN(regexp_extract_all(text, '\w+')) AS n_words,
+       LEN(regexp_extract_all(text, '[^\w\s]')) AS n_punct,
+       LEN(regexp_extract_all(text, '[^\w\s]')) / GREATEST(LENGTH(text), 1) AS punct_ratio,
+       LEN(regexp_extract_all(text, '\w+|[^\w\s]')) AS n_bpe_tokens
+FROM documents
+"""
+
+
+def ann_topk_embeddings(sf_dir: str):
+    from ..stages.similarity import ann_topk
+
+    import pyarrow.parquet as pq
+
+    rd = _rd()
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    qt = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"],
+                       filters=[("vec_id", "in", list(ANN_QUERY_IDS))]).to_pandas()
+    qt = qt.set_index("vec_id").loc[list(ANN_QUERY_IDS)]
+    q = np.stack(qt.embedding.to_numpy())
+    out = ann_topk(emb, q, k=ANN_K, query_ids=list(ANN_QUERY_IDS))
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df["cosine"] = df.cosine.round(5)
+        df["query_id"] = df.query_id.astype("int64")
+        return df[["query_id", "vec_id", "cosine"]]
+
+    return out.map_batches(finish, batch_format="pandas")
+
+
+SQL_ANN_TOPK = f"""
+WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+           FROM embeddings WHERE vec_id IN {tuple(ANN_QUERY_IDS)})
+SELECT q.query_id, e.vec_id,
+       ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qe), 5) AS cosine
+FROM embeddings e CROSS JOIN q
+QUALIFY ROW_NUMBER() OVER (
+    PARTITION BY q.query_id
+    ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qe) DESC, e.vec_id
+) <= {ANN_K}
+"""
+
+
+# ----------------------------------------------------------- image pipeline
+
+
+def _images(sf_dir: str) -> str:
+    from ..fixtures.synth import images_table_path
+
+    return images_table_path(sf_dir)
+
+
+def image_decode_dims(sf_dir: str):
+    """Decode every synthetic image and report true decoded dimensions +
+    missing flag — dimension arithmetic is oracle-SQL-predictable from
+    the ``part`` table (fixtures/synth.py closed-form rule)."""
+    from ..stages.decode import make_decode_stats_fn
+
+    ds = _rd().read_parquet(_images(sf_dir), columns=["image_id", "bytes", "fmt"])
+    out = ds.map_batches(make_decode_stats_fn(), batch_format="pyarrow")
+
+    def cast(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "image_id": t["image_id"],
+            "fmt": t["fmt"],
+            "decoded_w": t["decoded_w"].cast(pa.int64()),
+            "decoded_h": t["decoded_h"].cast(pa.int64()),
+            "missing": t["missing"],
+        })
+
+    return out.map_batches(cast, batch_format="pyarrow")
+
+
+SQL_IMAGE_DIMS = """
+WITH r AS (
+  SELECT p_partkey, p_partkey % 20 AS role,
+         CASE WHEN p_partkey % 20 = 13 THEN p_partkey - 1 ELSE p_partkey END AS cs
+  FROM part
+)
+SELECT printf('img_%08d', p_partkey) AS image_id,
+       CASE WHEN role = 17 THEN 'gif'
+            WHEN role IN (15, 18, 19) THEN 'png'
+            WHEN cs % 2 = 0 THEN 'png' ELSE 'bmp' END AS fmt,
+       CASE WHEN role >= 17 THEN 0 ELSE 64 + (cs % 4) * 16 END AS decoded_w,
+       CASE WHEN role >= 17 THEN 0 ELSE 64 + (cs % 3) * 32 END AS decoded_h,
+       role >= 17 AS missing
+FROM r
+"""
+
+
+def caption_roundtrip(sf_dir: str):
+    """Full featurize pipeline, then project (image_id, caption,
+    missing): proves caption byte-equality and missing semantics
+    through decode+embed, oracle-checkable from ``part``."""
+    from .featurize import featurize_images
+
+    out = featurize_images(_images(sf_dir), model_str="tinynet", depth=1, batch_size=128)
+    return out.select_columns(["image_id", "caption", "missing"])
+
+
+SQL_CAPTION = """
+SELECT printf('img_%08d', p_partkey) AS image_id, p_name AS caption,
+       p_partkey % 20 >= 17 AS missing
+FROM part
+"""
+
+
+# ------------------------------------------------ rows-only (non-SQL) ops
+
+
+def featurize_flagship(sf_dir: str):
+    """Flagship featurize: features summarized as L2 norm + width (the
+    fixed_size_list column itself is exercised in pytest; norms make a
+    stable scalar projection for the rows-only driver check)."""
+    from .featurize import featurize_images
+
+    out = featurize_images(_images(sf_dir), model_str="tinynet", depth=1, batch_size=128)
+
+    def summarize(t: pa.Table) -> pa.Table:
+        feats = t["features"].combine_chunks()
+        arr = feats.flatten().to_numpy(zero_copy_only=False).reshape(len(t), -1)
+        return pa.table({
+            "image_id": t["image_id"],
+            "missing": t["missing"],
+            "feat_dim": pa.array(np.full(len(t), arr.shape[1]), type=pa.int64()),
+            "feat_norm": pa.array(np.round(np.linalg.norm(arr, axis=1), 4)),
+        })
+
+    return out.map_batches(summarize, batch_format="pyarrow")
+
+
+def minhash_neardup_docs(sf_dir: str):
+    from ..stages.dedup import minhash_lsh_pairs
+
+    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return minhash_lsh_pairs(ds, threshold=0.5, num_perm=64, bands=16, num_partitions=32)
+
+
+def simhash_neardup_docs(sf_dir: str):
+    from ..stages.dedup import simhash_pairs
+
+    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return simhash_pairs(ds, max_hamming=3, num_partitions=32)
+
+
+def embedding_neardup(sf_dir: str):
+    """Embedding-cosine near-dup over the corpus ∪ 20 planted clones
+    (vec_id + 100000): the synthetic embeddings are near-orthogonal
+    (max natural cosine ≈ 0.51), so planting clones both exercises the
+    operator and keeps the threshold far from any boundary."""
+    from ..stages.dedup import embedding_neardup_pairs
+
+    ds = _rd().read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+
+    def clones(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.less(t["vec_id"], 20))
+        return t.set_column(0, "vec_id", pc.add(t["vec_id"], 100000))
+
+    both = ds.union(ds.map_batches(clones, batch_format="pyarrow"))
+    pairs = embedding_neardup_pairs(both, threshold=0.95)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["cosine"] = df.cosine.round(5)
+        return df[["id_a", "id_b", "cosine"]]
+
+    return pairs.map_batches(finish, batch_format="pandas")
+
+
+SQL_EMB_NEARDUP = """
+WITH u AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000, CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id < 20
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       ROUND(list_cosine_similarity(a.e, b.e), 5) AS cosine
+FROM u a JOIN u b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.e, b.e) >= 0.95
+"""
+
+
+def langid_docs(sf_dir: str):
+    from ..stages.text import LangId
+
+    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"])
+    return ds.map_batches(LangId, batch_format="pandas", concurrency=(1, 4)) \
+             .select_columns(["doc_id", "lang", "lang_pred", "lang_conf"])
+
+
+def ivf_search_embeddings(sf_dir: str):
+    from ..stages.similarity import IvfIndex
+
+    import pyarrow.parquet as pq
+
+    rd = _rd()
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    sample = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["embedding"]).to_pandas()
+    m = np.stack(sample.embedding.head(2000).to_numpy())
+    idx = IvfIndex(num_centroids=16, iters=5).train(m)
+    assigned = idx.assign(emb)
+    return idx.search(assigned, m[0], k=10, nprobe=4)
+
+
+QUERIES = {
+    "q1_pricing_summary": q1_pricing_summary,
+    "q2_top_customers": q2_top_customers,
+    "embedding_neardup": embedding_neardup,
+    "asof_purchase": asof_purchase,
+    "asof_purchase_strict": asof_purchase_strict,
+    "lag_lead_value": lag_lead_value,
+    "backfill_purchase_value": backfill_purchase_value,
+    "sessionize_events": sessionize_events,
+    "rolling_1h": rolling_1h,
+    "dedup_exact_docs": dedup_exact_docs,
+    "text_stats_docs": text_stats_docs,
+    "ann_topk_embeddings": ann_topk_embeddings,
+    "image_decode_dims": image_decode_dims,
+    "caption_roundtrip": caption_roundtrip,
+    # rows-only (not SQL-expressible; see module docstring)
+    "featurize_flagship": featurize_flagship,
+    "minhash_neardup_docs": minhash_neardup_docs,
+    "simhash_neardup_docs": simhash_neardup_docs,
+    "langid_docs": langid_docs,
+    "ivf_search_embeddings": ivf_search_embeddings,
+}
+
+ORACLE_SQL = {
+    "q1_pricing_summary": SQL_Q1,
+    "q2_top_customers": SQL_Q2,
+    "asof_purchase": SQL_ASOF,
+    "asof_purchase_strict": SQL_ASOF_STRICT,
+    "lag_lead_value": SQL_LAG_LEAD,
+    "backfill_purchase_value": SQL_BACKFILL,
+    "sessionize_events": SQL_SESSIONIZE,
+    "rolling_1h": SQL_ROLLING,
+    "dedup_exact_docs": SQL_DEDUP_EXACT,
+    "text_stats_docs": SQL_TEXT_STATS,
+    "ann_topk_embeddings": SQL_ANN_TOPK,
+    "embedding_neardup": SQL_EMB_NEARDUP,
+    "image_decode_dims": SQL_IMAGE_DIMS,
+    "caption_roundtrip": SQL_CAPTION,
+}

@@ -1,0 +1,129 @@
+"""Similarity search over an embedding column (``list<float>``).
+
+Baseline: brute-force cosine top-k — the query matrix is broadcast
+once (``ray.put``), each batch does one numpy matmul and emits its
+batch-local top-k per query (a partial), and a tiny final groupby
+merges partials into the global top-k. The full corpus is streamed,
+never materialized.
+
+Scale path: ``IvfIndex`` — k-means-lite coarse quantizer; each vector
+is assigned to its nearest centroid (one shuffle-free map_batches);
+queries probe only the ``nprobe`` nearest centroid buckets, reading
+just those partitions. Centroids are trained on a driver-side sample
+(sampling, not a full pass).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    return m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+
+
+def ann_topk(ds, query_vecs: np.ndarray, *, k: int = 10, vec_col: str = "embedding",
+             id_col: str = "vec_id", query_ids: list | None = None):
+    """Brute-force cosine top-k. Returns (query_id, vec_id, cosine) —
+    exactly k rows per query, ties broken by smaller vec_id (pinned so
+    results are deterministic and oracle-comparable)."""
+    import ray
+
+    q = _normalize(np.asarray(query_vecs, dtype=np.float64))
+    if q.ndim != 2:
+        raise ValueError("query_vecs must be (Q, dim)")
+    qids = list(query_ids) if query_ids is not None else list(range(len(q)))
+    ref = ray.put(q)
+
+    def partial_topk(batch: pd.DataFrame) -> pd.DataFrame:
+        qm = ray.get(ref)
+        m = _normalize(np.stack(batch[vec_col].to_numpy()).astype(np.float64))
+        sims = qm @ m.T  # (Q, B)
+        ids = batch[id_col].to_numpy()
+        out = []
+        kk = min(k, sims.shape[1])
+        for qi in range(sims.shape[0]):
+            row = sims[qi]
+            # top-k with (−sim, vec_id) lexicographic tie-break
+            idx = np.lexsort((ids, -row))[:kk]
+            out.append(pd.DataFrame({"query_id": qids[qi], id_col: ids[idx],
+                                     "cosine": row[idx]}))
+        return pd.concat(out, ignore_index=True)
+
+    def merge(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["cosine", id_col], ascending=[False, True], kind="mergesort")
+        return g.head(k)
+
+    return (
+        ds.map_batches(partial_topk, batch_format="pandas")
+        .groupby("query_id")
+        .map_groups(merge, batch_format="pandas")
+    )
+
+
+class IvfIndex:
+    """IVF coarse index over an embedding Dataset (the scale path).
+
+    ``build`` trains centroids on a sample and writes bucket
+    assignments; ``search`` probes the nprobe nearest buckets only.
+    """
+
+    def __init__(self, num_centroids: int = 16, iters: int = 10, seed: int = 5102020):
+        self.num_centroids = num_centroids
+        self.iters = iters
+        self.seed = seed
+        self.centroids: np.ndarray | None = None
+
+    def train(self, sample_vecs: np.ndarray) -> "IvfIndex":
+        x = _normalize(np.asarray(sample_vecs, dtype=np.float64))
+        rng = np.random.default_rng(self.seed)
+        c = x[rng.choice(len(x), size=min(self.num_centroids, len(x)), replace=False)]
+        for _ in range(self.iters):
+            assign = np.argmax(x @ c.T, axis=1)
+            for j in range(len(c)):
+                mask = assign == j
+                if mask.any():
+                    c[j] = x[mask].mean(axis=0)
+            c = _normalize(c)
+        self.centroids = c
+        return self
+
+    def assign(self, ds, *, vec_col: str = "embedding", bucket_col: str = "ivf_bucket"):
+        if self.centroids is None:
+            raise ValueError("train() first")
+        import ray
+
+        ref = ray.put(self.centroids)
+
+        def fn(batch: pd.DataFrame) -> pd.DataFrame:
+            c = ray.get(ref)
+            m = _normalize(np.stack(batch[vec_col].to_numpy()).astype(np.float64))
+            batch[bucket_col] = np.argmax(m @ c.T, axis=1).astype("int64")
+            return batch
+
+        return ds.map_batches(fn, batch_format="pandas")
+
+    def search(self, assigned_ds, query_vec: np.ndarray, *, k: int = 10, nprobe: int = 4,
+               vec_col: str = "embedding", id_col: str = "vec_id",
+               bucket_col: str = "ivf_bucket"):
+        """Probe the nprobe nearest buckets; exact rerank inside them.
+        Prune at the scan: only rows of the probed buckets flow."""
+        if self.centroids is None:
+            raise ValueError("train() first")
+        q = _normalize(np.asarray(query_vec, dtype=np.float64).reshape(1, -1))
+        probes = set(np.argsort(-(q @ self.centroids.T)[0])[:nprobe].tolist())
+
+        def fn(batch: pd.DataFrame) -> pd.DataFrame:
+            batch = batch[batch[bucket_col].isin(probes)]
+            if batch.empty:
+                return pd.DataFrame({id_col: pd.Series([], dtype="int64"),
+                                     "cosine": pd.Series([], dtype="float64")})
+            m = _normalize(np.stack(batch[vec_col].to_numpy()).astype(np.float64))
+            sims = (q @ m.T)[0]
+            ids = batch[id_col].to_numpy()
+            idx = np.lexsort((ids, -sims))[: min(k, len(ids))]
+            return pd.DataFrame({id_col: ids[idx], "cosine": sims[idx]})
+
+        out = assigned_ds.map_batches(fn, batch_format="pandas").to_pandas()
+        return out.sort_values(["cosine", id_col], ascending=[False, True]).head(k).reset_index(drop=True)

@@ -1,0 +1,108 @@
+"""Text-analysis stages: stats/quality scoring, token counting,
+language ID, document fingerprinting (training-data-pipeline operators
+beyond the reference; each is a vectorized pandas/numpy map_batches
+body, stateful pieces (compiled regexes, frequency tables) built once
+per actor in ``__init__``)."""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+
+_WS = re.compile(r"\S+")
+_WORD = re.compile(r"\w+", re.UNICODE)
+_PUNCT = re.compile(r"[^\w\s]")
+_BPE_ISH = re.compile(r"\w+|[^\w\s]")  # word-or-single-punct, a BPE-ish pretokenizer
+
+STOPWORDS = frozenset(
+    "the a an and or of to in is are was were be been it this that for on with as at by from".split()
+)
+
+
+class TextStats:
+    """Per-doc stats + quality score. Actor-pool stage
+    (``map_batches(TextStats, concurrency=N, batch_format="pandas")``).
+
+    Columns emitted (all named to match the oracle SQL):
+    n_chars_calc, n_tokens (whitespace), n_words, n_punct, punct_ratio,
+    stopword_ratio, avg_word_len, quality_score.
+    """
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        s = batch["text"]
+        batch["n_chars_calc"] = s.str.len().astype("int64")
+        batch["n_tokens"] = s.str.count(_WS).astype("int64")
+        batch["n_words"] = s.str.count(_WORD).astype("int64")
+        batch["n_punct"] = s.str.count(_PUNCT).astype("int64")
+        nc = batch["n_chars_calc"].to_numpy().astype(np.float64)
+        batch["punct_ratio"] = batch["n_punct"] / np.maximum(nc, 1.0)
+        words = s.str.lower().str.findall(_WORD)
+        batch["stopword_ratio"] = words.map(
+            lambda ws: sum(w in STOPWORDS for w in ws) / max(len(ws), 1)
+        )
+        total_word_chars = words.map(lambda ws: sum(len(w) for w in ws))
+        batch["avg_word_len"] = total_word_chars / np.maximum(batch["n_words"].to_numpy(), 1)
+        # simple quality heuristic: long-enough, low punct, some stopwords
+        batch["quality_score"] = (
+            np.clip(nc / 200.0, 0, 1) * 0.4
+            + (1.0 - np.clip(batch["punct_ratio"].to_numpy() * 5, 0, 1)) * 0.3
+            + np.clip(batch["stopword_ratio"].to_numpy() * 4, 0, 1) * 0.3
+        )
+        return batch
+
+
+def count_tokens_bpe_ish(batch: pd.DataFrame) -> pd.DataFrame:
+    """Token counting with a BPE-ish pretokenizer regex (word or single
+    punctuation char), vectorized via Series.str.count."""
+    batch["n_bpe_tokens"] = batch["text"].str.count(_BPE_ISH).astype("int64")
+    return batch
+
+
+class LangId:
+    """n-gram/stopword-heuristic language ID (no model libs available).
+
+    Scores per language = stopword-hit-rate using small public stopword
+    lists; emits ``lang_pred`` and ``lang_conf``. Accuracy is checked
+    in pytest against the documents table's ``lang`` column; not
+    SQL-expressible, so its queries() entry is rows-only checked.
+    """
+
+    LANG_STOPWORDS = {
+        "en": frozenset("the and of to in is a that it for on with as at".split()),
+        "de": frozenset("der die das und ist ein eine zu den von mit für auf".split()),
+        "fr": frozenset("le la les et de un une est pour dans que sur avec".split()),
+        "es": frozenset("el la los las y de un una es para en que con por".split()),
+    }
+
+    def __init__(self):
+        self.word = _WORD
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        words = batch["text"].str.lower().str.findall(self.word)
+
+        def score(ws):
+            if not ws:
+                return "und", 0.0
+            best, best_r = "und", 0.0
+            for lang, sw in self.LANG_STOPWORDS.items():
+                r = sum(w in sw for w in ws) / len(ws)
+                if r > best_r:
+                    best, best_r = lang, r
+            return best if best_r > 0.01 else "und", best_r
+
+        scored = words.map(score)
+        batch["lang_pred"] = scored.map(lambda t: t[0])
+        batch["lang_conf"] = scored.map(lambda t: t[1])
+        return batch
+
+
+def fingerprint64(batch: pd.DataFrame) -> pd.DataFrame:
+    """Deterministic 64-bit document fingerprint: polynomial rolling
+    hash of the whitespace-normalized lowercased text."""
+    norm = batch["text"].str.lower().str.split().str.join(" ")
+    batch["fingerprint"] = (
+        pd.util.hash_pandas_object(norm, index=False).astype("uint64").astype("int64")
+    )
+    return batch
