@@ -1,0 +1,186 @@
+"""Benchmark harness (driver contract).
+
+Default: run the headline pipeline — synthetic input_hint image table →
+fused decode+CNN-embed actor pool → features parquet → point-in-time
+as-of join of an observation stream onto timestamped features — over
+``$GRAFT_SF_DIR`` (default /root/testdata/sf0.1) with
+``ray.init(address="local", num_cpus=$RAY_GRAFT_CPUS)`` (default 32),
+plus secondary operator benches. Prints ONE JSON line.
+
+``--scaling``: runs the identical headline job in two fresh processes
+at 8 and 32 CPUs (the sandbox stand-in for N vs 4N nodes per
+BASELINE.md) and reports both throughputs + scaling efficiency.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+OUT_ROOT = "/tmp/pic2vec_ray_bench"
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def _observations(sf_dir: str, num_images: int):
+    """Observation stream: events mapped onto image entities
+    (deterministic image_id assignment), ts kept."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id"])
+
+    def to_obs(t: pa.Table) -> pa.Table:
+        eid = t["event_id"].to_numpy()
+        keys = (eid * 131 + t["user_id"].to_numpy()) % num_images
+        ids = pa.array([f"img_{k:08d}" for k in keys])
+        return pa.table({"obs_id": t["event_id"], "image_id": ids, "ts": t["ts"]})
+
+    return ds.map_batches(to_obs, batch_format="pyarrow")
+
+
+def run_headline(sf_dir: str) -> dict:
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from pic2vec_ray.fixtures.synth import images_table_path
+    from pic2vec_ray.pipelines.featurize import featurize_images
+    from pic2vec_ray.temporal.asof import asof_join
+
+    times: dict[str, float] = {}
+    # untimed: input table synthesis is ingest, not pipeline work; also
+    # warms the OS page cache so we measure compute+shuffle, not cold disk
+    images_dir = images_table_path(sf_dir)
+    import pyarrow.parquet as pq
+
+    num_images = sum(
+        pq.read_metadata(os.path.join(images_dir, f)).num_rows
+        for f in os.listdir(images_dir)
+        if f.endswith(".parquet")
+    )
+
+    feat_dir = f"{OUT_ROOT}/features"
+    shutil.rmtree(feat_dir, ignore_errors=True)
+
+    # stage 1: featurize (decode + embed actor pool) → parquet sink
+    t0 = time.perf_counter()
+    ds = featurize_images(images_dir, model_str="tinynet", depth=1, batch_size=256)
+    ds.write_parquet(feat_dir)
+    times["featurize"] = time.perf_counter() - t0
+
+    # stage 2: as-of join observations → timestamped features (shuffle plan)
+    t0 = time.perf_counter()
+    feats = rd.read_parquet(feat_dir, columns=["image_id", "missing", "features"])
+
+    def add_ts(t: pa.Table) -> pa.Table:
+        keys = np.array([int(s[4:]) for s in t["image_id"].to_pylist()], dtype=np.int64)
+        base = np.datetime64("2024-01-01T00:00:00", "us")
+        ts = base + (keys % 97) * np.timedelta64(3600, "s")
+        feats_np = t["features"].combine_chunks().flatten().to_numpy(zero_copy_only=False)
+        norm = np.linalg.norm(feats_np.reshape(len(t), -1), axis=1)
+        return pa.table({
+            "image_id": t["image_id"],
+            "feature_ts": pa.array(ts, pa.timestamp("us")),
+            "feat_norm": pa.array(norm),
+        })
+
+    fts = feats.map_batches(add_ts, batch_format="pyarrow")
+    obs = _observations(sf_dir, num_images)
+    joined = asof_join(obs, fts, on="ts", by="image_id", right_on="feature_ts",
+                       allow_exact_matches=True, num_partitions=64)
+    asof_dir = f"{OUT_ROOT}/asof"
+    shutil.rmtree(asof_dir, ignore_errors=True)
+    joined.write_parquet(asof_dir)
+    times["asof"] = time.perf_counter() - t0
+
+    times["total"] = times["featurize"] + times["asof"]
+    times["images_per_sec"] = round(num_images / times["total"], 2)
+    times["num_images"] = num_images
+    return times
+
+
+def run_secondary(sf_dir: str) -> dict:
+    """Per-operator wall times over the standard tables."""
+    import pandas as pd
+
+    from pic2vec_ray.pipelines import queries as Q
+
+    out = {}
+    for name in ("q1_pricing_summary", "asof_purchase", "sessionize_events",
+                 "rolling_1h", "dedup_exact_docs", "text_stats_docs",
+                 "ann_topk_embeddings", "minhash_neardup_docs"):
+        t0 = time.perf_counter()
+        res = Q.QUERIES[name](sf_dir)
+        # consume: small results to pandas, large to count
+        try:
+            import ray.data
+
+            n = res.count() if isinstance(res, ray.data.Dataset) else len(res)
+        except Exception:
+            n = -1
+        out[name] = round(time.perf_counter() - t0, 3)
+    return out
+
+
+def main_single():
+    import ray
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    headline = run_headline(SF_DIR)
+    secondary = run_secondary(SF_DIR)
+    result = {
+        "metric": "featurize+asof end-to-end seconds (headline); images/sec in queries.images_per_sec",
+        "value": round(headline["total"], 3),
+        "unit": "sec",
+        "queries": {
+            "featurize": round(headline["featurize"], 3),
+            "asof": round(headline["asof"], 3),
+            "images_per_sec": headline["images_per_sec"],
+            **secondary,
+        },
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "num_images": headline["num_images"],
+    }
+    print(json.dumps(result))
+    ray.shutdown()
+
+
+def main_scaling():
+    import subprocess
+
+    res = {}
+    for n in (8, 32):
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(n), GRAFT_SF_DIR=SF_DIR)
+        out = subprocess.run([sys.executable, os.path.abspath(__file__)], env=env,
+                             capture_output=True, text=True, check=True).stdout
+        res[n] = json.loads(out.strip().splitlines()[-1])
+    t8, t32 = res[8]["value"], res[32]["value"]
+    ips8 = res[8]["queries"]["images_per_sec"]
+    ips32 = res[32]["queries"]["images_per_sec"]
+    eff = (ips32 / ips8) / (32 / 8)
+    print(json.dumps({
+        "metric": "scaling efficiency (8 → 32 CPUs, fresh processes, same input)",
+        "sec_8": t8, "sec_32": t32,
+        "images_per_sec_8": ips8, "images_per_sec_32": ips32,
+        "scaling_efficiency": round(eff, 3),
+        "sf": SF_DIR,
+    }))
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        main_scaling()
+    else:
+        main_single()

@@ -30,7 +30,7 @@ def featurize_images(
     downsample: bool = False,
     num_pooled_features: int = 0,
     image_columns: str | list[str] = "bytes",
-    batch_size: int = 128,
+    batch_size: int = 64,
     concurrency=None,
 ):
     """images: a Dataset or a parquet path of the input_hint schema.
@@ -44,12 +44,16 @@ def featurize_images(
     if isinstance(image_columns, str):
         image_columns = [image_columns]
     if concurrency is None:
-        # autoscaling actor pool: Ray sizes it to available CPUs with
-        # backpressure; a callable-class stage requires an explicit pool.
+        # fixed-size pool spun up front: an autoscaling (1, N) pool ramps
+        # too slowly for batch jobs and leaves the stage under-provisioned
+        # (measured 20.7s vs ~10s at 32 CPUs on sf0.1). Reserve a couple
+        # of CPUs for the read/write task stages; cap at 16 per node —
+        # beyond the physical-core count this conv workload degrades
+        # (hyperthread + memory-bandwidth contention, measured).
         import ray
 
         n = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
-        concurrency = (1, max(2, n))
+        concurrency = max(2, min(n - 2, 16))
     multi = len(image_columns) > 1
     for col in image_columns:
         prefix = f"{col}_" if multi else ""
