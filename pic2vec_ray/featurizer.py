@@ -1,0 +1,119 @@
+"""``ImageFeaturizer`` — the reference's top-level API re-expressed on
+Ray Data (``/root/reference/pic2vec/image_featurizer.py:75-258``: model
+config at construction, then featurize/load/featurize_preloaded/save).
+
+A pic2vec user's workflow maps 1:1:
+
+=================================== ======================================
+pic2vec                             pic2vec_ray
+=================================== ======================================
+``ImageFeaturizer(depth=2, ...)``   same constructor knobs (model_str,
+                                    depth, autosample/downsample_size)
+``.featurize(image_columns,         ``.featurize(...)`` — directory/CSV
+  image_path=..., csv_path=...)``   ingest → decode+embed actor pool;
+                                    returns a pandas frame with
+                                    ``{col}_missing, {col}_feat_i``
+``.load_data`` +                    ``.load_data`` builds the lazy input
+``.featurize_preloaded_data``       Dataset; ``.featurize_preloaded_data``
+                                    runs the embed stage on it
+``.save_csv(...)``                  same switches (omit_model/depth/
+                                    output/time, save_features)
+=================================== ======================================
+
+Differences by design: no 5-D stacked tensor (featurization is
+streaming per-batch, never whole-corpus in RAM — the reference's
+batched path with the memory-unsafe non-batch variant removed), and
+row identity is keyed, not positional (the output frame is sorted by
+image_id; the original CSV order can be restored by merging on the
+path column).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from .model.zoo import MODEL_REGISTRY, validate_config
+from .pipelines.conformance import explode_features, save_conformance_csv
+
+
+class ImageFeaturizer:
+    def __init__(self, depth: int = 1, autosample: bool = False,
+                 downsample_size: int = 0, model: str = "squeezenet"):
+        self.num_features = validate_config(model, depth, autosample, downsample_size)
+        self.model_name = model
+        self.depth = depth
+        self.autosample = autosample
+        self.downsample_size = downsample_size
+        self.image_columns: list[str] = []
+        self.data: "object" = None  # lazy Dataset after load_data
+        self.features: pd.DataFrame | None = None
+        self.full_dataframe: pd.DataFrame | None = None
+
+    # ------------------------------------------------------------ loading
+
+    def load_data(self, image_columns: str | list[str] = "images",
+                  image_path: str = "", csv_path: str = ""):
+        """Resolve sources (S1/S2/S3 routing) into the lazy input Dataset."""
+        from .sources.ingest import ingest_images
+
+        if not image_path and not csv_path:
+            raise ValueError("must provide an image directory and/or a csv path")
+        self.image_columns = [image_columns] if isinstance(image_columns, str) else list(image_columns)
+        col = self.image_columns[0]
+        self.data = ingest_images(image_path or None, csv_path or None, col)
+        return self.data
+
+    # -------------------------------------------------------- featurizing
+
+    def featurize_preloaded_data(self, batch_size: int = 64) -> pd.DataFrame:
+        if self.data is None:
+            raise ValueError("must load data before featurizing (call load_data)")
+        from .pipelines.featurize import featurize_images
+
+        out = featurize_images(
+            self.data, model_str=self.model_name, depth=self.depth,
+            downsample=self.autosample, num_pooled_features=self.downsample_size,
+            batch_size=batch_size,
+        ).to_pandas().sort_values("image_id").reset_index(drop=True)
+        col = self.image_columns[0] if self.image_columns else "images"
+        self.features = explode_features(out, col)
+        passthrough = out[["image_id", "caption"]].rename(columns={"image_id": col})
+        self.full_dataframe = pd.concat([passthrough, self.features], axis=1)
+        return self.full_dataframe
+
+    def featurize(self, image_columns: str | list[str] = "images",
+                  image_path: str = "", csv_path: str = "",
+                  batch_size: int = 64, save_csv: bool = False,
+                  **csv_kwargs) -> pd.DataFrame:
+        """One-shot path (reference ``featurize``,
+        image_featurizer.py:362-482): load → embed → (optional CSV)."""
+        self.load_data(image_columns, image_path, csv_path)
+        df = self.featurize_preloaded_data(batch_size=batch_size)
+        if save_csv:
+            self.save_csv(**csv_kwargs)
+        return df
+
+    # ------------------------------------------------------------- saving
+
+    def save_csv(self, new_csv_path: str = "featurized.csv",
+                 save_features: bool = False, **naming_kwargs) -> str:
+        if self.full_dataframe is None:
+            raise ValueError("must featurize before saving")
+        col = self.image_columns[0] if self.image_columns else "images"
+        # full_dataframe already holds exploded features; rebuild the
+        # compact frame the writer expects
+        compact = pd.DataFrame({
+            "image_id": self.full_dataframe[col],
+            "caption": self.full_dataframe["caption"],
+            "missing": self.full_dataframe[f"{col}_missing"],
+            "features": list(
+                self.full_dataframe[[c for c in self.full_dataframe.columns
+                                     if c.startswith(f"{col}_feat_")]].to_numpy(dtype=np.float32)
+            ),
+        })
+        return save_conformance_csv(
+            compact, new_csv_path, image_column_header=col,
+            model_str=self.model_name, depth=self.depth,
+            save_features=save_features, **naming_kwargs,
+        )

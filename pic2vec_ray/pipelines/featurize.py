@@ -46,14 +46,15 @@ def featurize_images(
     if concurrency is None:
         # fixed-size pool spun up front: an autoscaling (1, N) pool ramps
         # too slowly for batch jobs and leaves the stage under-provisioned
-        # (measured 20.7s vs ~10s at 32 CPUs on sf0.1). Reserve a couple
-        # of CPUs for the read/write task stages; cap at 16 per node —
-        # beyond the physical-core count this conv workload degrades
-        # (hyperthread + memory-bandwidth contention, measured).
+        # (measured 20.7s vs ~10s at 32 CPUs on sf0.1). 3/4 of the CPUs
+        # go to embed actors (read/write task stages use the rest), capped
+        # at 14 per node — the raw actor workload scales near-linearly to
+        # 14 concurrent processes on this hardware and degrades past the
+        # physical-core count (measured, see BASELINE.md).
         import ray
 
         n = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
-        concurrency = max(2, min(n - 2, 16))
+        concurrency = max(1, min((3 * n) // 4, 14))
     multi = len(image_columns) > 1
     for col in image_columns:
         prefix = f"{col}_" if multi else ""
