@@ -81,9 +81,15 @@ def run_headline(sf_dir: str) -> dict:
     # amortize — used by --scaling to keep the ratio about throughput.
     repeat = int(os.environ.get("GRAFT_BENCH_REPEAT", "1"))
 
+    import ray as _ray
+
+    ncpu = int(_ray.cluster_resources().get("CPU", 4))
+    nblocks = 3 * max(1, min((3 * ncpu) // 4, 14))
+
     def _with_offset(r: int):
+        base = rd.read_parquet(images_dir, override_num_blocks=nblocks)
         if r == 0:
-            return rd.read_parquet(images_dir)
+            return base
 
         def bump(t):
             import pyarrow as pa2
@@ -92,7 +98,7 @@ def run_headline(sf_dir: str) -> dict:
             return t.set_column(t.schema.get_field_index("image_id"), "image_id",
                                 pa2.array(ids))
 
-        return rd.read_parquet(images_dir).map_batches(bump, batch_format="pyarrow")
+        return base.map_batches(bump, batch_format="pyarrow")
 
     src = _with_offset(0)
     for r in range(1, repeat):
@@ -205,19 +211,22 @@ def main_scaling():
     hi = int(os.environ.get("GRAFT_SCALE_HI", "16"))
     tries = int(os.environ.get("GRAFT_SCALE_TRIES", "3"))
     res = {}
-    for n in (lo, hi):
+    def one(n):
         env = dict(os.environ, RAY_GRAFT_CPUS=str(n), GRAFT_SF_DIR=SF_DIR,
                    GRAFT_HEADLINE_ONLY="1",
                    GRAFT_BENCH_REPEAT=os.environ.get("GRAFT_BENCH_REPEAT", "2"))
-        runs = []
-        for _ in range(tries):
-            out = subprocess.run([sys.executable, os.path.abspath(__file__)], env=env,
-                                 capture_output=True, text=True, check=True).stdout
-            runs.append(json.loads(out.strip().splitlines()[-1]))
-        # best-of-N: this sandbox VM shows hypervisor steal time spiking
-        # to >20% under load (measured via /proc/stat), so the fastest
-        # run is the least-perturbed estimate of engine throughput.
-        res[n] = min(runs, key=lambda r: r["value"])
+        out = subprocess.run([sys.executable, os.path.abspath(__file__)], env=env,
+                             capture_output=True, text=True, check=True).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    res = {lo: [], hi: []}
+    # interleave hi/lo tries so shared-host noise (hypervisor steal,
+    # measured >20% during syscall-heavy phases) cannot systematically
+    # bias one level; keep the fastest run per level (least perturbed).
+    for _ in range(tries):
+        res[hi].append(one(hi))
+        res[lo].append(one(lo))
+    res = {n: min(rs, key=lambda r: r["value"]) for n, rs in res.items()}
     t_lo, t_hi = res[lo]["value"], res[hi]["value"]
     ips_lo = res[lo]["queries"]["images_per_sec"]
     ips_hi = res[hi]["queries"]["images_per_sec"]

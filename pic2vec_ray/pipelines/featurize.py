@@ -30,17 +30,16 @@ def featurize_images(
     downsample: bool = False,
     num_pooled_features: int = 0,
     image_columns: str | list[str] = "bytes",
-    batch_size: int = 64,
+    batch_size: int = 128,
     concurrency=None,
 ):
     """images: a Dataset or a parquet path of the input_hint schema.
 
     Returns a lazy Dataset with ``{prefix}features`` +
     ``{prefix}missing`` appended per image column. ``concurrency``
-    sizes the actor pool; None lets Ray autoscale.
+    sizes the actor pool (default: 3/4 of cluster CPUs, capped).
     """
     validate_config(model_str, depth, downsample, num_pooled_features)
-    ds = rd.read_parquet(images) if isinstance(images, str) else images
     if isinstance(image_columns, str):
         image_columns = [image_columns]
     if concurrency is None:
@@ -55,6 +54,15 @@ def featurize_images(
 
         n = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
         concurrency = max(1, min((3 * n) // 4, 14))
+    if isinstance(images, str):
+        # a handful of large blocks per actor: many small blocks mean one
+        # actor-task IPC round per ~90 rows, which this virtualized host
+        # punishes (syscall-heavy paths show >20% hypervisor steal);
+        # 3 blocks per actor keeps the pool load-balanced with ~10x less
+        # dispatch traffic (measured 1.3k -> 4.3k img/s at 16 CPUs).
+        ds = rd.read_parquet(images, override_num_blocks=3 * concurrency)
+    else:
+        ds = images
     multi = len(image_columns) > 1
     for col in image_columns:
         prefix = f"{col}_" if multi else ""

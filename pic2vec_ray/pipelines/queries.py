@@ -267,6 +267,33 @@ FROM (
 """
 
 
+def tumbling_1d(sf_dir: str):
+    """Tumbling 1-day event-time windows per user (count + sum)."""
+    from ..temporal.windows import tumbling_window_agg
+
+    ds = _events(sf_dir, columns=["user_id", "ts", "value"])
+    out = tumbling_window_agg(ds, by="user_id", order="ts", value="value",
+                              width=pd.Timedelta(days=1),
+                              origin=pd.Timestamp("2024-01-01"),
+                              aggs=("count", "sum"), num_partitions=32)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["sum_v"] = df.sum_v.round(6)
+        df["n_rows"] = df.n_rows.astype("int64")
+        return df[["user_id", "window_start", "n_rows", "sum_v"]]
+
+    return out.map_batches(finish, batch_format="pandas")
+
+
+SQL_TUMBLING = """
+SELECT user_id, DATE_TRUNC('day', ts) AS window_start,
+       COUNT(*) AS n_rows, ROUND(SUM(value), 6) AS sum_v
+FROM events
+GROUP BY user_id, DATE_TRUNC('day', ts)
+"""
+
+
 def rolling_1h(sf_dir: str):
     from ..temporal.windows import rolling_range_agg
 
@@ -535,6 +562,7 @@ QUERIES = {
     "lag_lead_value": lag_lead_value,
     "backfill_purchase_value": backfill_purchase_value,
     "sessionize_events": sessionize_events,
+    "tumbling_1d": tumbling_1d,
     "rolling_1h": rolling_1h,
     "dedup_exact_docs": dedup_exact_docs,
     "text_stats_docs": text_stats_docs,
@@ -557,6 +585,7 @@ ORACLE_SQL = {
     "lag_lead_value": SQL_LAG_LEAD,
     "backfill_purchase_value": SQL_BACKFILL,
     "sessionize_events": SQL_SESSIONIZE,
+    "tumbling_1d": SQL_TUMBLING,
     "rolling_1h": SQL_ROLLING,
     "dedup_exact_docs": SQL_DEDUP_EXACT,
     "text_stats_docs": SQL_TEXT_STATS,

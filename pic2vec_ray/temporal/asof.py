@@ -121,6 +121,8 @@ def _asof_broadcast(left, right, on, by, ron, value_cols, allow_exact, direction
 
     def probe(batch: pd.DataFrame) -> pd.DataFrame:
         r = ray.get(ref)
+        if r[ron].dtype != batch[on].dtype:  # unify mixed timestamp units
+            r = r.assign(**{ron: r[ron].astype(batch[on].dtype)})
         b = batch.sort_values(on, kind="mergesort")
         return pd.merge_asof(
             b, r, left_on=on, right_on=ron, by=by,
@@ -132,9 +134,11 @@ def _asof_broadcast(left, right, on, by, ron, value_cols, allow_exact, direction
 
 def _asof_shuffle(left, right, left_schema, right_schema, on, by, ron, value_cols,
                   allow_exact, direction, tolerance, num_partitions, hot_keys, salt):
+    # the matched-timestamp column adopts the LEFT side's `on` type so
+    # mixed timestamp units (s vs ns) can't poison the partition merge
     unified = pa.schema(
         list(left_schema)
-        + [right_schema.field(ron)]
+        + [pa.field(ron, left_schema.field(on).type)]
         + [right_schema.field(c) for c in value_cols]
     )
     names = unified.names

@@ -88,6 +88,43 @@ def sessionize(ds, *, by: str, order: str, gap: pd.Timedelta,
     return partitioned_apply(ds, by, fn, num_partitions)
 
 
+def tumbling_window_agg(ds, *, by: str, order: str, value: str, width: pd.Timedelta,
+                        origin: pd.Timestamp, aggs: tuple[str, ...] = ("count", "sum"),
+                        num_partitions: int = DEFAULT_PARTITIONS):
+    """Tumbling (fixed, non-overlapping) event-time windows per entity.
+
+    Window assignment is ``floor((ts - origin) / width)`` — a pure
+    per-row projection, so this is the cheap kind of "window": one
+    vectorized map to add ``window_start``, then an ordinary grouped
+    aggregate (here fused into the same per-partition pass). SQL
+    equivalent: ``GROUP BY by, time_bucket/date_trunc``. Ray Data has
+    no event-time windowing primitive (SURVEY.md §2.9); this is the
+    composition it recommends for historical stream-shaped tables.
+
+    Returns one row per (by, window_start) with ``n_rows`` / ``sum_v``
+    / ``mean_v`` columns.
+    """
+    width_us = int(width.total_seconds() * 1_000_000)
+    origin64 = pd.Timestamp(origin).to_datetime64()
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        off = (df[order].to_numpy() - origin64).astype("timedelta64[us]").astype("int64")
+        win = off // width_us
+        df = df.assign(window_start=pd.Series(
+            origin64 + (win * width_us).astype("timedelta64[us]"), index=df.index
+        ))
+        g = df.groupby([by, "window_start"], as_index=False)
+        out = g.agg(n_rows=(value, "size"), sum_v=(value, "sum"), mean_v=(value, "mean"))
+        keep = ["n_rows"] if "count" in aggs else []
+        if "sum" in aggs:
+            keep.append("sum_v")
+        if "mean" in aggs:
+            keep.append("mean_v")
+        return out[[by, "window_start"] + keep]
+
+    return partitioned_apply(ds, by, fn, num_partitions)
+
+
 def rolling_range_agg(ds, *, by: str, order: str, value: str | None, window: pd.Timedelta,
                       agg: str = "count", tiebreak: str | None = None,
                       num_partitions: int = DEFAULT_PARTITIONS, out_col: str | None = None):

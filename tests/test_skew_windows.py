@@ -1,0 +1,76 @@
+"""Hot-key detection + salted as-of under heavy skew (FIXTURES.md skew
+scenario: most rows share one key) and tumbling-window oracle."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from pic2vec_ray.temporal.asof import asof_join
+from pic2vec_ray.temporal.skew import detect_hot_keys
+from pic2vec_ray.temporal.windows import tumbling_window_agg
+
+
+@pytest.fixture(scope="module")
+def skewed(ray_session):
+    """~90% of observation rows share entity 7."""
+    import ray.data as rd
+
+    rng = np.random.default_rng(5102020)
+    n = 4000
+    keys = np.where(rng.random(n) < 0.9, 7, rng.integers(0, 50, n))
+    base = pd.Timestamp("2024-01-01").to_datetime64()
+    left = pd.DataFrame({
+        "obs_id": np.arange(n),
+        "k": keys.astype("int64"),
+        "ts": (base + rng.integers(0, 10**6, n).astype("timedelta64[s]")).astype("datetime64[us]"),
+    })
+    rkeys = np.arange(0, 50)
+    rows = []
+    for k in rkeys:
+        for v in range(5):
+            rows.append((int(k), base + np.timedelta64(v * 200_000, "s"), float(k * 100 + v)))
+    right = pd.DataFrame(rows, columns=["k", "ts", "val"])
+    right["ts"] = right.ts.astype("datetime64[us]")
+    return rd.from_pandas(left).materialize(), rd.from_pandas(right).materialize(), left, right
+
+
+def test_detect_hot_keys(skewed):
+    left_ds, _, left, _ = skewed
+    hot = detect_hot_keys(left_ds, "k", threshold_frac=0.2, sample_frac=0.5)
+    assert hot == [7]
+
+
+def test_salted_asof_on_90pct_skew_matches_oracle(skewed):
+    left_ds, right_ds, left, right = skewed
+    out = asof_join(left_ds, right_ds, on="ts", by="k",
+                    num_partitions=8, hot_keys=[7], salt=4).to_pandas()
+    oracle = pd.merge_asof(
+        left.sort_values("ts"),
+        right.sort_values("ts").rename(columns={"ts": "ts_r"}),
+        left_on="ts", right_on="ts_r", by="k",
+    )
+    got = out.sort_values("obs_id").reset_index(drop=True)
+    exp = oracle.sort_values("obs_id").reset_index(drop=True)
+    assert len(got) == len(exp)
+    pd.testing.assert_series_equal(got.val, exp.val, check_names=False)
+    pd.testing.assert_series_equal(got.ts_r, exp.ts_r, check_names=False)
+
+
+def test_tumbling_window_matches_pandas(ray_session, sf_dir):
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"])
+    out = tumbling_window_agg(ds, by="user_id", order="ts", value="value",
+                              width=pd.Timedelta(days=1),
+                              origin=pd.Timestamp("2024-01-01"),
+                              num_partitions=8).to_pandas()
+    pdf = ds.to_pandas()
+    pdf["window_start"] = pdf.ts.dt.floor("D")
+    exp = pdf.groupby(["user_id", "window_start"], as_index=False).agg(
+        n_rows=("value", "size"), sum_v=("value", "sum"), mean_v=("value", "mean"))
+    merged = out.merge(exp, on=["user_id", "window_start"], suffixes=("", "_e"))
+    assert len(merged) == len(exp) == len(out)
+    assert (merged.n_rows == merged.n_rows_e).all()
+    assert np.allclose(merged.sum_v, merged.sum_v_e)
