@@ -149,6 +149,12 @@ def _tinynet_forward(w: dict, x: np.ndarray, cut_layer: str) -> np.ndarray:
     raise AssertionError(f"cut layer {cut_layer} not reached")
 
 
+def _extra_models() -> dict:
+    from .zoo_extra import EXTRA_MODELS
+
+    return EXTRA_MODELS
+
+
 MODEL_REGISTRY: dict[str, dict] = {
     "squeezenet": {
         "target_size": (227, 227),  # SIZE_DICT, image_featurizer.py:70-71
@@ -168,6 +174,7 @@ MODEL_REGISTRY: dict[str, dict] = {
         "widths": {1: 128, 2: 64, 3: 64, 4: 32},
     },
 }
+MODEL_REGISTRY.update(_extra_models())
 
 
 def validate_config(model_str: str, depth: int = 1, downsample: bool = False,

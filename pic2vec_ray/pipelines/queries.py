@@ -140,6 +140,47 @@ LIMIT 10
 """
 
 
+def q3_priority_revenue(sf_dir: str):
+    """Large-large partitioned hash join (orders ⋈ lineitem) + grouped
+    aggregate — the bucketed-join scale pattern (temporal/join.py)."""
+    rd = _rd()
+    from ray.data.aggregate import Count, Sum
+
+    from ..temporal.join import hash_join
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_orderpriority"])
+    line = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                           columns=["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def revenue(t: pa.Table) -> pa.Table:
+        rev = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        return pa.table({"l_orderkey": t["l_orderkey"], "revenue_item": rev})
+
+    joined = hash_join(line.map_batches(revenue, batch_format="pyarrow"), orders,
+                       on="l_orderkey", right_on="o_orderkey", how="inner",
+                       num_partitions=32)
+    agg = joined.groupby("o_orderpriority").aggregate(
+        Sum("revenue_item", alias_name="revenue"), Count(alias_name="n_items")
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df["revenue"] = df.revenue.round(2)
+        df["n_items"] = df.n_items.astype("int64")
+        return df[["o_orderpriority", "revenue", "n_items"]]
+
+    return agg.map_batches(finish, batch_format="pandas")
+
+
+SQL_Q3 = """
+SELECT o_orderpriority,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       COUNT(*) AS n_items
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY o_orderpriority
+"""
+
+
 # ----------------------------------------------------------- temporal layer
 
 
@@ -556,6 +597,7 @@ def ivf_search_embeddings(sf_dir: str):
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q2_top_customers": q2_top_customers,
+    "q3_priority_revenue": q3_priority_revenue,
     "embedding_neardup": embedding_neardup,
     "asof_purchase": asof_purchase,
     "asof_purchase_strict": asof_purchase_strict,
@@ -580,6 +622,7 @@ QUERIES = {
 ORACLE_SQL = {
     "q1_pricing_summary": SQL_Q1,
     "q2_top_customers": SQL_Q2,
+    "q3_priority_revenue": SQL_Q3,
     "asof_purchase": SQL_ASOF,
     "asof_purchase_strict": SQL_ASOF_STRICT,
     "lag_lead_value": SQL_LAG_LEAD,

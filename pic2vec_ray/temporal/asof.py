@@ -98,6 +98,14 @@ def asof_join(
 
     left_schema = _arrow_schema(left)
     right_schema = _arrow_schema(right)
+    for name, schema, side in ((on, left_schema, "left"), (by, left_schema, "left"),
+                               (ron, right_schema, "right"), (by, right_schema, "right")):
+        if name not in schema.names:
+            raise ValueError(
+                f"asof_join: column {name!r} not in the {side} schema "
+                f"{schema.names} (pass right_on=/right_by= for differently "
+                "named right-side columns)"
+            )
     value_cols = [n for n in right_schema.names if n not in (by, ron)]
     clashes = [c for c in value_cols if c in left_schema.names]
     if clashes:

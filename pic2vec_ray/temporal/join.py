@@ -1,0 +1,98 @@
+"""Partitioned hash join for two LARGE datasets (SURVEY.md §2.4).
+
+Ray Data's portable large-large join pattern: tag each side, align
+schemas with typed Arrow nulls, union, add ``bucket = hash(key) % B``,
+``groupby(bucket)`` once, and join matching sides inside each bucket
+with a vectorized pandas merge. One all-to-all exchange; buckets are
+key-disjoint so the merge is local and exact. Small sides should use a
+broadcast lookup instead (see ``pipelines/queries.q2_top_customers``);
+skewed keys use the same salt-and-replicate scheme as
+``temporal.asof`` (salt the probe side, replicate the build side).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from .asof import _arrow_schema, _rename
+from .core import DEFAULT_PARTITIONS, PART_COL, hash_partition_ids
+
+_SIDE = "__side"
+
+
+def hash_join(
+    left,
+    right,
+    *,
+    on: str | list[str],
+    right_on: str | list[str] | None = None,
+    how: str = "inner",
+    suffix: str = "_r",
+    num_partitions: int = DEFAULT_PARTITIONS,
+):
+    """Join two Datasets on equality keys. ``how``: inner/left.
+
+    Output: left columns + right's non-key columns (clashes suffixed).
+    """
+    if how not in ("inner", "left"):
+        raise ValueError("how must be 'inner' or 'left'")
+    keys = [on] if isinstance(on, str) else list(on)
+    rkeys = [right_on] if isinstance(right_on, str) else list(right_on or keys)
+    if len(keys) != len(rkeys):
+        raise ValueError("on/right_on arity mismatch")
+    if rkeys != keys:
+        right = _rename(right, dict(zip(rkeys, keys)))
+
+    left_schema = _arrow_schema(left)
+    right_schema = _arrow_schema(right)
+    value_cols = [n for n in right_schema.names if n not in keys]
+    clashes = [c for c in value_cols if c in left_schema.names]
+    if clashes:
+        right = _rename(right, {c: c + suffix for c in clashes})
+        right_schema = _arrow_schema(right)
+        value_cols = [n for n in right_schema.names if n not in keys]
+
+    unified = pa.schema(
+        list(left_schema) + [right_schema.field(c) for c in value_cols]
+    )
+    names = unified.names
+
+    def align(side: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            n = len(batch)
+            cols = [
+                batch[f.name].cast(f.type) if f.name in batch.column_names
+                else pa.nulls(n, f.type)
+                for f in unified
+            ]
+            out = pa.table(cols, names=names)
+            return out.append_column(_SIDE, pa.array(np.full(n, side, dtype=np.int8)))
+
+        return fn
+
+    both = left.map_batches(align(0), batch_format="pyarrow").union(
+        right.map_batches(align(1), batch_format="pyarrow")
+    )
+
+    def tag(batch: pd.DataFrame) -> pd.DataFrame:
+        batch[PART_COL] = hash_partition_ids(batch, keys, num_partitions)
+        return batch
+
+    left_names = list(left_schema.names)
+    int_like = {f.name: str(f.type) for f in left_schema if pa.types.is_integer(f.type)}
+
+    def merge(group: pd.DataFrame) -> pd.DataFrame:
+        l = group[group[_SIDE] == 0][left_names]
+        r = group[group[_SIDE] == 1][keys + value_cols]
+        out = l.merge(r, on=keys, how=how)
+        for c, t in int_like.items():
+            out[c] = out[c].astype(t)
+        return out
+
+    return (
+        both.map_batches(tag, batch_format="pandas")
+        .groupby(PART_COL)
+        .map_groups(merge, batch_format="pandas")
+    )
