@@ -54,6 +54,11 @@ def featurize_images(
 
         n = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
         concurrency = max(1, min((3 * n) // 4, 14))
+        # multi-column = one chained actor-pool stage per column; the
+        # pools coexist, so divide the CPU budget between them or the
+        # combined pools reserve every CPU and the upstream read tasks
+        # starve (observed deadlock at 2 columns x pool 2 on 4 CPUs).
+        concurrency = max(1, concurrency // len(image_columns))
     if isinstance(images, str):
         # a handful of large blocks per actor: many small blocks mean one
         # actor-task IPC round per ~90 rows, which this virtualized host
