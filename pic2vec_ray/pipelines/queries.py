@@ -376,6 +376,26 @@ def dedup_exact_docs(sf_dir: str):
 SQL_DEDUP_EXACT = "SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text"
 
 
+def distinct_sources(sf_dir: str):
+    """Distinct values of one column (``Dataset.unique`` — a shuffle)."""
+    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet", columns=["source"])
+    vals = sorted(ds.unique("source"))
+    return pd.DataFrame({"source": vals})
+
+
+SQL_DISTINCT = "SELECT DISTINCT source FROM documents"
+
+
+def minhash_dedup_groups(sf_dir: str):
+    """Near-dup clustering end-to-end: MinHash-LSH pairs → distributed
+    connected components → (id, group_id). Rows-only (sketch-based)."""
+    from ..stages.dedup import minhash_lsh_pairs, neardup_groups
+
+    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    pairs = minhash_lsh_pairs(ds, threshold=0.5, num_perm=64, bands=16, num_partitions=32)
+    return neardup_groups(pairs, num_partitions=32)
+
+
 def text_stats_docs(sf_dir: str):
     from ..stages.text import TextStats, count_tokens_bpe_ish
 
@@ -607,6 +627,7 @@ QUERIES = {
     "tumbling_1d": tumbling_1d,
     "rolling_1h": rolling_1h,
     "dedup_exact_docs": dedup_exact_docs,
+    "distinct_sources": distinct_sources,
     "text_stats_docs": text_stats_docs,
     "ann_topk_embeddings": ann_topk_embeddings,
     "image_decode_dims": image_decode_dims,
@@ -614,6 +635,7 @@ QUERIES = {
     # rows-only (not SQL-expressible; see module docstring)
     "featurize_flagship": featurize_flagship,
     "minhash_neardup_docs": minhash_neardup_docs,
+    "minhash_dedup_groups": minhash_dedup_groups,
     "simhash_neardup_docs": simhash_neardup_docs,
     "langid_docs": langid_docs,
     "ivf_search_embeddings": ivf_search_embeddings,
@@ -631,6 +653,7 @@ ORACLE_SQL = {
     "tumbling_1d": SQL_TUMBLING,
     "rolling_1h": SQL_ROLLING,
     "dedup_exact_docs": SQL_DEDUP_EXACT,
+    "distinct_sources": SQL_DISTINCT,
     "text_stats_docs": SQL_TEXT_STATS,
     "ann_topk_embeddings": SQL_ANN_TOPK,
     "embedding_neardup": SQL_EMB_NEARDUP,

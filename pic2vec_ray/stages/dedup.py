@@ -294,6 +294,67 @@ def dedup_pairs(pairs_ds, num_partitions: int = 64):
     )
 
 
+# ------------------------------------------ near-dup clusters (conn. comp.)
+
+
+def neardup_groups(pairs_ds, *, num_partitions: int = 64, max_rounds: int = 20):
+    """Connected components over near-duplicate pairs → (id, group_id).
+
+    Distributed min-label propagation (the scale-safe alternative to a
+    driver-side union-find): each round, every node adopts the minimum
+    label among itself and its neighbors (one hash groupby per round);
+    converges in O(diameter) rounds — near-dup clusters are tiny, so a
+    handful. ``group_id`` is the minimum member id, making the keep-rule
+    "keep id == group_id" deterministic.
+    """
+    import ray.data as rd
+
+    pairs = pairs_ds.select_columns(["id_a", "id_b"]).to_pandas()
+    if pairs.empty:
+        return rd.from_pandas(pd.DataFrame({"id": pd.Series([], dtype="int64"),
+                                            "group_id": pd.Series([], dtype="int64")}))
+    # labels live with the edges; propagate via groupby(node) min
+    edges = pd.concat([
+        pairs.rename(columns={"id_a": "node", "id_b": "peer"}),
+        pairs.rename(columns={"id_b": "node", "id_a": "peer"}),
+    ], ignore_index=True)
+    edges_ds = rd.from_pandas(edges)
+    labels = rd.from_pandas(
+        pd.DataFrame({"node": pd.unique(edges["node"]),
+                      "label": pd.unique(edges["node"])})
+    )
+    for _ in range(max_rounds):
+        lbl = labels.to_pandas()
+        lookup = dict(zip(lbl.node, lbl.label))
+
+        def relabel(batch: pd.DataFrame) -> pd.DataFrame:
+            batch = batch.copy()
+            batch["peer_label"] = batch.peer.map(lookup)
+            batch["own_label"] = batch.node.map(lookup)
+            batch["cand"] = batch[["peer_label", "own_label"]].min(axis=1)
+            batch["__p"] = (
+                pd.util.hash_pandas_object(batch.node, index=False) % num_partitions
+            ).astype("int64")
+            return batch[["node", "cand", "__p"]]
+
+        def take_min(group: pd.DataFrame) -> pd.DataFrame:
+            out = group.groupby("node", as_index=False)["cand"].min()
+            return out.rename(columns={"cand": "label"})
+
+        new_labels = (
+            edges_ds.map_batches(relabel, batch_format="pandas")
+            .groupby("__p")
+            .map_groups(take_min, batch_format="pandas")
+        )
+        new_lbl = new_labels.to_pandas()
+        merged = lbl.merge(new_lbl, on="node", suffixes=("_old", ""))
+        if (merged.label == merged.label_old).all():
+            break
+        labels = rd.from_pandas(new_lbl)
+    out = labels.to_pandas().rename(columns={"node": "id", "label": "group_id"})
+    return rd.from_pandas(out.sort_values("id").reset_index(drop=True))
+
+
 # ------------------------------------------------- embedding cosine dedup
 
 

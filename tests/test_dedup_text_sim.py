@@ -165,3 +165,26 @@ def test_embedding_neardup_selfpairs(ray_session, sf_dir):
     planted = {(int(v), int(v + 10_000)) for v in pdf.vec_id}
     found = {(int(a), int(b)) for a, b in zip(out.id_a, out.id_b)}
     assert planted.issubset(found)
+
+
+def test_neardup_groups_connected_components(ray_session):
+    import ray.data as rd
+    from pic2vec_ray.stages.dedup import neardup_groups
+
+    # two chains (1-2-3, 10-11) and one isolated pair (20, 21)
+    pairs = pd.DataFrame({"id_a": [1, 2, 10, 20], "id_b": [2, 3, 11, 21]})
+    out = neardup_groups(rd.from_pandas(pairs), num_partitions=4).to_pandas()
+    groups = dict(zip(out.id, out.group_id))
+    assert groups[1] == groups[2] == groups[3] == 1
+    assert groups[10] == groups[11] == 10
+    assert groups[20] == groups[21] == 20
+
+
+def test_neardup_groups_long_chain_converges(ray_session):
+    import ray.data as rd
+    from pic2vec_ray.stages.dedup import neardup_groups
+
+    n = 12  # chain 0-1-2-...-11: worst-case diameter for propagation
+    pairs = pd.DataFrame({"id_a": list(range(n - 1)), "id_b": list(range(1, n))})
+    out = neardup_groups(rd.from_pandas(pairs), num_partitions=2).to_pandas()
+    assert (out.group_id == 0).all()

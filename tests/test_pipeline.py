@@ -65,3 +65,15 @@ def test_downsampled_pipeline(ray_session, images_dir):
                           downsample=True, num_pooled_features=32, batch_size=64)
     df = ds.limit(5).to_pandas()
     assert all(len(f) == 32 for f in df.features)
+
+
+def test_squeezenet_actor_pool_smoke(ray_session, images_dir):
+    """The faithful SqueezeNet head runs through the real actor-pool
+    pipeline (heavier 227x227 path; small slice to stay quick)."""
+    import ray.data as rd
+
+    src = rd.read_parquet(images_dir).limit(8)
+    out = featurize_images(src, model_str="squeezenet", depth=1,
+                           batch_size=8, concurrency=1).to_pandas()
+    assert len(out) == 8
+    assert all(len(f) == 512 for f in out.features)
