@@ -51,6 +51,29 @@ def partition_done(out_dir: str, k: int, inputs: list[str]) -> bool:
     )
 
 
+def default_metrics(part_dir: str) -> dict:
+    """Per-partition metrics recorded into the lineage manifest:
+    row count by file, decode-failure (``missing``) count when the
+    output carries the flag, and output bytes."""
+    import pyarrow.parquet as pq
+
+    files = [f for f in os.listdir(part_dir) if f.endswith(".parquet")]
+    out = {"files": len(files), "bytes": 0, "missing_rows": None}
+    missing_total = 0
+    has_missing = False
+    for f in files:
+        p = os.path.join(part_dir, f)
+        out["bytes"] += os.path.getsize(p)
+        schema = pq.read_schema(p)
+        if "missing" in schema.names:
+            has_missing = True
+            col = pq.read_table(p, columns=["missing"])["missing"]
+            missing_total += int(sum(1 for v in col.to_pylist() if v))
+    if has_missing:
+        out["missing_rows"] = missing_total
+    return out
+
+
 def run_partitioned(
     input_dir: str,
     out_dir: str,
@@ -101,7 +124,7 @@ def run_partitioned(
             "engine_version": ENGINE_VERSION,
             "rows": rows,
             "wall_sec": round(wall, 3),
-            "metrics": metrics_fn(part_dir) if metrics_fn else {},
+            "metrics": (metrics_fn or default_metrics)(part_dir),
         }
         tmp_manifest = manifest_path(out_dir, k) + ".tmp"
         with open(tmp_manifest, "w") as f:
