@@ -171,6 +171,15 @@ def _asof_shuffle(left, right, left_schema, right_schema, on, by, ron, value_col
 
     hot = set(hot_keys) if hot_keys else None
 
+    if not hot:
+        # fast path: Arrow-native tagging — hash only the key column,
+        # skip the full-table pandas round-trip
+        from .core import add_partition_column
+
+        tagged = add_partition_column(both, by, num_partitions)
+        return _asof_merge_groups(tagged, left_schema, on, by, ron, value_cols,
+                                  allow_exact, direction, tolerance)
+
     def tag(batch: pd.DataFrame) -> pd.DataFrame:
         batch[PART_COL] = hash_partition_ids(batch, by, num_partitions)
         if not hot:
@@ -195,7 +204,12 @@ def _asof_shuffle(left, right, left_schema, right_schema, on, by, ron, value_col
         return out.drop(columns=[_SALT])
 
     tagged = both.map_batches(tag, batch_format="pandas")
+    return _asof_merge_groups(tagged, left_schema, on, by, ron, value_cols,
+                              allow_exact, direction, tolerance)
 
+
+def _asof_merge_groups(tagged, left_schema, on, by, ron, value_cols,
+                       allow_exact, direction, tolerance):
     left_names = list(left_schema.names)
     int_like = {
         f.name: str(f.type)

@@ -29,11 +29,23 @@ def hash_partition_ids(df: pd.DataFrame, by: str | list[str], num_partitions: in
 
 
 def add_partition_column(ds, by: str | list[str], num_partitions: int = DEFAULT_PARTITIONS):
-    def tag(batch: pd.DataFrame) -> pd.DataFrame:
-        batch[PART_COL] = hash_partition_ids(batch, by, num_partitions)
-        return batch
+    """Append ``__part`` from the key column(s) only — Arrow in/out, so
+    the non-key columns are never converted to pandas just to hash."""
+    import pyarrow as pa
 
-    return ds.map_batches(tag, batch_format="pandas")
+    cols = [by] if isinstance(by, str) else list(by)
+
+    def tag(batch: pa.Table) -> pa.Table:
+        if len(cols) == 1:
+            h = pd.util.hash_pandas_object(batch[cols[0]].to_pandas(), index=False)
+        else:
+            h = pd.util.hash_pandas_object(
+                batch.select(cols).to_pandas(), index=False
+            )
+        part = (h % num_partitions).astype("int64").to_numpy()
+        return batch.append_column(PART_COL, pa.array(part))
+
+    return ds.map_batches(tag, batch_format="pyarrow")
 
 
 def partitioned_apply(
