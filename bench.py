@@ -148,7 +148,6 @@ def run_headline(sf_dir: str) -> dict:
 
 def run_secondary(sf_dir: str) -> dict:
     """Per-operator wall times over the standard tables."""
-    import pandas as pd
 
     from pic2vec_ray.pipelines import queries as Q
 

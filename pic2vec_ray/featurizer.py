@@ -33,7 +33,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
-from .model.zoo import MODEL_REGISTRY, validate_config
+from .model.zoo import validate_config
 from .pipelines.conformance import explode_features, save_conformance_csv
 
 
