@@ -83,3 +83,35 @@ def test_resize_and_rgb():
     assert small.shape == (5, 5, 3)
     # identity resize is a no-op
     assert resize_nearest(rgb, (10, 20)) is rgb
+
+
+# ---- property-based codec round-trips (hypothesis) ----
+
+from hypothesis import given, settings
+from hypothesis import strategies as hst
+
+
+@given(h=hst.integers(1, 40), w=hst.integers(1, 40),
+       c=hst.sampled_from([1, 3, 4]), seed=hst.integers(0, 2**31))
+@settings(max_examples=30, deadline=None)
+def test_png_roundtrip_property(h, w, c, seed):
+    img = np.random.default_rng(seed).integers(0, 256, size=(h, w, c), dtype=np.uint8)
+    assert np.array_equal(decode_png(encode_png(img)), img)
+
+
+@given(h=hst.integers(1, 40), w=hst.integers(1, 40), seed=hst.integers(0, 2**31))
+@settings(max_examples=30, deadline=None)
+def test_bmp_roundtrip_property(h, w, seed):
+    img = np.random.default_rng(seed).integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    assert np.array_equal(decode_bmp(encode_bmp(img)), img)
+
+
+@given(data=hst.binary(max_size=200))
+@settings(max_examples=50, deadline=None)
+def test_decode_never_crashes_on_garbage(data):
+    """Arbitrary bytes must raise DecodeError or decode — never crash
+    the process (poison-pill invariant of the decode stage)."""
+    try:
+        decode_image(data)
+    except DecodeError:
+        pass
