@@ -128,13 +128,28 @@ def run_headline(sf_dir: str) -> dict:
         })
 
     fts = feats.map_batches(add_ts, batch_format="pyarrow")
-    # observation stream scaled with repeat so the shuffle has
-    # proportional work at every level
-    obs = _observations(sf_dir, num_images)
-    for _ in range(1, repeat):
-        obs = obs.union(_observations(sf_dir, num_images))
+    # Scale the observation stream so the as-of shuffle is real,
+    # parallelizable work at every level: Ray's sort-based exchange has
+    # a ~3s fixed floor that does not shrink with CPUs, so a small obs
+    # table turns the as-of stage into pure Amdahl overhead at the high
+    # scaling level. 20x events ≈ 2M obs rows at sf0.1.
+    obs_mult = int(os.environ.get("GRAFT_OBS_MULT", "20")) * repeat
+
+    def widen(t: pa.Table) -> pa.Table:
+        reps = []
+        eid = t["obs_id"].to_numpy()
+        for r in range(obs_mult):
+            reps.append(pa.table({
+                "obs_id": pa.array(eid * obs_mult + r),
+                "image_id": t["image_id"],
+                "ts": t["ts"],
+            }))
+        return pa.concat_tables(reps)
+
+    obs = _observations(sf_dir, num_images).map_batches(widen, batch_format="pyarrow")
     joined = asof_join(obs, fts, on="ts", by="image_id", right_on="feature_ts",
-                       allow_exact_matches=True, num_partitions=64)
+                       allow_exact_matches=True,
+                       num_partitions=max(16, 2 * ncpu))
     asof_dir = f"{OUT_ROOT}/asof"
     shutil.rmtree(asof_dir, ignore_errors=True)
     joined.write_parquet(asof_dir)
@@ -213,7 +228,7 @@ def main_scaling():
     def one(n):
         env = dict(os.environ, RAY_GRAFT_CPUS=str(n), GRAFT_SF_DIR=SF_DIR,
                    GRAFT_HEADLINE_ONLY="1",
-                   GRAFT_BENCH_REPEAT=os.environ.get("GRAFT_BENCH_REPEAT", "2"))
+                   GRAFT_BENCH_REPEAT=os.environ.get("GRAFT_BENCH_REPEAT", "4"))
         out = subprocess.run([sys.executable, os.path.abspath(__file__)], env=env,
                              capture_output=True, text=True, check=True).stdout
         return json.loads(out.strip().splitlines()[-1])
