@@ -9,6 +9,7 @@ create_features``): the same composition is available here, Ray-first.
 from .featurizer import ImageFeaturizer
 from .model.zoo import build_featurizer, featurize_data, validate_config
 from .pipelines.conformance import explode_features as create_features
+from .stages.decode import preprocess_data
 from .pipelines.featurize import featurize_images
 
 __all__ = [
@@ -17,5 +18,6 @@ __all__ = [
     "featurize_data",
     "validate_config",
     "create_features",
+    "preprocess_data",
     "featurize_images",
 ]

@@ -79,6 +79,35 @@ class BatchDecoder:
         return out, missing
 
 
+def preprocess_data(byte_rows: list, model_str: str = "squeezenet",
+                    grayscale: bool = False):
+    """Composable preprocess step (reference ``preprocess_data``,
+    ``/root/reference/pic2vec/feature_preprocessing.py:362-478``, public
+    via ``pic2vec/__init__.py:9-25``): encoded-image bytes → dense
+    normalized ``(N, H, W, C)`` float32 tensor at the model's target
+    size, zero slices + missing flags for failed rows, within-batch
+    exact dedup. Returns ``(tensor, missing)``.
+
+    ``grayscale`` collapses to one luminance-replicated channel set
+    (the reference's channel switch, ``feature_preprocessing.py:321``,
+    kept nominally like the reference does).
+    """
+    from ..functions.image_ops import NORMALIZERS
+    from ..model.zoo import MODEL_REGISTRY
+
+    spec = MODEL_REGISTRY.get(model_str)
+    if spec is None:
+        raise ValueError(f"unknown model {model_str!r}")
+    dec = BatchDecoder(target_size=spec["target_size"])
+    dense, missing = dec.decode_dense(byte_rows)
+    if grayscale:
+        gray = dense.astype(np.float32).mean(axis=3, keepdims=True)
+        dense = np.repeat(gray, 3, axis=3).astype(np.uint8)
+    tensor = NORMALIZERS[spec["preprocessing"]](dense)
+    tensor[missing] = 0.0  # reference zero-fills AFTER normalization
+    return tensor, missing
+
+
 def make_decode_stats_fn(bytes_col: str = "bytes"):
     """Factory for a map_batches fn emitting per-row decode metadata.
 

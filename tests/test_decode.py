@@ -86,3 +86,18 @@ def test_images_parquet_schema(images_dir):
     caps = dict(zip(t["image_id"].to_pylist(), t["caption"].to_pylist()))
     for k, name in zip(part["p_partkey"].to_pylist(), part["p_name"].to_pylist()):
         assert caps[f"img_{k:08d}"] == name
+
+
+def test_preprocess_data_composable_api():
+    """Public composable step parity (reference preprocess_data,
+    pic2vec/__init__.py:9-25): bytes → normalized dense tensor."""
+    from pic2vec_ray import preprocess_data
+
+    rows = [make_image_row(k, "c") for k in (1, 2, 18, 33, 32)]
+    tensor, missing = preprocess_data([r["bytes"] for r in rows], model_str="tinynet")
+    assert tensor.shape == (5, 64, 64, 3) and tensor.dtype == np.float32
+    assert list(missing) == [False, False, True, False, False]
+    assert np.all(tensor[2] == 0.0)  # placeholder row zero post-normalization
+    assert np.array_equal(tensor[3], tensor[4])  # dup pair identical
+    gt, gm = preprocess_data([rows[0]["bytes"]], model_str="tinynet", grayscale=True)
+    assert np.allclose(gt[0, :, :, 0], gt[0, :, :, 1])  # channels equalized
