@@ -44,6 +44,7 @@ from ..codecs.png import encode_png
 from ..functions.image_ops import average_hash
 
 SEED = 5102020  # reference tests pin this seed (tests/test_feature_preprocessing.py:20)
+GENERATOR_VERSION = "v1"  # bump on ANY change to row rules/content → invalidates caches
 
 IMAGES_SCHEMA = pa.schema(
     [
@@ -133,7 +134,7 @@ def images_table_path(sf_dir: str, cache_root: str = "/tmp/pic2vec_ray_cache") -
     """
     import ray.data as rd
 
-    tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:12]
+    tag = hashlib.sha1(f"{sf_dir}:{GENERATOR_VERSION}".encode()).hexdigest()[:12]
     out_dir = os.path.join(cache_root, f"images_{tag}")
     done = os.path.join(out_dir, "_SUCCESS")
     if os.path.exists(done):
