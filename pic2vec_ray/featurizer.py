@@ -54,14 +54,25 @@ class ImageFeaturizer:
 
     def load_data(self, image_columns: str | list[str] = "images",
                   image_path: str = "", csv_path: str = ""):
-        """Resolve sources (S1/S2/S3 routing) into the lazy input Dataset."""
-        from .sources.ingest import ingest_images
+        """Resolve sources (S1/S2/S3 routing) into the lazy input Dataset.
+
+        Multiple image columns ingest one binary column per listed CSV
+        column (the reference featurizes every listed column,
+        ``image_featurizer.py:587-593``); a directory-only source is
+        inherently single-column."""
+        from .sources.ingest import ingest_images, ingest_images_multi
 
         if not image_path and not csv_path:
             raise ValueError("must provide an image directory and/or a csv path")
         self.image_columns = [image_columns] if isinstance(image_columns, str) else list(image_columns)
-        col = self.image_columns[0]
-        self.data = ingest_images(image_path or None, csv_path or None, col)
+        if len(self.image_columns) > 1:
+            if not csv_path:
+                raise ValueError("multiple image columns require a csv path "
+                                 "(each column lists that row's image file)")
+            self.data = ingest_images_multi(image_path or None, csv_path, self.image_columns)
+        else:
+            self.data = ingest_images(image_path or None, csv_path or None,
+                                      self.image_columns[0])
         return self.data
 
     # -------------------------------------------------------- featurizing
@@ -71,6 +82,8 @@ class ImageFeaturizer:
             raise ValueError("must load data before featurizing (call load_data)")
         from .pipelines.featurize import featurize_images
 
+        if len(self.image_columns) > 1:
+            return self._featurize_multi(batch_size)
         out = featurize_images(
             self.data, model_str=self.model_name, depth=self.depth,
             downsample=self.autosample, num_pooled_features=self.downsample_size,
@@ -79,6 +92,30 @@ class ImageFeaturizer:
         col = self.image_columns[0] if self.image_columns else "images"
         self.features = explode_features(out, col)
         passthrough = out[["image_id", "caption"]].rename(columns={"image_id": col})
+        self.full_dataframe = pd.concat([passthrough, self.features], axis=1)
+        return self.full_dataframe
+
+    def _featurize_multi(self, batch_size: int) -> pd.DataFrame:
+        """Every listed column featurized by its own actor-pool stage;
+        per-column features land side by side in the same rows (the
+        reference's positional ``pd.concat(axis=1)``, M9, is implicit
+        because features are computed in-line)."""
+        from .pipelines.featurize import featurize_images
+
+        out = featurize_images(
+            self.data, model_str=self.model_name, depth=self.depth,
+            downsample=self.autosample, num_pooled_features=self.downsample_size,
+            image_columns=self.image_columns, batch_size=batch_size,
+        ).to_pandas().sort_values("row_id").reset_index(drop=True)
+        feats = [
+            explode_features(out, col, features_col=f"{col}_features",
+                             missing_col=f"{col}_missing")
+            for col in self.image_columns
+        ]
+        self.features = pd.concat(feats, axis=1)
+        passthrough = out[[f"{c}_path" for c in self.image_columns]].rename(
+            columns={f"{c}_path": c for c in self.image_columns}
+        )
         self.full_dataframe = pd.concat([passthrough, self.features], axis=1)
         return self.full_dataframe
 
@@ -100,6 +137,23 @@ class ImageFeaturizer:
                  save_features: bool = False, **naming_kwargs) -> str:
         if self.full_dataframe is None:
             raise ValueError("must featurize before saving")
+        if len(self.image_columns) > 1:
+            import os
+
+            from .pipelines.conformance import robust_name
+
+            path = robust_name(new_csv_path, model_str=self.model_name,
+                               depth=self.depth, num_features=self.num_features,
+                               **naming_kwargs)
+            os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+            full = self.full_dataframe.sort_values(self.image_columns[0]).reset_index(drop=True)
+            full.to_csv(path, index=False)
+            if save_features:
+                feat_cols = [c for c in full.columns
+                             if "_feat_" in c or c.endswith("_missing")]
+                full[[self.image_columns[0]] + feat_cols].to_csv(
+                    path.replace(".csv", "_features_only.csv"), index=False)
+            return path
         col = self.image_columns[0] if self.image_columns else "images"
         # full_dataframe already holds exploded features; rebuild the
         # compact frame the writer expects

@@ -603,12 +603,12 @@ def langid_docs(sf_dir: str):
 def ivf_search_embeddings(sf_dir: str):
     from ..stages.similarity import IvfIndex
 
-    import pyarrow.parquet as pq
-
     rd = _rd()
     emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    sample = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["embedding"]).to_pandas()
-    m = np.stack(sample.embedding.head(2000).to_numpy())
+    # train on a PRUNED sample: limit() stops the read after the first
+    # row groups — never a full-table driver scan just to keep 2000 rows
+    sample = emb.limit(2000).to_pandas()
+    m = np.stack(sample.embedding.to_numpy())
     idx = IvfIndex(num_centroids=16, iters=5).train(m)
     assigned = idx.assign(emb)
     return idx.search(assigned, m[0], k=10, nprobe=4)

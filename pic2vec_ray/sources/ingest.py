@@ -143,3 +143,35 @@ def ingest_images(image_directory: str | None = None, csv_path: str | None = Non
     import ray.data as rd
 
     return rd.from_arrow(table)
+
+
+def ingest_images_multi(image_directory: str | None, csv_path: str | None,
+                        image_columns: list[str]):
+    """Multi-column ingest: the reference featurizes EVERY listed CSV
+    column (``image_featurizer.py:587-593``), so each column resolves to
+    its own path list (same S1/S2/S3 routing per column) and the output
+    table carries one binary column PER image column, named after it,
+    plus ``{col}_path`` with the resolved path strings. Rows align
+    positionally across columns (same CSV row).
+    """
+    per_col_paths = {
+        col: image_paths_finder(image_directory, csv_path, col)
+        for col in image_columns
+    }
+    lengths = {len(v) for v in per_col_paths.values()}
+    if len(lengths) > 1:
+        raise ValueError(f"image columns resolve to unequal row counts: "
+                         f"{ {c: len(v) for c, v in per_col_paths.items()} }")
+    n = lengths.pop()
+    cols: dict[str, list] = {"row_id": list(range(n))}
+    for col, paths in per_col_paths.items():
+        datas = [_row_from_file(image_directory or "", p) for p in paths]
+        cols[f"{col}_path"] = list(paths)
+        cols[col] = [d["bytes"] for d in datas]
+    fields = [("row_id", pa.int64())]
+    for col in image_columns:
+        fields += [(f"{col}_path", pa.string()), (col, pa.binary())]
+    table = pa.table(cols, schema=pa.schema(fields))
+    import ray.data as rd
+
+    return rd.from_arrow(table)

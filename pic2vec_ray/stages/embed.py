@@ -41,7 +41,12 @@ class EmbedActor:
         self.features_col = features_col
         self.drop_bytes = drop_bytes
         h, w = self.model.target_size
-        zero = self.normalize(np.zeros((1, h, w, 3), dtype=np.uint8))
+        # reference parity: failed rows enter the model as RAW zeros — the
+        # except branch returns np.zeros WITHOUT preprocessing
+        # (feature_preprocessing.py:318-323), and preprocess_data zero-fills
+        # AFTER normalization (stages/decode.py:107) — so the missing-row
+        # constant is CNN(0), not CNN(normalize(0)).
+        zero = np.zeros((1, h, w, 3), dtype=np.float32)
         self.zero_features = self.model(zero)[0]  # CNN(0): constant for missing rows
         self.num_features = self.model.num_features
 

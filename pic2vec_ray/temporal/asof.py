@@ -226,10 +226,10 @@ def _asof_merge_groups(tagged, left_schema, on, by, ron, value_cols,
             l, r, left_on=on, right_on=ron, by=by,
             allow_exact_matches=allow_exact, direction=direction, tolerance=tolerance,
         )
-        # union-with-nulls upcast int64→float64 in pandas; left columns
-        # have no nulls after side-filtering, so restore exact dtypes.
-        for c, t in int_like.items():
-            out[c] = out[c].astype(t)
-        return out
+        # union-with-nulls upcast int64→float64 in pandas; restore exact
+        # dtypes (nullable-safe: a left int column may itself hold nulls).
+        from .core import restore_int_dtypes
+
+        return restore_int_dtypes(out, int_like)
 
     return tagged.groupby(PART_COL).map_groups(merge, batch_format="pandas")

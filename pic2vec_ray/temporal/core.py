@@ -48,6 +48,65 @@ def add_partition_column(ds, by: str | list[str], num_partitions: int = DEFAULT_
     return ds.map_batches(tag, batch_format="pyarrow")
 
 
+_NULLABLE_INT = {
+    "int8": "Int8", "int16": "Int16", "int32": "Int32", "int64": "Int64",
+    "uint8": "UInt8", "uint16": "UInt16", "uint32": "UInt32", "uint64": "UInt64",
+}
+
+
+def restore_int_dtypes(df: pd.DataFrame, int_like: dict[str, str]) -> pd.DataFrame:
+    """Undo pandas' int→float64 upcast after a union/merge with nulls.
+
+    Columns that came out null-free are cast straight back to their
+    numpy dtype; columns that legitimately contain nulls (nullable ints
+    are common in parquet) go to the pandas nullable extension dtype
+    instead — a hard ``astype('int64')`` on NaN raises and would crash
+    the join.
+    """
+    for c, t in int_like.items():
+        if c not in df.columns:
+            continue
+        if df[c].isna().any():
+            df[c] = df[c].astype(_NULLABLE_INT.get(t, "Int64"))
+        else:
+            df[c] = df[c].astype(t)
+    return df
+
+
+def suggest_partitions(inputs, num_cpus: int | None = None,
+                       target_bytes: int = 64 << 20,
+                       lo: int = 8, hi: int = 4096) -> int:
+    """Size a shuffle's partition count from the INPUT, not a constant.
+
+    ``inputs``: paths (files or parquet directories) and/or plain byte
+    counts. The count is ``max(2 × cluster CPUs, bytes / 64 MiB)``
+    clamped to [lo, hi]: enough partitions that every core gets work
+    and the largest partition stays well under a worker's heap — the
+    same formula holds on a 256-node cluster because both terms scale
+    with the deployment, none is hard-coded.
+    """
+    import os
+
+    if num_cpus is None:
+        try:
+            import ray
+
+            num_cpus = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
+        except Exception:
+            num_cpus = 4
+    total = 0
+    for item in inputs if isinstance(inputs, (list, tuple)) else [inputs]:
+        if isinstance(item, int):
+            total += item
+        elif os.path.isdir(item):
+            for f in os.listdir(item):
+                if f.endswith(".parquet"):
+                    total += os.path.getsize(os.path.join(item, f))
+        elif os.path.exists(item):
+            total += os.path.getsize(item)
+    return int(min(hi, max(lo, 2 * num_cpus, total // target_bytes)))
+
+
 def partitioned_apply(
     ds,
     by: str | list[str],

@@ -87,9 +87,9 @@ def hash_join(
         l = group[group[_SIDE] == 0][left_names]
         r = group[group[_SIDE] == 1][keys + value_cols]
         out = l.merge(r, on=keys, how=how)
-        for c, t in int_like.items():
-            out[c] = out[c].astype(t)
-        return out
+        from .core import restore_int_dtypes
+
+        return restore_int_dtypes(out, int_like)
 
     return (
         both.map_batches(tag, batch_format="pandas")
