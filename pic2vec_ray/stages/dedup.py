@@ -4,7 +4,9 @@ reference lacks (its only dedup is a per-batch memo,
 ``/root/reference/pic2vec/feature_preprocessing.py:449-455``; SURVEY.md
 §2.7 maps the global variants to hash-partition shuffles).
 
-Scale design notes:
+Scale design notes (all paths are driver-collect-free — nothing in this
+module materializes the corpus, the signature table, or the label table
+on one node):
 
 - exact dedup is TWO-phase: a per-batch partial (drop within-batch
   duplicates, keep min id) shrinks the shuffle, then one hash groupby
@@ -12,9 +14,23 @@ Scale design notes:
   "first = min(id)" is associative-commutative;
 - hash groups are verified against the actual content inside the
   group, so a 64-bit hash collision can never merge distinct texts;
-- MinHash signatures/band rows are computed vectorized per batch and
-  shuffled only as narrow (band, band_hash, doc_id) rows; candidate
-  verification recomputes true Jaccard per candidate pair.
+- MinHash signatures/band rows are computed vectorized per batch
+  (ONE ``hash_pandas_object`` pass per batch, ``minimum.reduceat`` per
+  doc) and shuffled only as narrow (band, band_hash, doc_id) rows;
+  candidate prefilter and exact-Jaccard verification run by
+  hash-JOINING the pair rows back to the signature / document tables
+  (``temporal.join.hash_join``) — candidates, not the corpus, bound
+  the driver-visible state;
+- SimHash is computed for the whole batch in one unpackbits+reduceat
+  pass; hamming verification popcounts with a vectorized XOR;
+- embedding near-dup defaults to random-hyperplane LSH bucketing with
+  exact in-bucket cosine (identical emit contract to the quadratic
+  broadcast path, which remains available as ``mode="exact"`` for tiny
+  corpora);
+- connected components is distributed min-label propagation with
+  label-of-label (pointer-doubling) shortcuts: labels stay a Dataset,
+  every round is joins + one groupby-min, convergence is checked with
+  a scalar count — O(log diameter) rounds, no per-round driver collect.
 """
 
 from __future__ import annotations
@@ -27,6 +43,16 @@ _MERSENNE = (1 << 61) - 1
 
 def _stable_text_hash(s: pd.Series) -> pd.Series:
     return pd.util.hash_pandas_object(s, index=False).astype("uint64")
+
+
+def _empty_pairs_ds(extra: dict[str, str] | None = None):
+    import ray.data as rd
+
+    cols = {"id_a": pd.Series([], dtype="int64"),
+            "id_b": pd.Series([], dtype="int64")}
+    for name, dtype in (extra or {}).items():
+        cols[name] = pd.Series([], dtype=dtype)
+    return rd.from_pandas(pd.DataFrame(cols))
 
 
 # ------------------------------------------------------------ exact dedup
@@ -64,6 +90,57 @@ def _shingle_hashes(text: str, k: int) -> np.ndarray:
     return pd.util.hash_pandas_object(pd.Series(views), index=False).to_numpy()
 
 
+def _shingle_hashes_batch(texts: list[str], k: int) -> tuple[np.ndarray, np.ndarray]:
+    """All shingle hashes of a BATCH in one vectorized hash pass.
+
+    Returns ``(hashes, offsets)`` with doc ``i``'s shingles at
+    ``hashes[offsets[i]:offsets[i+1]]`` — elementwise identical to
+    per-doc :func:`_shingle_hashes` (the hash is value-based).
+    """
+    import zlib
+
+    views: list[list[str] | None] = []
+    counts = np.empty(len(texts), dtype=np.int64)
+    for i, t in enumerate(texts):
+        if len(t) < k:
+            views.append(None)
+            counts[i] = 1
+        else:
+            v = [t[j : j + k] for j in range(len(t) - k + 1)]
+            views.append(v)
+            counts[i] = len(v)
+    flat = [s for v in views if v is not None for s in v]
+    hashed = (
+        pd.util.hash_pandas_object(pd.Series(flat), index=False).to_numpy()
+        if flat else np.empty(0, dtype=np.uint64)
+    )
+    out = np.empty(int(counts.sum()), dtype=np.uint64)
+    pos = hpos = 0
+    for v, c, t in zip(views, counts, texts):
+        if v is None:
+            out[pos] = np.uint64(zlib.crc32(t.encode()))
+        else:
+            out[pos : pos + c] = hashed[hpos : hpos + c]
+            hpos += c
+        pos += c
+    offsets = np.zeros(len(texts) + 1, dtype=np.int64)
+    np.cumsum(counts, out=offsets[1:])
+    return out, offsets
+
+
+def _doc_chunks(offsets: np.ndarray, max_items: int = 1 << 16):
+    """Split a batch's doc range so each chunk holds ≤ max_items shingles
+    (bounds the (shingles × perms) intermediate to a few tens of MB)."""
+    n = len(offsets) - 1
+    lo = 0
+    while lo < n:
+        hi = lo + 1
+        while hi < n and offsets[hi + 1] - offsets[lo] <= max_items:
+            hi += 1
+        yield lo, hi
+        lo = hi
+
+
 def jaccard(a: str, b: str, k: int = 5) -> float:
     """True n-gram (character k-shingle) Jaccard similarity."""
     sa = {a[i : i + k] for i in range(max(len(a) - k + 1, 1))}
@@ -87,26 +164,40 @@ def minhash_signature(text: str, a: np.ndarray, b: np.ndarray, k: int = 5) -> np
     return prod.min(axis=0)
 
 
+def minhash_signatures_batch(texts: list[str], a: np.ndarray, b: np.ndarray,
+                             k: int = 5) -> np.ndarray:
+    """(N, num_perm) signature matrix for a whole batch — one hash pass +
+    one ``minimum.reduceat`` per memory-bounded chunk; elementwise equal
+    to :func:`minhash_signature` per doc."""
+    sh, offsets = _shingle_hashes_batch(texts, k)
+    out = np.empty((len(texts), len(a)), dtype=np.uint64)
+    for lo, hi in _doc_chunks(offsets):
+        seg = sh[offsets[lo] : offsets[hi]]
+        prod = (np.outer(seg % _MERSENNE, a) + b) % _MERSENNE
+        out[lo:hi] = np.minimum.reduceat(prod, offsets[lo:hi] - offsets[lo], axis=0)
+    return out
+
+
 def minhash_lsh_pairs(ds, *, col: str = "text", id_col: str = "doc_id",
                       num_perm: int = 64, bands: int = 16, shingle_k: int = 5,
                       threshold: float = 0.5, num_partitions: int = 64):
     """MinHash+LSH near-duplicate pairs with verified true Jaccard.
 
-    Stages: shingle→minhash signatures per batch → band rows →
-    groupby band bucket → candidate pairs → **vectorized
-    signature-agreement prefilter** (estimated Jaccard = fraction of
-    matching minhash components; LSH buckets over repetitive corpora
-    explode into 100k+ candidates, and exact set-based verification of
-    each was the measured bottleneck — the prefilter kills ~99% of
-    false candidates in one numpy pass) → exact Jaccard only on
-    survivors. Signatures/texts are broadcast via ray.put (they cover
-    only candidate ids); at 10^12-doc scale both broadcasts become
-    bucketed joins of pair rows back to the docs table — candidates,
-    not the corpus, bound the cost. Returns (id_a, id_b, jaccard),
-    id_a < id_b.
+    Stages: shingle→minhash signatures per batch (vectorized) → band
+    rows → groupby band bucket → candidate pairs → **signature-agreement
+    prefilter** (estimated Jaccard = fraction of matching minhash
+    components; LSH buckets over repetitive corpora explode into 100k+
+    candidates, and exact set-based verification of each was the
+    measured bottleneck — the prefilter kills ~99% of false candidates)
+    → exact Jaccard only on survivors.
+
+    The prefilter and the verifier both run by hash-JOINING the narrow
+    pair rows back to the signature / document tables on ``id_a`` /
+    ``id_b`` — no corpus-sized broadcast or driver materialization
+    anywhere; the candidate count, not the corpus size, bounds every
+    intermediate. Returns (id_a, id_b, jaccard), id_a < id_b.
     """
-    import ray
-    import ray.data as rd
+    from ..temporal.join import hash_join
 
     if num_perm % bands:
         raise ValueError("bands must divide num_perm")
@@ -117,14 +208,16 @@ def minhash_lsh_pairs(ds, *, col: str = "text", id_col: str = "doc_id",
     est_cutoff = max(0.0, threshold - 0.2)
 
     def to_sigs(batch: pd.DataFrame) -> pd.DataFrame:
-        sigs = np.stack([minhash_signature(t, a, b, shingle_k) for t in batch[col]])
+        sigs = minhash_signatures_batch(list(batch[col]), a, b, shingle_k)
+        # signatures travel as plain bytes: a binary column shuffles/joins
+        # cleanly (tensor-extension columns break on null-alignment)
         return pd.DataFrame({id_col: batch[id_col].to_numpy(),
-                             "sig": [s for s in sigs]})
+                             "sig": [s.tobytes() for s in sigs]})
 
-    sig_ds = ds.map_batches(to_sigs, batch_format="pandas").materialize()
+    sig_ds = ds.map_batches(to_sigs, batch_format="pandas", batch_size=256).materialize()
 
     def to_bands(batch: pd.DataFrame) -> pd.DataFrame:
-        sigs = np.stack(batch["sig"].to_numpy())
+        sigs = np.stack([np.frombuffer(s, dtype=np.uint64) for s in batch["sig"]])
         n = len(batch)
         band_ids = np.repeat(np.arange(bands), n)
         ids = np.tile(batch[id_col].to_numpy(), bands)
@@ -155,65 +248,69 @@ def minhash_lsh_pairs(ds, *, col: str = "text", id_col: str = "doc_id",
         .groupby("__part")
         .map_groups(bucket_pairs, batch_format="pandas")
     )
+    cand = dedup_pairs(cand, num_partitions).materialize()
+    if cand.count() == 0:
+        return _empty_pairs_ds({"jaccard": "float64"})
 
-    # broadcast the signature matrix once for the vectorized prefilter
-    sig_pdf = sig_ds.to_pandas()
-    sig_ids = sig_pdf[id_col].to_numpy()
-    sig_mat = np.stack(sig_pdf["sig"].to_numpy())
-    id_to_row = {int(i): r for r, i in enumerate(sig_ids)}
-    sig_ref = ray.put((id_to_row, sig_mat))
+    # prefilter: join candidate pairs back to the signature table (both
+    # sides), then one vectorized component-agreement pass per batch
+    def _sig_side(side: str):
+        def fn(batch: pd.DataFrame) -> pd.DataFrame:
+            return batch.rename(columns={id_col: f"id_{side}", "sig": f"sig_{side}"})
+
+        return fn
+
+    with_a = hash_join(cand, sig_ds.map_batches(_sig_side("a"), batch_format="pandas"),
+                       on="id_a", num_partitions=num_partitions)
+    with_ab = hash_join(with_a, sig_ds.map_batches(_sig_side("b"), batch_format="pandas"),
+                        on="id_b", num_partitions=num_partitions)
 
     def prefilter(batch: pd.DataFrame) -> pd.DataFrame:
-        batch = batch.drop_duplicates(subset=["id_a", "id_b"])
         if batch.empty:
-            batch["est_jaccard"] = pd.Series([], dtype="float64")
-            return batch
-        rows_map, mat = ray.get(sig_ref)
-        ra = batch.id_a.map(rows_map).to_numpy()
-        rb = batch.id_b.map(rows_map).to_numpy()
-        est = (mat[ra] == mat[rb]).mean(axis=1)
-        batch = batch.copy()
-        batch["est_jaccard"] = est
-        return batch[batch.est_jaccard >= est_cutoff]
+            return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                                 "id_b": pd.Series([], dtype="int64"),
+                                 "est_jaccard": pd.Series([], dtype="float64")})
+        sa = np.stack([np.frombuffer(s, dtype=np.uint64) for s in batch["sig_a"]])
+        sb = np.stack([np.frombuffer(s, dtype=np.uint64) for s in batch["sig_b"]])
+        est = (sa == sb).mean(axis=1)
+        out = batch[["id_a", "id_b"]].copy()
+        out["est_jaccard"] = est
+        return out[out.est_jaccard >= est_cutoff]
 
-    survivors = dedup_pairs(
-        cand.map_batches(prefilter, batch_format="pandas"), num_partitions
-    )
-    surv_pdf = survivors.to_pandas()
-    if surv_pdf.empty:
-        return rd.from_pandas(pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
-                                            "id_b": pd.Series([], dtype="int64"),
-                                            "jaccard": pd.Series([], dtype="float64")}))
-    need = set(surv_pdf.id_a) | set(surv_pdf.id_b)
-    texts = (
-        ds.map_batches(
-            lambda t: t[t[id_col].isin(need)][[id_col, col]], batch_format="pandas"
-        )
-        .to_pandas()
-        .set_index(id_col)[col]
-        .to_dict()
-    )
-    ref = ray.put(texts)
-    pairs_ds = rd.from_pandas(surv_pdf.reset_index(drop=True))
+    survivors = with_ab.map_batches(prefilter, batch_format="pandas").materialize()
+    if survivors.count() == 0:
+        return _empty_pairs_ds({"jaccard": "float64"})
+
+    # verify: join survivors back to the document table for exact Jaccard
+    def _doc_side(side: str):
+        def fn(batch: pd.DataFrame) -> pd.DataFrame:
+            return batch[[id_col, col]].rename(
+                columns={id_col: f"id_{side}", col: f"text_{side}"})
+
+        return fn
+
+    t_a = hash_join(survivors, ds.map_batches(_doc_side("a"), batch_format="pandas"),
+                    on="id_a", num_partitions=num_partitions)
+    t_ab = hash_join(t_a, ds.map_batches(_doc_side("b"), batch_format="pandas"),
+                     on="id_b", num_partitions=num_partitions)
 
     def verify(batch: pd.DataFrame) -> pd.DataFrame:
-        lookup = ray.get(ref)
         batch = batch.copy()
         batch["jaccard"] = [
-            jaccard(lookup[x], lookup[y], shingle_k)
-            for x, y in zip(batch.id_a, batch.id_b)
+            jaccard(x, y, shingle_k)
+            for x, y in zip(batch.text_a, batch.text_b)
         ]
         out = batch[batch.jaccard >= threshold]
         return out[["id_a", "id_b", "jaccard"]]
 
-    return pairs_ds.map_batches(verify, batch_format="pandas")
+    return t_ab.map_batches(verify, batch_format="pandas")
 
 
 # ---------------------------------------------------------------- simhash
 
 
 def simhash64(text: str, k: int = 4) -> int:
-    """64-bit SimHash over character k-shingles."""
+    """64-bit SimHash over character k-shingles (scalar reference)."""
     sh = _shingle_hashes(text, k)
     bits = ((sh[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(np.int64)
     v = (2 * bits - 1).sum(axis=0)
@@ -223,6 +320,29 @@ def simhash64(text: str, k: int = 4) -> int:
     return int(out.astype(np.int64))
 
 
+def simhash64_batch(texts: list[str], k: int = 4) -> np.ndarray:
+    """SimHash for a whole batch: one shingle-hash pass, one
+    unpackbits + ``add.reduceat`` per chunk, one packbits — elementwise
+    equal to :func:`simhash64`. Returns int64 (two's-complement view)."""
+    sh, offsets = _shingle_hashes_batch(texts, k)
+    counts = np.diff(offsets)
+    votes = np.empty((len(texts), 64), dtype=np.int64)
+    for lo, hi in _doc_chunks(offsets, max_items=1 << 18):
+        seg = sh[offsets[lo] : offsets[hi]]
+        # little-endian uint64 → 64 bits, LSB first: bit j == (x >> j) & 1
+        bits = np.unpackbits(seg.view(np.uint8).reshape(-1, 8),
+                             axis=1, bitorder="little")
+        votes[lo:hi] = np.add.reduceat(bits, offsets[lo:hi] - offsets[lo], axis=0)
+    pos = (2 * votes - counts[:, None]) > 0
+    packed = np.packbits(pos.astype(np.uint8), axis=1, bitorder="little")
+    return packed.view(np.uint64).ravel().view(np.int64).copy()
+
+
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized popcount for uint64 arrays."""
+    return np.unpackbits(x.view(np.uint8).reshape(-1, 8), axis=1).sum(axis=1)
+
+
 def simhash_pairs(ds, *, col: str = "text", id_col: str = "doc_id",
                   max_hamming: int = 3, shingle_k: int = 4, num_partitions: int = 64):
     """SimHash near-dup pairs: band the 64-bit hash into 4×16-bit chunks
@@ -230,7 +350,7 @@ def simhash_pairs(ds, *, col: str = "text", id_col: str = "doc_id",
     chunk, verify true hamming distance. Returns (id_a, id_b, hamming)."""
 
     def to_chunks(batch: pd.DataFrame) -> pd.DataFrame:
-        hs = np.array([simhash64(t, shingle_k) for t in batch[col]], dtype=np.int64)
+        hs = simhash64_batch(list(batch[col]), shingle_k)
         u = hs.view(np.uint64)
         frames = []
         for c in range(4):
@@ -255,11 +375,11 @@ def simhash_pairs(ds, *, col: str = "text", id_col: str = "doc_id",
             ids = g[id_col].to_numpy()
             hv = g["simhash"].to_numpy().view(np.uint64)
             ia, ib = np.triu_indices(len(ids), k=1)
-            ham = np.array([bin(int(hv[x] ^ hv[y])).count("1") for x, y in zip(ia, ib)])
+            ham = _popcount64(np.bitwise_xor(hv[ia], hv[ib]))
             keep = ham <= max_hamming
             if keep.any():
                 res.append(pd.DataFrame({"id_a": ids[ia[keep]], "id_b": ids[ib[keep]],
-                                         "hamming": ham[keep]}))
+                                         "hamming": ham[keep].astype("int64")}))
         if not res:
             return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
                                  "id_b": pd.Series([], dtype="int64"),
@@ -297,77 +417,227 @@ def dedup_pairs(pairs_ds, num_partitions: int = 64):
 # ------------------------------------------ near-dup clusters (conn. comp.)
 
 
-def neardup_groups(pairs_ds, *, num_partitions: int = 64, max_rounds: int = 20):
+def neardup_groups(pairs_ds, *, num_partitions: int = 64, max_rounds: int = 30):
     """Connected components over near-duplicate pairs → (id, group_id).
 
-    Distributed min-label propagation (the scale-safe alternative to a
-    driver-side union-find): each round, every node adopts the minimum
-    label among itself and its neighbors (one hash groupby per round);
-    converges in O(diameter) rounds — near-dup clusters are tiny, so a
-    handful. ``group_id`` is the minimum member id, making the keep-rule
-    "keep id == group_id" deterministic.
-    """
-    import ray.data as rd
+    Distributed hash-min label propagation with pointer-doubling
+    shortcuts: labels stay a Dataset end to end (never collected to the
+    driver). Each round is ONE chained streaming execution of three
+    hash shuffles:
 
-    pairs = pairs_ds.select_columns(["id_a", "id_b"]).to_pandas()
-    if pairs.empty:
+    1. key=node — co-locate every node's label with its edges; emit the
+       label to each neighbor, to the node itself (carrying the old
+       label), and a *request* to the label's own group (the
+       pointer-doubling message: "what is my label's label?");
+    2. key=dest — per node, provisional label = min(received); answer
+       the requests that landed here with it;
+    3. key=node — final label = min(provisional, answers); flag
+       ``changed``.
+
+    The request/answer pass makes convergence O(log diameter), so long
+    chains cannot exhaust ``max_rounds``; if rounds run out anyway this
+    RAISES instead of silently returning half-propagated groups (the
+    "keep id == group_id" rule downstream depends on correct labels).
+    Convergence is checked with a scalar count per round. ``group_id``
+    is the minimum member id.
+    """
+    import pyarrow as pa
+
+    from ..temporal.core import partitioned_apply
+
+    def to_edges(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        ids_a, ids_b = t["id_a"], t["id_b"]
+        return pa.table({
+            "node": pa.concat_arrays([pc.cast(c, pa.int64()).combine_chunks()
+                                      for c in (ids_a, ids_b)]),
+            "peer": pa.concat_arrays([pc.cast(c, pa.int64()).combine_chunks()
+                                      for c in (ids_b, ids_a)]),
+        })
+
+    edges = pairs_ds.select_columns(["id_a", "id_b"]).map_batches(
+        to_edges, batch_format="pyarrow"
+    ).materialize()
+    if edges.count() == 0:
+        import ray.data as rd
+
         return rd.from_pandas(pd.DataFrame({"id": pd.Series([], dtype="int64"),
                                             "group_id": pd.Series([], dtype="int64")}))
-    # labels live with the edges; propagate via groupby(node) min
-    edges = pd.concat([
-        pairs.rename(columns={"id_a": "node", "id_b": "peer"}),
-        pairs.rename(columns={"id_b": "node", "id_a": "peer"}),
-    ], ignore_index=True)
-    edges_ds = rd.from_pandas(edges)
-    labels = rd.from_pandas(
-        pd.DataFrame({"node": pd.unique(edges["node"]),
-                      "label": pd.unique(edges["node"])})
-    )
-    for _ in range(max_rounds):
-        lbl = labels.to_pandas()
-        lookup = dict(zip(lbl.node, lbl.label))
 
-        def relabel(batch: pd.DataFrame) -> pd.DataFrame:
-            batch = batch.copy()
-            batch["peer_label"] = batch.peer.map(lookup)
-            batch["own_label"] = batch.node.map(lookup)
-            batch["cand"] = batch[["peer_label", "own_label"]].min(axis=1)
-            batch["__p"] = (
-                pd.util.hash_pandas_object(batch.node, index=False) % num_partitions
-            ).astype("int64")
-            return batch[["node", "cand", "__p"]]
+    # initial labels: every node labels itself (distinct nodes via the
+    # same two-phase dedup shuffle as dedup_exact)
+    labels = dedup_exact(edges, col="node", id_col="node",
+                         num_partitions=num_partitions).map_batches(
+        lambda df: df.drop_duplicates(subset=["node"])[["node"]].assign(
+            label=lambda d: d.node),
+        batch_format="pandas",
+    ).materialize()
 
-        def take_min(group: pd.DataFrame) -> pd.DataFrame:
-            out = group.groupby("node", as_index=False)["cand"].min()
-            return out.rename(columns={"cand": "label"})
+    _K_LAB, _K_EDGE, _K_MSG, _K_ID, _K_REQ, _K_PROV, _K_ANS = range(7)
 
-        new_labels = (
-            edges_ds.map_batches(relabel, batch_format="pandas")
-            .groupby("__p")
-            .map_groups(take_min, batch_format="pandas")
+    def scatter(group: pd.DataFrame) -> pd.DataFrame:
+        lab = group[group.kind == _K_LAB]
+        edge = group[group.kind == _K_EDGE]
+        to_peers = edge.merge(lab[["key", "a"]].rename(columns={"a": "label"}),
+                              on="key")  # (key=node, a=peer, label)
+        out = [
+            pd.DataFrame({"key": to_peers.a, "kind": _K_MSG, "a": to_peers.label,
+                          "b": -1}),
+            pd.DataFrame({"key": lab.key, "kind": _K_ID, "a": lab.a, "b": lab.a}),
+        ]
+        req = lab[lab.a != lab.key]
+        if len(req):
+            out.append(pd.DataFrame({"key": req.a, "kind": _K_REQ, "a": req.key,
+                                     "b": -1}))
+        return pd.concat(out, ignore_index=True)
+
+    def gather(group: pd.DataFrame) -> pd.DataFrame:
+        recv = group[group.kind.isin((_K_MSG, _K_ID))]
+        prov = recv.groupby("key", as_index=False)["a"].min().rename(
+            columns={"a": "prov"})
+        ids = group[group.kind == _K_ID][["key", "b"]].rename(columns={"b": "old"})
+        prov = prov.merge(ids, on="key")
+        out = [pd.DataFrame({"key": prov.key, "kind": _K_PROV, "a": prov.prov,
+                             "b": prov.old})]
+        req = group[group.kind == _K_REQ]
+        if len(req):
+            ans = req.merge(prov[["key", "prov"]], on="key")
+            out.append(pd.DataFrame({"key": ans.a, "kind": _K_ANS, "a": ans.prov,
+                                     "b": -1}))
+        return pd.concat(out, ignore_index=True)
+
+    def resolve(group: pd.DataFrame) -> pd.DataFrame:
+        new = group.groupby("key", as_index=False)["a"].min().rename(
+            columns={"a": "label"})
+        old = group[group.kind == _K_PROV][["key", "b"]].rename(columns={"b": "old"})
+        new = new.merge(old, on="key")
+        return pd.DataFrame({"node": new.key, "label": new.label,
+                             "changed": new.label != new.old})
+
+    lab_rows = None
+    edge_rows = edges.map_batches(
+        lambda df: pd.DataFrame({"key": df.node, "kind": _K_EDGE, "a": df.peer,
+                                 "b": -1}),
+        batch_format="pandas",
+    ).materialize()
+
+    for _round in range(max_rounds):
+        lab_rows = labels.map_batches(
+            lambda df: pd.DataFrame({"key": df.node, "kind": _K_LAB, "a": df.label,
+                                     "b": -1}),
+            batch_format="pandas",
         )
-        new_lbl = new_labels.to_pandas()
-        merged = lbl.merge(new_lbl, on="node", suffixes=("_old", ""))
-        if (merged.label == merged.label_old).all():
+        stage = partitioned_apply(lab_rows.union(edge_rows), "key", scatter,
+                                  num_partitions=num_partitions)
+        stage = partitioned_apply(stage, "key", gather, num_partitions=num_partitions)
+        new_labels = partitioned_apply(stage, "key", resolve,
+                                       num_partitions=num_partitions).materialize()
+        changed = new_labels.map_batches(
+            lambda df: df[df.changed][["node"]], batch_format="pandas"
+        ).count()
+        labels = new_labels.map_batches(
+            lambda df: df[["node", "label"]], batch_format="pandas"
+        ).materialize()
+        if changed == 0:
             break
-        labels = rd.from_pandas(new_lbl)
-    out = labels.to_pandas().rename(columns={"node": "id", "label": "group_id"})
-    return rd.from_pandas(out.sort_values("id").reset_index(drop=True))
+    else:
+        raise RuntimeError(
+            f"neardup_groups did not converge in {max_rounds} rounds — "
+            "pathological component structure; raise max_rounds"
+        )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.rename(columns={"node": "id", "label": "group_id"})
+        # empty shuffle partitions can upcast the label to float64 — restore
+        out["id"] = out["id"].astype("int64")
+        out["group_id"] = out["group_id"].astype("int64")
+        return out
+
+    return labels.map_batches(finish, batch_format="pandas")
 
 
 # ------------------------------------------------- embedding cosine dedup
 
 
 def embedding_neardup_pairs(ds, *, vec_col: str = "embedding", id_col: str = "vec_id",
-                            threshold: float = 0.95):
+                            threshold: float = 0.95, mode: str = "lsh",
+                            bands: int = 16, band_bits: int = 8,
+                            num_partitions: int = 64, seed: int = 5102020):
     """Near-duplicate pairs by embedding cosine ≥ threshold.
 
-    Blockwise: the (normalized) corpus matrix is broadcast once via
-    ray.put; each batch computes one matmul block of the similarity
-    matrix and emits only pairs over threshold with id_a < id_b. At
-    scale, replace the broadcast with LSH bucketing (random hyperplane
-    signs) — same emit contract.
+    ``mode="lsh"`` (default, the scale path): random-hyperplane sign
+    sketches — ``bands`` bands of ``band_bits`` projection signs each;
+    two vectors land in the same bucket for a band iff all its signs
+    agree, and exact cosine runs only inside buckets. A true pair is
+    missed only if every band splits it: for cosine ≥ 0.95 the per-band
+    hit rate is (1 − θ/π)^8 ≈ 0.43, so 16 bands give recall ≈ 1 − 0.57^16
+    > 0.9998 (exact duplicates are always caught — identical vectors
+    sign identically). Candidates, not the corpus, bound every
+    intermediate; one hash shuffle of narrow (band, bucket, id, vec)
+    rows.
+
+    ``mode="exact"``: the quadratic broadcast baseline — the normalized
+    corpus matrix is shipped once via ray.put and each batch computes
+    one matmul block. Only for corpora that fit one node; the oracle
+    baseline for the LSH path's recall tests.
     """
+    if mode == "exact":
+        return _embedding_neardup_exact(ds, vec_col, id_col, threshold)
+
+    def sketch(batch: pd.DataFrame) -> pd.DataFrame:
+        q = np.stack(batch[vec_col].to_numpy()).astype(np.float64)
+        q /= np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-12)
+        dim = q.shape[1]
+        planes = np.random.default_rng(seed).standard_normal((dim, bands * band_bits))
+        bits = (q @ planes >= 0).astype(np.uint8)  # (n, bands*band_bits)
+        n = len(batch)
+        frames = []
+        ids = batch[id_col].to_numpy()
+        for bi in range(bands):
+            seg = bits[:, bi * band_bits : (bi + 1) * band_bits]
+            key = np.packbits(seg, axis=1, bitorder="little")[:, 0].astype(np.int64)
+            frames.append(pd.DataFrame({
+                "band": bi, "bucket": key, id_col: ids,
+                "vec": [v.tobytes() for v in q],
+            }))
+        out = pd.concat(frames, ignore_index=True)
+        out["__part"] = (
+            pd.util.hash_pandas_object(out[["band", "bucket"]], index=False)
+            % num_partitions
+        ).astype("int64")
+        return out
+
+    def bucket_verify(group: pd.DataFrame) -> pd.DataFrame:
+        res = []
+        for _, g in group.groupby(["band", "bucket"], sort=False):
+            if len(g) < 2:
+                continue
+            g = g.drop_duplicates(subset=[id_col]).sort_values(id_col)
+            ids = g[id_col].to_numpy()
+            m = np.stack([np.frombuffer(v, dtype=np.float64) for v in g["vec"]])
+            sims = m @ m.T
+            ia, ib = np.triu_indices(len(ids), k=1)
+            keep = sims[ia, ib] >= threshold
+            if keep.any():
+                res.append(pd.DataFrame({"id_a": ids[ia[keep]], "id_b": ids[ib[keep]],
+                                         "cosine": sims[ia[keep], ib[keep]]}))
+        if not res:
+            return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                                 "id_b": pd.Series([], dtype="int64"),
+                                 "cosine": pd.Series([], dtype="float64")})
+        return pd.concat(res, ignore_index=True)
+
+    out = (
+        ds.map_batches(sketch, batch_format="pandas")
+        .groupby("__part")
+        .map_groups(bucket_verify, batch_format="pandas")
+    )
+    # the same pair can surface from several bands → final dedup
+    return dedup_pairs(out, num_partitions)
+
+
+def _embedding_neardup_exact(ds, vec_col: str, id_col: str, threshold: float):
     import ray
 
     mat_pdf = ds.to_pandas()

@@ -188,3 +188,106 @@ def test_neardup_groups_long_chain_converges(ray_session):
     pairs = pd.DataFrame({"id_a": list(range(n - 1)), "id_b": list(range(1, n))})
     out = neardup_groups(rd.from_pandas(pairs), num_partitions=2).to_pandas()
     assert (out.group_id == 0).all()
+
+
+# ---------------------------------------------------- round-2 scale rewrites
+
+
+def test_minhash_batch_equals_scalar(docs_pdf):
+    from pic2vec_ray.stages.dedup import (
+        _minhash_params,
+        minhash_signature,
+        minhash_signatures_batch,
+    )
+
+    texts = list(docs_pdf.head(30).text) + ["ab", ""]  # incl. short-text path
+    a, b = _minhash_params(64)
+    batch = minhash_signatures_batch(texts, a, b, 5)
+    for i, t in enumerate(texts):
+        assert (batch[i] == minhash_signature(t, a, b, 5)).all()
+
+
+def test_simhash_batch_equals_scalar(docs_pdf):
+    from pic2vec_ray.stages.dedup import simhash64, simhash64_batch
+
+    texts = list(docs_pdf.head(30).text) + ["abc", ""]
+    batch = simhash64_batch(texts, 4)
+    for i, t in enumerate(texts):
+        assert int(batch[i]) == simhash64(t, 4)
+
+
+def test_minhash_join_path_equals_driver_reference(ray_session, docs_pdf):
+    """Pair-for-pair equality of the join-based (driver-collect-free)
+    minhash path with a driver-side re-derivation of the same LSH
+    algorithm (the round-1 broadcast path's semantics)."""
+    import ray.data as rd
+
+    from pic2vec_ray.stages.dedup import (
+        _minhash_params,
+        jaccard,
+        minhash_lsh_pairs,
+        minhash_signatures_batch,
+    )
+
+    base = docs_pdf.head(80).copy()
+    nd = base.head(8).copy()
+    nd["doc_id"] += 700_000
+    nd["text"] += " xyz"
+    pdf = pd.concat([base, nd], ignore_index=True)
+    got = minhash_lsh_pairs(rd.from_pandas(pdf), threshold=0.5,
+                            num_perm=64, bands=16, num_partitions=8).to_pandas()
+
+    # driver-side reference: same signatures, same banding, same verify
+    a, b = _minhash_params(64)
+    sigs = minhash_signatures_batch(list(pdf.text), a, b, 5)
+    ids = pdf.doc_id.to_numpy()
+    buckets: dict[tuple, list] = {}
+    for r, i in enumerate(ids):
+        for band in range(16):
+            key = (band, tuple(sigs[r, band * 4:(band + 1) * 4]))
+            buckets.setdefault(key, []).append(int(i))
+    cand = set()
+    for members in buckets.values():
+        ms = sorted(set(members))
+        for x in range(len(ms)):
+            for y in range(x + 1, len(ms)):
+                cand.add((ms[x], ms[y]))
+    lookup = pdf.set_index("doc_id").text.to_dict()
+    expect = {(x, y): jaccard(lookup[x], lookup[y], 5) for x, y in cand
+              if jaccard(lookup[x], lookup[y], 5) >= 0.5}
+    got_pairs = {(int(r.id_a), int(r.id_b)): r.jaccard for r in got.itertuples()}
+    assert got_pairs.keys() == expect.keys()
+    for k in expect:
+        assert abs(got_pairs[k] - expect[k]) < 1e-12
+
+
+def test_embedding_lsh_equals_exact(ray_session, sf_dir):
+    import ray.data as rd
+
+    from pic2vec_ray.stages.dedup import embedding_neardup_pairs
+
+    emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    clones = emb.head(15).copy()
+    clones["vec_id"] += 100_000
+    both = pd.concat([emb, clones], ignore_index=True)
+    lsh = embedding_neardup_pairs(rd.from_pandas(both), threshold=0.95).to_pandas()
+    exact = embedding_neardup_pairs(rd.from_pandas(both), threshold=0.95,
+                                    mode="exact").to_pandas()
+    key = lambda d: sorted(zip(d.id_a.astype(int), d.id_b.astype(int),
+                               d.cosine.round(9)))
+    assert key(lsh) == key(exact)
+    assert len(lsh) == 15
+
+
+def test_neardup_groups_pointer_doubling_long_chain(ray_session):
+    """A 40-node chain (diameter 39) must converge well inside
+    max_rounds=30 — only possible with the pointer-doubling shortcut."""
+    import ray.data as rd
+
+    from pic2vec_ray.stages.dedup import neardup_groups
+
+    n = 40
+    pairs = pd.DataFrame({"id_a": list(range(n - 1)), "id_b": list(range(1, n))})
+    out = neardup_groups(rd.from_pandas(pairs), num_partitions=4,
+                         max_rounds=12).to_pandas()
+    assert len(out) == n and (out.group_id == 0).all()
