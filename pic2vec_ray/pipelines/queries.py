@@ -33,6 +33,15 @@ def _rd():
     return rd
 
 
+def _nparts(sf_dir: str, *tables: str) -> int:
+    """Shuffle partition count sized from the actual input tables and
+    the cluster (temporal.core.suggest_partitions) — never a constant,
+    so the same call sites hold at 1000× the data."""
+    from ..temporal.core import suggest_partitions
+
+    return suggest_partitions([f"{sf_dir}/{t}.parquet" for t in tables])
+
+
 # --------------------------------------------------------------- generic SQL
 
 
@@ -159,7 +168,7 @@ def q3_priority_revenue(sf_dir: str):
 
     joined = hash_join(line.map_batches(revenue, batch_format="pyarrow"), orders,
                        on="l_orderkey", right_on="o_orderkey", how="inner",
-                       num_partitions=32)
+                       num_partitions=_nparts(sf_dir, "lineitem", "orders"))
     agg = joined.groupby("o_orderpriority").aggregate(
         Sum("revenue_item", alias_name="revenue"), Count(alias_name="n_items")
     )
@@ -212,7 +221,8 @@ def _asof(sf_dir: str, allow_exact: bool):
 
     out = asof_join(
         _view_clicks(sf_dir), _purchases(sf_dir), on="ts", by="user_id",
-        allow_exact_matches=allow_exact, suffix="_r", num_partitions=32,
+        allow_exact_matches=allow_exact, suffix="_r",
+        num_partitions=_nparts(sf_dir, "events"),
     )
 
     def finish(df: pd.DataFrame) -> pd.DataFrame:
@@ -247,7 +257,7 @@ def lag_lead_value(sf_dir: str):
 
     ds = _events(sf_dir, columns=["event_id", "user_id", "ts", "value"])
     out = lag_lead(ds, by="user_id", order="ts", cols=["value"], lags=(1,), leads=(1,),
-                   tiebreak="event_id", num_partitions=32)
+                   tiebreak="event_id", num_partitions=_nparts(sf_dir, "events"))
     return out.select_columns(["event_id", "user_id", "ts", "value", "value_lag1", "value_lead1"])
 
 
@@ -271,7 +281,7 @@ def backfill_purchase_value(sf_dir: str):
 
     out = backfill(ds.map_batches(add_pv, batch_format="pyarrow"),
                    by="user_id", order="ts", cols=["pv"], tiebreak="event_id",
-                   num_partitions=32)
+                   num_partitions=_nparts(sf_dir, "events"))
     return out.select_columns(["event_id", "user_id", "ts", "pv_filled"])
 
 
@@ -289,7 +299,7 @@ def sessionize_events(sf_dir: str):
 
     ds = _events(sf_dir, columns=["event_id", "user_id", "ts"])
     out = sessionize(ds, by="user_id", order="ts", gap=pd.Timedelta(minutes=SESSION_GAP_MIN),
-                     tiebreak="event_id", num_partitions=32)
+                     tiebreak="event_id", num_partitions=_nparts(sf_dir, "events"))
     return out.select_columns(["event_id", "user_id", "ts", "session_id"])
 
 
@@ -316,7 +326,8 @@ def tumbling_1d(sf_dir: str):
     out = tumbling_window_agg(ds, by="user_id", order="ts", value="value",
                               width=pd.Timedelta(days=1),
                               origin=pd.Timestamp("2024-01-01"),
-                              aggs=("count", "sum"), num_partitions=32)
+                              aggs=("count", "sum"),
+                              num_partitions=_nparts(sf_dir, "events"))
 
     def finish(df: pd.DataFrame) -> pd.DataFrame:
         df = df.copy()
@@ -341,10 +352,12 @@ def rolling_1h(sf_dir: str):
     ds = _events(sf_dir, columns=["event_id", "user_id", "ts", "value"])
     out = rolling_range_agg(ds, by="user_id", order="ts", value="value",
                             window=pd.Timedelta(hours=ROLL_WINDOW_H), agg="sum",
-                            tiebreak="event_id", num_partitions=32, out_col="sum_1h")
+                            tiebreak="event_id",
+                            num_partitions=_nparts(sf_dir, "events"), out_col="sum_1h")
     out = rolling_range_agg(out, by="user_id", order="ts", value=None,
                             window=pd.Timedelta(hours=ROLL_WINDOW_H), agg="count",
-                            tiebreak="event_id", num_partitions=32, out_col="cnt_1h")
+                            tiebreak="event_id",
+                            num_partitions=_nparts(sf_dir, "events"), out_col="cnt_1h")
 
     def finish(df: pd.DataFrame) -> pd.DataFrame:
         df["sum_1h"] = df.sum_1h.round(6)
@@ -370,7 +383,8 @@ def dedup_exact_docs(sf_dir: str):
     from ..stages.dedup import dedup_exact
 
     ds = _rd().read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    return dedup_exact(ds, col="text", id_col="doc_id", num_partitions=32).select_columns(["doc_id"])
+    return dedup_exact(ds, col="text", id_col="doc_id",
+                       num_partitions=_nparts(sf_dir, "documents")).select_columns(["doc_id"])
 
 
 SQL_DEDUP_EXACT = "SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text"
@@ -392,8 +406,9 @@ def minhash_dedup_groups(sf_dir: str):
     from ..stages.dedup import minhash_lsh_pairs, neardup_groups
 
     ds = _rd().read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    pairs = minhash_lsh_pairs(ds, threshold=0.5, num_perm=64, bands=16, num_partitions=32)
-    return neardup_groups(pairs, num_partitions=32)
+    p = _nparts(sf_dir, "documents")
+    pairs = minhash_lsh_pairs(ds, threshold=0.5, num_perm=64, bands=16, num_partitions=p)
+    return neardup_groups(pairs, num_partitions=p)
 
 
 def text_stats_docs(sf_dir: str):
@@ -517,6 +532,75 @@ FROM part
 """
 
 
+def featurize_dims(sf_dir: str):
+    """Full featurize pipeline projected to its oracle-predictable
+    columns: the ACTUAL feature-vector width (length of the emitted
+    fixed_size_list) and missing flag per image — closed-form from the
+    ``part`` table (tinynet depth-1 width is 128; missing is the
+    role >= 17 rule). Turns the flagship pipeline's structural contract
+    into a rows+schema+hash-checked query."""
+    from .featurize import featurize_images
+
+    out = featurize_images(_images(sf_dir), model_str="tinynet", depth=1, batch_size=128)
+
+    def project(t: pa.Table) -> pa.Table:
+        feats = t["features"].combine_chunks()
+        width = feats.type.list_size
+        return pa.table({
+            "image_id": t["image_id"],
+            "missing": t["missing"],
+            "feat_dim": pa.array(np.full(len(t), width), type=pa.int64()),
+        })
+
+    return out.map_batches(project, batch_format="pyarrow")
+
+
+SQL_FEATURIZE_DIMS = """
+SELECT printf('img_%08d', p_partkey) AS image_id,
+       p_partkey % 20 >= 17 AS missing,
+       128 AS feat_dim
+FROM part
+"""
+
+
+def ngram_jaccard_pairs_docs(sf_dir: str):
+    """Exact all-pairs character-5-gram Jaccard ≥ 0.5 over documents —
+    the oracle-checkable member of the Jaccard dedup family (block
+    theta-join; stages/dedup.ngram_jaccard_pairs)."""
+    from ..stages.dedup import ngram_jaccard_pairs
+
+    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    out = ngram_jaccard_pairs(ds, threshold=0.5, shingle_k=5, num_blocks=8,
+                              num_partitions=_nparts(sf_dir, "documents"))
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["jaccard"] = df.jaccard.round(6)
+        return df[["id_a", "id_b", "jaccard"]]
+
+    return out.map_batches(finish, batch_format="pandas")
+
+
+SQL_NGRAM_JACCARD = """
+WITH sh AS (
+  SELECT doc_id, unnest(list_distinct([substr(text, i, 5)
+                 FOR i IN range(1, greatest(length(text) - 4, 1) + 1)])) AS g
+  FROM documents
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT id_a, id_b, ROUND(i::DOUBLE / (na.n + nb.n - i), 6) AS jaccard
+FROM inter
+JOIN sizes na ON na.doc_id = id_a
+JOIN sizes nb ON nb.doc_id = id_b
+WHERE i::DOUBLE / (na.n + nb.n - i) >= 0.5
+"""
+
+
 # ------------------------------------------------ rows-only (non-SQL) ops
 
 
@@ -545,14 +629,15 @@ def minhash_neardup_docs(sf_dir: str):
     from ..stages.dedup import minhash_lsh_pairs
 
     ds = _rd().read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    return minhash_lsh_pairs(ds, threshold=0.5, num_perm=64, bands=16, num_partitions=32)
+    return minhash_lsh_pairs(ds, threshold=0.5, num_perm=64, bands=16,
+                             num_partitions=_nparts(sf_dir, "documents"))
 
 
 def simhash_neardup_docs(sf_dir: str):
     from ..stages.dedup import simhash_pairs
 
     ds = _rd().read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    return simhash_pairs(ds, max_hamming=3, num_partitions=32)
+    return simhash_pairs(ds, max_hamming=3, num_partitions=_nparts(sf_dir, "documents"))
 
 
 def embedding_neardup(sf_dir: str):
@@ -632,6 +717,8 @@ QUERIES = {
     "ann_topk_embeddings": ann_topk_embeddings,
     "image_decode_dims": image_decode_dims,
     "caption_roundtrip": caption_roundtrip,
+    "featurize_dims": featurize_dims,
+    "ngram_jaccard_pairs": ngram_jaccard_pairs_docs,
     # rows-only (not SQL-expressible; see module docstring)
     "featurize_flagship": featurize_flagship,
     "minhash_neardup_docs": minhash_neardup_docs,
@@ -659,4 +746,6 @@ ORACLE_SQL = {
     "embedding_neardup": SQL_EMB_NEARDUP,
     "image_decode_dims": SQL_IMAGE_DIMS,
     "caption_roundtrip": SQL_CAPTION,
+    "featurize_dims": SQL_FEATURIZE_DIMS,
+    "ngram_jaccard_pairs": SQL_NGRAM_JACCARD,
 }

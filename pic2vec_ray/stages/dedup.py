@@ -306,6 +306,81 @@ def minhash_lsh_pairs(ds, *, col: str = "text", id_col: str = "doc_id",
     return t_ab.map_batches(verify, batch_format="pandas")
 
 
+def ngram_jaccard_pairs(ds, *, col: str = "text", id_col: str = "doc_id",
+                        threshold: float = 0.5, shingle_k: int = 5,
+                        num_blocks: int = 8, num_partitions: int = 64):
+    """EXACT all-pairs n-gram (character k-shingle) Jaccard ≥ threshold.
+
+    Distributed block theta-join: every doc hashes to one of
+    ``num_blocks`` blocks and is replicated to each block-PAIR group
+    containing its block; each of the B(B+1)/2 groups computes the
+    cross product of its two blocks locally (shingle sets built once
+    per doc, a sound size-ratio prefilter skips pairs whose set sizes
+    already bound Jaccard below threshold). One shuffle of B×corpus
+    rows; compute is inherently O(N²) — this operator exists for
+    exactness (and as the oracle-checkable member of the Jaccard
+    family); MinHash-LSH is the sub-quadratic scale path. ``num_blocks``
+    should scale ~√(cluster cores) so groups stay balanced.
+    Returns (id_a, id_b, jaccard), id_a < id_b.
+    """
+
+    def scatter(batch: pd.DataFrame) -> pd.DataFrame:
+        blk = (
+            pd.util.hash_pandas_object(batch[id_col], index=False) % num_blocks
+        ).astype("int64")
+        frames = []
+        for other in range(num_blocks):
+            i = np.minimum(blk, other)
+            j = np.maximum(blk, other)
+            frames.append(pd.DataFrame({
+                "grp": i * num_blocks + j,
+                "blk": blk.to_numpy(),
+                id_col: batch[id_col].to_numpy(),
+                col: batch[col].to_numpy(),
+            }))
+        out = pd.concat(frames, ignore_index=True).drop_duplicates(
+            subset=["grp", id_col])
+        out["__part"] = (out.grp % num_partitions).astype("int64")
+        return out
+
+    def cross(group: pd.DataFrame) -> pd.DataFrame:
+        res = []
+        for grp, g in group.groupby("grp", sort=False):
+            i, j = int(grp) // num_blocks, int(grp) % num_blocks
+            g = g.drop_duplicates(subset=[id_col])
+            sets = {int(r): {t[x : x + shingle_k]
+                             for x in range(max(len(t) - shingle_k + 1, 1))}
+                    for r, t in zip(g[id_col], g[col])}
+            sizes = {d: len(s) for d, s in sets.items()}
+            left = sorted(int(d) for d in g[g.blk == i][id_col])
+            right = sorted(int(d) for d in g[g.blk == j][id_col])
+            pairs = (
+                [(a, b) for ai, a in enumerate(left) for b in left[ai + 1:]]
+                if i == j else
+                [(min(a, b), max(a, b)) for a in left for b in right]
+            )
+            for a_id, b_id in pairs:
+                la, lb = sizes[a_id], sizes[b_id]
+                if min(la, lb) < threshold * max(la, lb):
+                    continue  # J <= min/max < threshold — sound skip
+                inter = len(sets[a_id] & sets[b_id])
+                jac = inter / (la + lb - inter)
+                if jac >= threshold:
+                    res.append((a_id, b_id, jac))
+        if not res:
+            return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                                 "id_b": pd.Series([], dtype="int64"),
+                                 "jaccard": pd.Series([], dtype="float64")})
+        out = pd.DataFrame(res, columns=["id_a", "id_b", "jaccard"])
+        return out
+
+    return (
+        ds.map_batches(scatter, batch_format="pandas")
+        .groupby("__part")
+        .map_groups(cross, batch_format="pandas")
+    )
+
+
 # ---------------------------------------------------------------- simhash
 
 

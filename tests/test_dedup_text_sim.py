@@ -291,3 +291,31 @@ def test_neardup_groups_pointer_doubling_long_chain(ray_session):
     out = neardup_groups(rd.from_pandas(pairs), num_partitions=4,
                          max_rounds=12).to_pandas()
     assert len(out) == n and (out.group_id == 0).all()
+
+
+def test_ngram_jaccard_exact_all_pairs(ray_session, docs_pdf):
+    """Block theta-join output == brute-force all-pairs Jaccard."""
+    import ray.data as rd
+
+    from pic2vec_ray.stages.dedup import jaccard, ngram_jaccard_pairs
+
+    base = docs_pdf.head(60).copy()
+    nd = base.head(6).copy()
+    nd["doc_id"] += 900_000
+    nd["text"] += " zz"
+    pdf = pd.concat([base, nd], ignore_index=True)
+    got = ngram_jaccard_pairs(rd.from_pandas(pdf), threshold=0.5, shingle_k=5,
+                              num_blocks=4, num_partitions=6).to_pandas()
+    ids = pdf.doc_id.tolist()
+    lookup = pdf.set_index("doc_id").text.to_dict()
+    expect = {}
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            a, b = sorted((int(ids[x]), int(ids[y])))
+            j = jaccard(lookup[a], lookup[b], 5)
+            if j >= 0.5:
+                expect[(a, b)] = j
+    got_pairs = {(int(r.id_a), int(r.id_b)): r.jaccard for r in got.itertuples()}
+    assert got_pairs.keys() == expect.keys()
+    for key_ in expect:
+        assert abs(got_pairs[key_] - expect[key_]) < 1e-12
