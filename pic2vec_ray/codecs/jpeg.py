@@ -1,0 +1,649 @@
+"""Pure-numpy baseline-sequential JPEG codec (no libjpeg/PIL here).
+
+The reference whitelists JPEG as a primary format and its fixture
+corpus is led by a ``.jpg``
+(``/root/reference/pic2vec/feature_preprocessing.py:118``,
+``/root/reference/tests/test_feature_preprocessing.py:37``), so a real
+decoder — not a stub that silently degrades every JPEG row to
+``missing=True`` — is a correctness requirement for this engine.
+
+Implemented from the public ITU-T T.81 spec:
+
+- **decoder**: baseline sequential DCT (SOF0), 8-bit, 1 or 3
+  components, sampling factors 1–2 (4:4:4 / 4:2:2 / 4:2:0), DQT/DHT
+  tables from the stream, DRI/restart markers, byte-stuffing. The
+  Huffman scan is the only per-symbol Python loop (a 16-bit lookahead
+  LUT per table, a handful of int ops per symbol); everything after it
+  — dequantization, inverse zigzag, IDCT (two matmuls over all blocks
+  at once), chroma upsampling, YCbCr→RGB — is vectorized numpy over
+  the whole image. Progressive (SOF2) / arithmetic coding raise
+  :class:`JpegError` (→ missing-row semantics downstream, same as any
+  corrupt payload).
+- **encoder**: 4:4:4 or 4:2:0, Annex-K quantization tables scaled by
+  the libjpeg quality convention, Annex-K Huffman tables, optional
+  restart intervals. Used by the synthetic fixture generator and the
+  roundtrip tests.
+
+The DCT pair is the orthonormal matrix form: ``F = C·f·Cᵀ``,
+``f = Cᵀ·F·C`` with ``C[k,n] = s_k·cos(π(2n+1)k/16)`` — exactly
+T.81's FDCT/IDCT with the normalization folded in, so the decoder's
+output is bit-reproducible from the quantized coefficients by any
+conforming IDCT implementation (the exactness tests rely on this).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+__all__ = ["JpegError", "encode_jpeg", "decode_jpeg"]
+
+
+class JpegError(ValueError):
+    pass
+
+
+# --------------------------------------------------------- constant tables
+
+ZIGZAG = np.array([
+     0,  1,  8, 16,  9,  2,  3, 10,
+    17, 24, 32, 25, 18, 11,  4,  5,
+    12, 19, 26, 33, 40, 48, 41, 34,
+    27, 20, 13,  6,  7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36,
+    29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46,
+    53, 60, 61, 54, 47, 55, 62, 63], dtype=np.int64)
+UNZIGZAG = np.argsort(ZIGZAG)
+
+_QT_LUMA = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99], dtype=np.int64)
+_QT_CHROMA = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99], dtype=np.int64)
+
+# Annex K Huffman specs: (BITS[1..16], HUFFVAL)
+_DC_LUMA_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+_DC_LUMA_VALS = list(range(12))
+_DC_CHROMA_BITS = [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0]
+_DC_CHROMA_VALS = list(range(12))
+_AC_LUMA_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+_AC_LUMA_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+    0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+    0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+    0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+    0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+    0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+    0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+    0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+    0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+    0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+    0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+    0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+    0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA]
+_AC_CHROMA_BITS = [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77]
+_AC_CHROMA_VALS = [
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21,
+    0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71,
+    0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+    0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0,
+    0x15, 0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34,
+    0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+    0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48,
+    0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+    0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+    0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+    0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+    0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96,
+    0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+    0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3,
+    0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2,
+    0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9,
+    0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA]
+
+
+def _dct_matrix() -> np.ndarray:
+    k = np.arange(8)[:, None]
+    n = np.arange(8)[None, :]
+    c = np.cos(np.pi * (2 * n + 1) * k / 16.0)
+    c[0] *= np.sqrt(0.5)
+    return (c * 0.5).astype(np.float64)  # orthonormal 8x8 DCT-II
+
+
+_C = _dct_matrix()
+
+
+def _scaled_qt(base: np.ndarray, quality: int) -> np.ndarray:
+    quality = min(max(int(quality), 1), 100)
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+    return np.clip((base * scale + 50) // 100, 1, 255).astype(np.int64)
+
+
+# ------------------------------------------------------------ huffman core
+
+
+def _canonical_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """symbol → (code, length) per T.81 Annex C code assignment."""
+    codes = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            codes[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return codes
+
+
+_LUT_CACHE: dict[tuple, tuple[list[int], list[int]]] = {}
+
+
+def _decode_lut(bits: list[int], vals: list[int]) -> tuple[list[int], list[int]]:
+    """16-bit-lookahead LUT: index by the next 16 bits → (symbol, length).
+
+    Cached by table content — building the 65536-entry tables costs
+    ~10 ms, and real corpora reuse the Annex-K tables for every image
+    (a decode actor pays it once per distinct table, not per image)."""
+    key = (tuple(bits), tuple(vals))
+    hit = _LUT_CACHE.get(key)
+    if hit is not None:
+        return hit
+    sym = [-1] * 65536
+    ln = [0] * 65536
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            base = code << (16 - length)
+            for idx in range(base, base + (1 << (16 - length))):
+                sym[idx] = vals[k]
+                ln[idx] = length
+            code += 1
+            k += 1
+        code <<= 1
+    if len(_LUT_CACHE) < 64:  # bound actor memory on adversarial inputs
+        _LUT_CACHE[key] = (sym, ln)
+    return sym, ln
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, length: int):
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            self.nbits -= 8
+            byte = (self.acc >> self.nbits) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:
+                self.out.append(0x00)  # byte stuffing
+        self.acc &= (1 << self.nbits) - 1
+
+    def flush(self):
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)  # pad with 1-bits per spec
+
+
+def _magnitude(v: int) -> tuple[int, int]:
+    """value → (category, appended bits) per T.81 F.1.2.1."""
+    if v == 0:
+        return 0, 0
+    a = abs(v)
+    s = a.bit_length()
+    bits = v if v > 0 else v + (1 << s) - 1
+    return s, bits
+
+
+# ---------------------------------------------------------------- encoder
+
+
+def _subsample(plane: np.ndarray, fx: int, fy: int) -> np.ndarray:
+    if fx == 1 and fy == 1:
+        return plane
+    h, w = plane.shape
+    ph = (h + fy - 1) // fy * fy
+    pw = (w + fx - 1) // fx * fx
+    p = np.pad(plane, ((0, ph - h), (0, pw - w)), mode="edge")
+    return p.reshape(ph // fy, fy, pw // fx, fx).mean(axis=(1, 3))
+
+
+def _blockify(plane: np.ndarray) -> np.ndarray:
+    """(H, W) → (n_blocks_y, n_blocks_x, 8, 8) with edge padding."""
+    h, w = plane.shape
+    ph = (h + 7) // 8 * 8
+    pw = (w + 7) // 8 * 8
+    p = np.pad(plane, ((0, ph - h), (0, pw - w)), mode="edge")
+    return p.reshape(ph // 8, 8, pw // 8, 8).transpose(0, 2, 1, 3)
+
+
+def _quantize_blocks(blocks: np.ndarray, qt: np.ndarray) -> np.ndarray:
+    """blocks (by, bx, 8, 8) → zigzagged int coeffs (by*bx, 64)."""
+    f = blocks.astype(np.float64) - 128.0
+    F = np.einsum("ki,yxij,lj->yxkl", _C, f, _C, optimize=True)
+    q = np.round(F / qt.reshape(8, 8)).astype(np.int64)
+    return q.reshape(-1, 64)[:, ZIGZAG]
+
+
+def _encode_block(w: _BitWriter, coeffs: np.ndarray, pred: int,
+                  dc_codes: dict, ac_codes: dict) -> int:
+    dc = int(coeffs[0])
+    s, bits = _magnitude(dc - pred)
+    code, ln = dc_codes[s]
+    w.write(code, ln)
+    if s:
+        w.write(bits, s)
+    nz = np.flatnonzero(coeffs[1:])
+    last = 0
+    for idx in nz:
+        run = int(idx) - last
+        while run >= 16:
+            code, ln = ac_codes[0xF0]  # ZRL
+            w.write(code, ln)
+            run -= 16
+        s, bits = _magnitude(int(coeffs[1 + idx]))
+        code, ln = ac_codes[(run << 4) | s]
+        w.write(code, ln)
+        w.write(bits, s)
+        last = int(idx) + 1
+    if last < 63:
+        code, ln = ac_codes[0x00]  # EOB
+        w.write(code, ln)
+    return dc
+
+
+def encode_jpeg(img: np.ndarray, quality: int = 85, subsampling: str = "444",
+                restart_interval: int = 0) -> bytes:
+    """(H, W, 3) or (H, W[, 1]) uint8 → baseline JFIF bytes."""
+    img = np.asarray(img)
+    if img.ndim == 2:
+        img = img[:, :, None]
+    if img.dtype != np.uint8 or img.ndim != 3 or img.shape[2] not in (1, 3):
+        raise JpegError("encode_jpeg expects (H, W, 1|3) uint8")
+    if subsampling not in ("444", "420"):
+        raise JpegError("subsampling must be '444' or '420'")
+    h, w, nc = img.shape
+    gray = nc == 1
+    if gray:
+        planes = [img[:, :, 0].astype(np.float64)]
+        factors = [(1, 1)]
+    else:
+        rgb = img.astype(np.float64)
+        r, g, b = rgb[:, :, 0], rgb[:, :, 1], rgb[:, :, 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        if subsampling == "444":
+            planes = [y, cb, cr]
+            factors = [(1, 1), (1, 1), (1, 1)]
+        else:
+            planes = [y, _subsample(cb, 2, 2), _subsample(cr, 2, 2)]
+            factors = [(2, 2), (1, 1), (1, 1)]
+    qts = [_scaled_qt(_QT_LUMA, quality), _scaled_qt(_QT_CHROMA, quality)]
+    qt_ids = [0] + [1] * (len(planes) - 1)
+
+    hmax = max(f[0] for f in factors)
+    vmax = max(f[1] for f in factors)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+
+    # per-component zigzagged quantized coeff grids
+    comp_coeffs = []
+    for plane, (fx, fy), qid in zip(planes, factors, qt_ids):
+        blocks = _blockify(plane)
+        by, bx = blocks.shape[:2]
+        # pad the block grid to the MCU grid (edge blocks repeated)
+        need_by, need_bx = mcuy * fy, mcux * fx
+        if by < need_by or bx < need_bx:
+            blocks = np.pad(blocks, ((0, need_by - by), (0, need_bx - bx),
+                                     (0, 0), (0, 0)), mode="edge")
+        q = _quantize_blocks(blocks, qts[qid])
+        comp_coeffs.append(q.reshape(need_by, need_bx, 64))
+
+    dc_specs = [(_DC_LUMA_BITS, _DC_LUMA_VALS), (_DC_CHROMA_BITS, _DC_CHROMA_VALS)]
+    ac_specs = [(_AC_LUMA_BITS, _AC_LUMA_VALS), (_AC_CHROMA_BITS, _AC_CHROMA_VALS)]
+    dc_codes = [_canonical_codes(*s) for s in dc_specs]
+    ac_codes = [_canonical_codes(*s) for s in ac_specs]
+    tbl_ids = [0] + [1] * (len(planes) - 1)
+
+    wtr = _BitWriter()
+    preds = [0] * len(planes)
+    mcu_no = 0
+    rst_no = 0
+    body = bytearray()
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu_no and mcu_no % restart_interval == 0:
+                wtr.flush()
+                body += wtr.out
+                body += bytes([0xFF, 0xD0 + (rst_no & 7)])
+                wtr = _BitWriter()
+                rst_no += 1
+                preds = [0] * len(planes)
+            for ci, (fx, fy) in enumerate(factors):
+                for v in range(fy):
+                    for u in range(fx):
+                        blk = comp_coeffs[ci][my * fy + v, mx * fx + u]
+                        preds[ci] = _encode_block(
+                            wtr, blk, preds[ci],
+                            dc_codes[tbl_ids[ci]], ac_codes[tbl_ids[ci]])
+            mcu_no += 1
+    wtr.flush()
+    body += wtr.out
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    for tid, qt in enumerate(qts[: 1 if gray else 2]):
+        out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([tid]) + bytes(
+            int(x) for x in qt[ZIGZAG])
+    # SOF0
+    ncomp = len(planes)
+    out += b"\xff\xc0" + struct.pack(">HBHHB", 8 + 3 * ncomp, 8, h, w, ncomp)
+    for ci, (fx, fy) in enumerate(factors):
+        out += bytes([ci + 1, (fx << 4) | fy, qt_ids[ci]])
+    # DHT
+    for cls, specs in ((0, dc_specs), (1, ac_specs)):
+        for tid, (bits, vals) in enumerate(specs[: 1 if gray else 2]):
+            out += b"\xff\xc4" + struct.pack(">H", 19 + len(vals))
+            out += bytes([(cls << 4) | tid]) + bytes(bits) + bytes(vals)
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+    # SOS
+    out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * ncomp, ncomp)
+    for ci in range(ncomp):
+        out += bytes([ci + 1, (tbl_ids[ci] << 4) | tbl_ids[ci]])
+    out += b"\x00\x3f\x00"
+    out += body
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+# ---------------------------------------------------------------- decoder
+
+
+def _split_entropy_segments(data: bytes, start: int) -> tuple[list[bytes], int]:
+    """Entropy-coded data → list of unstuffed per-restart segments.
+
+    Returns (segments, position of the terminating marker's 0xFF)."""
+    segments = []
+    seg_start = start
+    pos = start
+    n = len(data)
+    while True:
+        ff = data.find(b"\xff", pos)
+        if ff < 0 or ff + 1 >= n:
+            segments.append(data[seg_start: ff if ff >= 0 else n].replace(b"\xff\x00", b"\xff"))
+            return segments, n
+        nxt = data[ff + 1]
+        if nxt == 0x00:
+            pos = ff + 2
+            continue
+        if 0xD0 <= nxt <= 0xD7:  # restart marker: close segment
+            segments.append(data[seg_start:ff].replace(b"\xff\x00", b"\xff"))
+            seg_start = pos = ff + 2
+            continue
+        segments.append(data[seg_start:ff].replace(b"\xff\x00", b"\xff"))
+        return segments, ff
+
+
+def decode_jpeg(data: bytes) -> np.ndarray:
+    """JFIF bytes → (H, W, 3) or (H, W, 1) uint8."""
+    if len(data) < 4 or data[:2] != b"\xff\xd8":
+        raise JpegError("not a JPEG (missing SOI)")
+    qts: dict[int, np.ndarray] = {}
+    dc_luts: dict[int, tuple[list, list]] = {}
+    ac_luts: dict[int, tuple[list, list]] = {}
+    restart = 0
+    frame = None
+    pos = 2
+    n = len(data)
+    segments = None
+    scan_comps = None
+    while pos + 4 <= n:
+        if data[pos] != 0xFF:
+            raise JpegError(f"marker sync lost at {pos}")
+        marker = data[pos + 1]
+        if marker == 0xD9:  # EOI
+            break
+        if marker in (0x01,) or 0xD0 <= marker <= 0xD7:
+            pos += 2
+            continue
+        (seglen,) = struct.unpack(">H", data[pos + 2: pos + 4])
+        seg = data[pos + 4: pos + 2 + seglen]
+        if marker == 0xDB:  # DQT (possibly several tables)
+            o = 0
+            while o < len(seg):
+                pq, tq = seg[o] >> 4, seg[o] & 0xF
+                o += 1
+                if pq:
+                    vals = np.frombuffer(seg[o: o + 128], dtype=">u2").astype(np.int64)
+                    o += 128
+                else:
+                    vals = np.frombuffer(seg[o: o + 64], dtype=np.uint8).astype(np.int64)
+                    o += 64
+                qt = np.empty(64, dtype=np.int64)
+                qt[ZIGZAG] = vals  # stored in zigzag order
+                qts[tq] = qt
+        elif marker == 0xC4:  # DHT (possibly several tables)
+            o = 0
+            while o < len(seg):
+                tc, th = seg[o] >> 4, seg[o] & 0xF
+                bits = list(seg[o + 1: o + 17])
+                cnt = sum(bits)
+                vals = list(seg[o + 17: o + 17 + cnt])
+                (dc_luts if tc == 0 else ac_luts)[th] = _decode_lut(bits, vals)
+                o += 17 + cnt
+        elif marker == 0xC0 or marker == 0xC1:  # baseline / extended seq.
+            prec, fh, fw, ncomp = seg[0], struct.unpack(">H", seg[1:3])[0], \
+                struct.unpack(">H", seg[3:5])[0], seg[5]
+            if prec != 8:
+                raise JpegError(f"{prec}-bit precision unsupported")
+            comps = []
+            for ci in range(ncomp):
+                cid, hv, tq = seg[6 + 3 * ci: 9 + 3 * ci]
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq})
+            frame = {"h": fh, "w": fw, "comps": comps}
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                        0xCD, 0xCE, 0xCF):
+            raise JpegError("only baseline sequential JPEG is supported")
+        elif marker == 0xDD:  # DRI
+            restart = struct.unpack(">H", seg[:2])[0]
+        elif marker == 0xDA:  # SOS
+            ns = seg[0]
+            scan_comps = []
+            for ci in range(ns):
+                cs, tt = seg[1 + 2 * ci: 3 + 2 * ci]
+                scan_comps.append({"id": cs, "dc": tt >> 4, "ac": tt & 0xF})
+            segments, pos = _split_entropy_segments(data, pos + 2 + seglen)
+            break
+        pos += 2 + seglen
+    if frame is None or segments is None or scan_comps is None:
+        raise JpegError("truncated JPEG (no frame/scan)")
+
+    comps = frame["comps"]
+    for c in comps:
+        if not (1 <= c["h"] <= 2 and 1 <= c["v"] <= 2):
+            raise JpegError(f"sampling factor {c['h']}x{c['v']} unsupported")
+        sc = next((s for s in scan_comps if s["id"] == c["id"]), None)
+        if sc is None:
+            raise JpegError("scan/frame component mismatch")
+        c["dc_lut"] = dc_luts[sc["dc"]]
+        c["ac_lut"] = ac_luts[sc["ac"]]
+        if c["tq"] not in qts:
+            raise JpegError("missing quantization table")
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    h, w = frame["h"], frame["w"]
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    n_mcus = mcux * mcuy
+    for c in comps:
+        c["coef"] = np.zeros((mcuy * c["v"] * mcux * c["h"], 64), dtype=np.int32)
+
+    # ---- the Huffman scan: the only per-symbol Python loop. The bit
+    # buffer is hand-inlined (locals, no method calls) — measured ~3×
+    # faster than a reader object at ~26k symbols per small image. ----
+    mcu_no = 0
+    seg_iter = iter(segments)
+    sdata = next(seg_iter)
+    slen = len(sdata)
+    spos = 0
+    acc = 0
+    nbits = 0
+    preds = {c["id"]: 0 for c in comps}
+    # per-component flat plan: (pred_key, dsym, dlen, asym, alen, coef,
+    # per-mcu block index offsets) — precomputed once
+    plan = []
+    for c in comps:
+        cv, ch = c["v"], c["h"]
+        row_blocks = mcux * ch
+        plan.append((c["id"], c["dc_lut"][0], c["dc_lut"][1],
+                     c["ac_lut"][0], c["ac_lut"][1], c["coef"],
+                     cv, ch, row_blocks))
+    while mcu_no < n_mcus:
+        if restart and mcu_no and mcu_no % restart == 0:
+            try:
+                sdata = next(seg_iter)
+            except StopIteration as exc:
+                raise JpegError("missing restart segment") from exc
+            slen = len(sdata)
+            spos = 0
+            acc = 0
+            nbits = 0
+            preds = {c["id"]: 0 for c in comps}
+        my, mx = divmod(mcu_no, mcux)
+        for cid, dsym, dlen, asym, alen, coef, cv, ch, row_blocks in plan:
+            for v in range(cv):
+                base = (my * cv + v) * row_blocks + mx * ch
+                for u in range(ch):
+                    bidx = base + u
+                    # --- DC symbol ---
+                    while nbits <= 24:
+                        if spos < slen:
+                            acc = (acc << 8) | sdata[spos]
+                            spos += 1
+                        else:
+                            acc <<= 8
+                        nbits += 8
+                    look = (acc >> (nbits - 16)) & 0xFFFF
+                    s = dsym[look]
+                    ln = dlen[look]
+                    if ln == 0:
+                        raise JpegError("bad DC Huffman code")
+                    nbits -= ln
+                    if s:
+                        if nbits < s:
+                            while nbits <= 24:
+                                if spos < slen:
+                                    acc = (acc << 8) | sdata[spos]
+                                    spos += 1
+                                else:
+                                    acc <<= 8
+                                nbits += 8
+                        nbits -= s
+                        r = (acc >> nbits) & ((1 << s) - 1)
+                        diff = r - (1 << s) + 1 if r < (1 << (s - 1)) else r
+                    else:
+                        diff = 0
+                    pred = preds[cid] + diff
+                    preds[cid] = pred
+                    coef[bidx, 0] = pred
+                    # --- AC symbols ---
+                    k = 1
+                    while k < 64:
+                        while nbits <= 24:
+                            if spos < slen:
+                                acc = (acc << 8) | sdata[spos]
+                                spos += 1
+                            else:
+                                acc <<= 8
+                            nbits += 8
+                        look = (acc >> (nbits - 16)) & 0xFFFF
+                        rs = asym[look]
+                        ln = alen[look]
+                        if ln == 0:
+                            raise JpegError("bad AC Huffman code")
+                        nbits -= ln
+                        if rs == 0x00:  # EOB
+                            break
+                        if rs == 0xF0:  # ZRL
+                            k += 16
+                            continue
+                        k += rs >> 4
+                        s = rs & 0xF
+                        if k > 63:
+                            raise JpegError("AC index overrun")
+                        if nbits < s:
+                            while nbits <= 24:
+                                if spos < slen:
+                                    acc = (acc << 8) | sdata[spos]
+                                    spos += 1
+                                else:
+                                    acc <<= 8
+                                nbits += 8
+                        nbits -= s
+                        r = (acc >> nbits) & ((1 << s) - 1)
+                        coef[bidx, k] = r - (1 << s) + 1 if r < (1 << (s - 1)) else r
+                        k += 1
+                    # bound the arbitrary-precision accumulator
+                    acc &= (1 << nbits) - 1
+        mcu_no += 1
+
+    # ---- everything below is vectorized over all blocks at once ----
+    planes = []
+    for c in comps:
+        qt = qts[c["tq"]]
+        # coefficients are zigzag-ordered — dequantize with the
+        # zigzag-ordered table, THEN invert the ordering
+        deq = c["coef"].astype(np.float64) * qt[ZIGZAG][None, :]
+        blocks = deq[:, UNZIGZAG].reshape(-1, 8, 8)
+        pix = np.einsum("ik,ykl,jl->yij", _C.T, blocks, _C.T, optimize=True) + 128.0
+        by, bx = mcuy * c["v"], mcux * c["h"]
+        plane = pix.reshape(by, bx, 8, 8).transpose(0, 2, 1, 3).reshape(by * 8, bx * 8)
+        # upsample to full MCU-grid resolution, then crop to (h, w)
+        ry, rx = vmax // c["v"], hmax // c["h"]
+        if ry > 1 or rx > 1:
+            plane = np.repeat(np.repeat(plane, ry, axis=0), rx, axis=1)
+        planes.append(plane[:h, :w])
+
+    if len(planes) == 1:
+        out = np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)[:, :, None]
+        return out
+    y, cb, cr = planes[0], planes[1] - 128.0, planes[2] - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    rgb = np.stack([r, g, b], axis=2)
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)

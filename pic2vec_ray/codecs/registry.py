@@ -5,15 +5,14 @@ The reference whitelists JPEG/BMP/PNG by probing content with PIL
 ``Image.open(...).format``); we mirror that by sniffing magic bytes, not
 trusting the ``fmt`` column or extensions.
 
-JPEG is a STUB in this environment: there is no image library in the
-container and a from-scratch JPEG codec is out of scope, so JPEG bytes
-raise :class:`UnsupportedFormatError`. Downstream the decode stage maps
-any decode failure to the reference's missing-image semantics (zero
-tensor + ``missing=True``, mirroring the silent zero-fill at
-``/root/reference/pic2vec/feature_preprocessing.py:318-323``), so a
-JPEG row degrades gracefully instead of aborting the pipeline. When a
-real codec (PIL / libjpeg binding) is available, register it in
-``_DECODERS`` and the rest of the engine is unchanged.
+All three whitelisted formats decode with from-scratch pure-numpy
+codecs (no image library exists in this environment): PNG (zlib +
+filters), BMP, and baseline-sequential JPEG (``codecs/jpeg.py`` —
+Huffman + dequant + IDCT). Non-baseline JPEG (progressive, 12-bit,
+arithmetic) raises and the decode stage maps any failure to the
+reference's missing-image semantics (zero tensor + ``missing=True``,
+mirroring the silent zero-fill at
+``/root/reference/pic2vec/feature_preprocessing.py:318-323``).
 """
 
 from __future__ import annotations
@@ -21,6 +20,7 @@ from __future__ import annotations
 import numpy as np
 
 from .bmp import decode_bmp
+from .jpeg import decode_jpeg
 from .png import decode_png
 
 VALID_FORMATS = ("png", "jpeg", "bmp")  # mirror of the reference whitelist
@@ -49,17 +49,10 @@ def sniff_format(data: bytes) -> str | None:
     return None
 
 
-def _decode_jpeg_stub(data: bytes) -> np.ndarray:
-    raise UnsupportedFormatError(
-        "JPEG decode is stubbed: no image library in this environment "
-        "(see module docstring; row degrades to missing=True)"
-    )
-
-
 _DECODERS = {
     "png": decode_png,
     "bmp": decode_bmp,
-    "jpeg": _decode_jpeg_stub,
+    "jpeg": decode_jpeg,
 }
 
 

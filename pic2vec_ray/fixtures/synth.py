@@ -17,7 +17,9 @@ rows — see SURVEY.md §5). Role is ``p_partkey % 20``:
 ==== =======================================================
 role meaning
 ==== =======================================================
-0-14 valid image (png for even content-seed, bmp for odd)
+0-14 valid image (cs % 3: 0→png, 1→bmp, 2→jpeg — all three
+     whitelisted formats, jpeg via the from-scratch baseline
+     codec in ``codecs/jpeg.py``)
 12,13 exact-duplicate pair: role 13 reuses role 12's content
 15   grayscale-source PNG (single channel)
 16   all-black valid image (pixel-derived "missing" rule)
@@ -40,11 +42,13 @@ import numpy as np
 import pyarrow as pa
 
 from ..codecs.bmp import encode_bmp
+from ..codecs.jpeg import encode_jpeg
 from ..codecs.png import encode_png
 from ..functions.image_ops import average_hash
 
 SEED = 5102020  # reference tests pin this seed (tests/test_feature_preprocessing.py:20)
-GENERATOR_VERSION = "v1"  # bump on ANY change to row rules/content → invalidates caches
+GENERATOR_VERSION = "v2"  # bump on ANY change to row rules/content → invalidates caches
+JPEG_QUALITY = 80  # lossy rows exercise the real decoder; dims stay exact
 
 IMAGES_SCHEMA = pa.schema(
     [
@@ -101,10 +105,12 @@ def make_image_row(partkey: int, caption: str) -> dict:
     px = render_pixels(cs, w, h, black=black, gray=gray)
     if gray:
         data, fmt = encode_png(px), "png"
-    elif cs % 2 == 0:
+    elif cs % 3 == 0:
         data, fmt = encode_png(px), "png"
-    else:
+    elif cs % 3 == 1:
         data, fmt = encode_bmp(px), "bmp"
+    else:
+        data, fmt = encode_jpeg(px, quality=JPEG_QUALITY), "jpeg"
     return dict(
         image_id=image_id, bytes=data, w=w, h=h, fmt=fmt, caption=caption,
         phash=average_hash(px),

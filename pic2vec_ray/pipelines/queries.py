@@ -507,7 +507,8 @@ WITH r AS (
 SELECT printf('img_%08d', p_partkey) AS image_id,
        CASE WHEN role = 17 THEN 'gif'
             WHEN role IN (15, 18, 19) THEN 'png'
-            WHEN cs % 2 = 0 THEN 'png' ELSE 'bmp' END AS fmt,
+            WHEN cs % 3 = 0 THEN 'png'
+            WHEN cs % 3 = 1 THEN 'bmp' ELSE 'jpeg' END AS fmt,
        CASE WHEN role >= 17 THEN 0 ELSE 64 + (cs % 4) * 16 END AS decoded_w,
        CASE WHEN role >= 17 THEN 0 ELSE 64 + (cs % 3) * 32 END AS decoded_h,
        role >= 17 AS missing

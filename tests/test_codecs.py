@@ -57,9 +57,20 @@ def test_whitelist_rejects_gif():
         decode_image(b"GIF89a" + b"\x00" * 64)
 
 
-def test_jpeg_is_stubbed():
-    with pytest.raises(UnsupportedFormatError):
+def test_corrupt_jpeg_fails_cleanly():
+    with pytest.raises(DecodeError):
         decode_image(b"\xff\xd8\xff\xe0" + b"\x00" * 64)
+
+
+def test_jpeg_decodes_via_registry():
+    from pic2vec_ray.codecs.jpeg import encode_jpeg
+
+    yy, xx = np.mgrid[0:24, 0:40]
+    img = np.stack([(xx * 6).astype(np.uint8), (yy * 10).astype(np.uint8),
+                    ((xx + yy) * 4).astype(np.uint8)], axis=2)
+    out = decode_image(encode_jpeg(img, quality=95))
+    assert out.shape == img.shape
+    assert psnr(out, img) > 40  # the lossy-format fidelity bar
 
 
 def test_garbage_and_empty_fail_cleanly():

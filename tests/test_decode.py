@@ -37,16 +37,24 @@ def test_row_roles():
 
 
 def test_valid_rows_decode_exactly():
-    """Lossless formats must round-trip pixel-exact (PSNR = inf ≥ 40dB)."""
-    for k in (1, 2, 3, 4, 20, 21):
+    """Lossless rows (png/bmp) round-trip pixel-exact; jpeg rows are
+    lossy on this adversarial noise content but keep exact dimensions
+    (the 40 dB fidelity bar for smooth content is pinned in
+    test_jpeg.py)."""
+    for k in (1, 2, 3, 4, 5, 20, 21, 22):
         row = make_image_row(k, f"cap {k}")
         cs = content_seed(k)
         w, h = valid_dims(cs)
         img = to_rgb(decode_image(row["bytes"]))
         src = to_rgb(render_pixels(cs, w, h))
         assert img.shape == (h, w, 3) == src.shape
-        assert psnr(img, src) == float("inf")
+        if row["fmt"] == "jpeg":
+            assert psnr(img, src) > 15
+        else:
+            assert psnr(img, src) == float("inf")
         assert (row["w"], row["h"]) == (w, h)
+    fmts = {make_image_row(k, "c")["fmt"] for k in (1, 2, 3, 4, 5, 6)}
+    assert fmts == {"png", "bmp", "jpeg"}  # all three whitelisted formats
 
 
 def test_batch_decoder_dedup_and_missing():
