@@ -68,6 +68,14 @@ def maxpool2d(x: np.ndarray, k: int, stride: int) -> np.ndarray:
     return win.max(axis=(-2, -1))
 
 
+def avgpool2d(x: np.ndarray, k: int, stride: int = 1,
+              padding: str = "same") -> np.ndarray:
+    if padding == "same":
+        x = pad_same(x, k, k, stride, stride)
+    win = sliding_window_view(x, (k, k), axis=(1, 2))[:, ::stride, ::stride]
+    return win.mean(axis=(-2, -1)).astype(np.float32)
+
+
 def global_avg_pool(x: np.ndarray) -> np.ndarray:
     """(N, H, W, C) → (N, C) — T4, build_featurizer.py:351-352."""
     return x.mean(axis=(1, 2))

@@ -15,14 +15,16 @@ Architecture fidelity by model:
   pretrained statistics is an affine no-op under seeded weights; the
   cut-layer/width contract is what parity tests pin). All four depths
   cut inside stage 4 → width 2048 at every depth, per the golden table.
-- ``inceptionv3`` / ``xception``: structurally representative graphs —
-  branch-concat inception blocks / depthwise-separable conv stacks —
-  honoring the reference's exact target sizes (299²), preprocessing
-  mode ("tf"), and decapitation width tables (2048/2048/2048/1280 and
-  2048/1024/728/728). The full 300-layer graphs are simplified; the
-  simplification is explicit here because weights are seeded anyway
-  and the engine contract (shape/normalization/pooling semantics) is
-  what the tests verify.
+- ``inceptionv3`` / ``xception``: the FULL public graphs (round 2) —
+  InceptionV3's stem + mixed0-10 blocks with the published branch
+  structures (5×5, factorized 7×7, expanded 3×3 filter banks, pooled
+  branches) and Xception's entry/middle/exit flows with residual
+  projections and 8 identity-residual middle blocks. Batch-norm folds
+  to an affine no-op under seeded weights (same note as resnet50);
+  decapitation honors the reference's layer-pop tables at block
+  boundaries — see the per-model comments for the pop-index →
+  cut-layer derivation. Width tables (2048/2048/2048/1280 and
+  2048/1024/728/728) match the reference goldens at every depth.
 """
 
 from __future__ import annotations
@@ -135,72 +137,209 @@ def depthwise_conv2d(x, w, stride=1, padding="same"):
     return np.einsum("nhwcij,ijc->nhwc", win, w, optimize=True).astype(np.float32)
 
 
-def _sepconv(w, x, prefix, stride=1):
-    x = depthwise_conv2d(x, w[f"{prefix}/dw"], stride=stride)
-    return relu(conv2d(x, w[f"{prefix}/pw"]))
+# --- InceptionV3: the full public graph (Szegedy et al. 2015; keras
+# applications inception_v3). Every conv is conv→ReLU (inference
+# batch-norm folds to an affine no-op under seeded weights — same
+# disclosed simplification as resnet50 above). Blocks and widths follow
+# the published architecture exactly: stem → mixed0-2 (35×35) →
+# mixed3 (reduction) → mixed4-7 (17×17) → mixed8 (reduction) →
+# mixed9-10 (8×8). Decapitation honors the reference's layer-pop table
+# (/root/reference/pic2vec/build_featurizer.py:40: {1:2, 2:19, 3:33,
+# 4:50}) at block boundaries: pop 2 → mixed10 (2048); pop 33 ends the
+# whole mixed10 block → mixed9 (2048); pop 19 lands on mixed10's
+# branch-pool AveragePooling2D, i.e. pool3×3(mixed9) (2048); pop 50
+# lands on mixed9's branch-pool pooling of mixed8 → pool3×3(mixed8)
+# (1280). Widths match the reference goldens
+# (tests/test_build_featurizer.py:301-306).
 
 
-_XCEPTION_PLAN = [  # (layer_name, out_width, stride)
-    ("entry1", 128, 2),
-    ("entry2", 364, 2),
-    ("mid1", 728, 2),
-    ("mid2", 728, 1),   # depth 4 cut (width 728)
-    ("mid3", 728, 1),   # depth 3 cut (width 728)
-    ("exit1", 1024, 2),  # depth 2 cut (width 1024)
-    ("exit2", 2048, 1),  # depth 1 cut (width 2048)
-]
-
-
-def _xception_weights():
-    w = {"stem/w": he_init((3, 3, 3, 32), "xc/stem/w"),
-         "stem/b": np.zeros(32, np.float32)}
-    cin = 32
-    for name, out, _ in _XCEPTION_PLAN:
-        w[f"{name}/dw"] = he_init((3, 3, cin), f"xc/{name}/dw")
-        w[f"{name}/pw"] = he_init((1, 1, cin, out), f"xc/{name}/pw")
-        cin = out
-    return w
-
-
-def _xception_forward(w, x, cut_layer):
-    x = relu(conv2d(x, w["stem/w"], w["stem/b"], stride=2, padding="same"))
-    for name, _, stride in _XCEPTION_PLAN:
-        x = _sepconv(w, x, name, stride=stride)
-        if cut_layer == name:
-            return x
-    raise AssertionError(f"cut layer {cut_layer} not reached")
-
-
-_INCEPTION_PLAN = [  # (name, branch widths summing to out, stride)
-    ("stem1", (32,), 2),
-    ("stem2", (64,), 2),
-    ("stem3", (128,), 2),
-    ("stem4", (288,), 2),
-    ("mixed8", (640, 640), 1),       # concat → 1280, depth 4
-    ("mixed9a", (1024, 1024), 1),    # concat → 2048, depth 3
-    ("mixed9b", (1024, 1024), 1),    # concat → 2048, depth 2
-    ("mixed10", (1024, 1024), 1),    # concat → 2048, depth 1
-]
+def _cbr(w, x, name, kh, kw, cout_key=None, stride=1, padding="same"):
+    return relu(conv2d(x, w[name], stride=stride, padding=padding))
 
 
 def _inception_weights():
-    w, cin = {}, 3
-    for name, widths, _ in _INCEPTION_PLAN:
-        for bi, width in enumerate(widths):
-            k = 1 if (len(widths) > 1 and bi == 0) else 3
-            w[f"{name}/br{bi}/w"] = he_init((k, k, cin, width), f"iv3/{name}/br{bi}/w")
-        cin = sum(widths)
+    w = {}
+
+    def add(name, kh, kw, cin, cout):
+        w[name] = he_init((kh, kw, cin, cout), f"iv3/{name}")
+        return cout
+
+    add("stem/c1", 3, 3, 3, 32)
+    add("stem/c2", 3, 3, 32, 32)
+    add("stem/c3", 3, 3, 32, 64)
+    add("stem/c4", 1, 1, 64, 80)
+    add("stem/c5", 3, 3, 80, 192)
+    cin = 192
+    for i, pool_w in ((0, 32), (1, 64), (2, 64)):  # mixed0-2 → 256/288/288
+        add(f"m{i}/b1", 1, 1, cin, 64)
+        add(f"m{i}/b5_1", 1, 1, cin, 48)
+        add(f"m{i}/b5_2", 5, 5, 48, 64)
+        add(f"m{i}/bd_1", 1, 1, cin, 64)
+        add(f"m{i}/bd_2", 3, 3, 64, 96)
+        add(f"m{i}/bd_3", 3, 3, 96, 96)
+        add(f"m{i}/bp", 1, 1, cin, pool_w)
+        cin = 64 + 64 + 96 + pool_w
+    add("m3/b3", 3, 3, cin, 384)
+    add("m3/bd_1", 1, 1, cin, 64)
+    add("m3/bd_2", 3, 3, 64, 96)
+    add("m3/bd_3", 3, 3, 96, 96)
+    cin = 384 + 96 + cin  # + maxpool passthrough → 768
+    for i, mid in ((4, 128), (5, 160), (6, 160), (7, 192)):  # 17×17 → 768
+        add(f"m{i}/b1", 1, 1, cin, 192)
+        add(f"m{i}/b7_1", 1, 1, cin, mid)
+        add(f"m{i}/b7_2", 1, 7, mid, mid)
+        add(f"m{i}/b7_3", 7, 1, mid, 192)
+        add(f"m{i}/bd_1", 1, 1, cin, mid)
+        add(f"m{i}/bd_2", 7, 1, mid, mid)
+        add(f"m{i}/bd_3", 1, 7, mid, mid)
+        add(f"m{i}/bd_4", 7, 1, mid, mid)
+        add(f"m{i}/bd_5", 1, 7, mid, 192)
+        add(f"m{i}/bp", 1, 1, cin, 192)
+        cin = 768
+    add("m8/b3_1", 1, 1, cin, 192)
+    add("m8/b3_2", 3, 3, 192, 320)
+    add("m8/b7_1", 1, 1, cin, 192)
+    add("m8/b7_2", 1, 7, 192, 192)
+    add("m8/b7_3", 7, 1, 192, 192)
+    add("m8/b7_4", 3, 3, 192, 192)
+    cin = 320 + 192 + 768  # + maxpool passthrough → 1280
+    for i in (9, 10):  # 8×8 → 2048
+        add(f"m{i}/b1", 1, 1, cin, 320)
+        add(f"m{i}/b3_1", 1, 1, cin, 384)
+        add(f"m{i}/b3_2a", 1, 3, 384, 384)
+        add(f"m{i}/b3_2b", 3, 1, 384, 384)
+        add(f"m{i}/bd_1", 1, 1, cin, 448)
+        add(f"m{i}/bd_2", 3, 3, 448, 384)
+        add(f"m{i}/bd_3a", 1, 3, 384, 384)
+        add(f"m{i}/bd_3b", 3, 1, 384, 384)
+        add(f"m{i}/bp", 1, 1, cin, 192)
+        cin = 320 + 768 + 768 + 192
     return w
 
 
 def _inception_forward(w, x, cut_layer):
-    for name, widths, stride in _INCEPTION_PLAN:
-        branches = []
-        for bi in range(len(widths)):
-            branches.append(relu(conv2d(x, w[f"{name}/br{bi}/w"], stride=stride, padding="same")))
-        x = branches[0] if len(branches) == 1 else np.concatenate(branches, axis=-1)
-        if cut_layer == name:
+    from .numpy_nn import avgpool2d
+
+    def c(name, t, stride=1, padding="same"):
+        return relu(conv2d(t, w[name], stride=stride, padding=padding))
+    x = c("stem/c1", x, stride=2, padding="valid")
+    x = c("stem/c2", x, padding="valid")
+    x = c("stem/c3", x, padding="same")
+    x = maxpool2d(x, 3, 2)
+    x = c("stem/c4", x, padding="valid")
+    x = c("stem/c5", x, padding="valid")
+    x = maxpool2d(x, 3, 2)
+    for i in (0, 1, 2):  # 35×35 inception-A
+        b1 = c(f"m{i}/b1", x)
+        b5 = c(f"m{i}/b5_2", c(f"m{i}/b5_1", x))
+        bd = c(f"m{i}/bd_3", c(f"m{i}/bd_2", c(f"m{i}/bd_1", x)))
+        bp = c(f"m{i}/bp", avgpool2d(x, 3))
+        x = np.concatenate([b1, b5, bd, bp], axis=-1)
+    # mixed3: 17×17 reduction
+    b3 = c("m3/b3", x, stride=2, padding="valid")
+    bd = c("m3/bd_3", c("m3/bd_2", c("m3/bd_1", x)), stride=2, padding="valid")
+    x = np.concatenate([b3, bd, maxpool2d(x, 3, 2)], axis=-1)
+    for i in (4, 5, 6, 7):  # 17×17 inception-B (factorized 7×7)
+        b1 = c(f"m{i}/b1", x)
+        b7 = c(f"m{i}/b7_3", c(f"m{i}/b7_2", c(f"m{i}/b7_1", x)))
+        bd = x
+        for part in ("bd_1", "bd_2", "bd_3", "bd_4", "bd_5"):
+            bd = c(f"m{i}/{part}", bd)
+        bp = c(f"m{i}/bp", avgpool2d(x, 3))
+        x = np.concatenate([b1, b7, bd, bp], axis=-1)
+    # mixed8: 8×8 reduction
+    b3 = c("m8/b3_2", c("m8/b3_1", x), stride=2, padding="valid")
+    b7 = c("m8/b7_4", c("m8/b7_3", c("m8/b7_2", c("m8/b7_1", x))),
+           stride=2, padding="valid")
+    x = np.concatenate([b3, b7, maxpool2d(x, 3, 2)], axis=-1)
+    if cut_layer == "mixed8_pool":  # depth 4: pop-50 ≙ pool3×3(mixed8)
+        return avgpool2d(x, 3)
+    for i in (9, 10):  # 8×8 inception-C (expanded filter banks)
+        if i == 10 and cut_layer == "mixed9_pool":  # depth 2: pop-19
+            return avgpool2d(x, 3)
+        b1 = c(f"m{i}/b1", x)
+        b3 = c(f"m{i}/b3_1", x)
+        b3 = np.concatenate([c(f"m{i}/b3_2a", b3), c(f"m{i}/b3_2b", b3)], axis=-1)
+        bd = c(f"m{i}/bd_2", c(f"m{i}/bd_1", x))
+        bd = np.concatenate([c(f"m{i}/bd_3a", bd), c(f"m{i}/bd_3b", bd)], axis=-1)
+        bp = c(f"m{i}/bp", avgpool2d(x, 3))
+        x = np.concatenate([b1, b3, bd, bp], axis=-1)
+        if cut_layer == f"mixed{i}":
             return x
+    raise AssertionError(f"cut layer {cut_layer} not reached")
+
+
+# --- Xception: the full public graph (Chollet 2017; keras applications
+# xception): entry flow (stem + 3 residual-downsample blocks), 8
+# identity-residual middle blocks, exit flow. Separable convs are
+# depthwise 3×3 → pointwise; batch-norm folds out as above.
+# Decapitation honors the reference table (build_featurizer.py:62:
+# {1:1, 2:8, 3:18, 4:28}): pop 1 → block14_sepconv2_act (2048); pop 8
+# removes block14 → end of block13 (1024); pop 18 removes block13 →
+# end of block12 (728); pop 28 → end of block11 (728). Widths match
+# the reference goldens (tests/test_build_featurizer.py:309+).
+
+
+def _sepconv_w(w, name, cin, cout):
+    w[f"{name}/dw"] = he_init((3, 3, cin), f"xc/{name}/dw")
+    w[f"{name}/pw"] = he_init((1, 1, cin, cout), f"xc/{name}/pw")
+    return cout
+
+
+def _xception_weights():
+    w = {"stem/c1": he_init((3, 3, 3, 32), "xc/stem/c1"),
+         "stem/c2": he_init((3, 3, 32, 64), "xc/stem/c2")}
+    cin = 64
+    for blk, width in ((2, 128), (3, 256), (4, 728)):
+        _sepconv_w(w, f"b{blk}/s1", cin, width)
+        _sepconv_w(w, f"b{blk}/s2", width, width)
+        w[f"b{blk}/res"] = he_init((1, 1, cin, width), f"xc/b{blk}/res")
+        cin = width
+    for blk in range(5, 13):  # middle flow: blocks 5..12
+        for s in (1, 2, 3):
+            _sepconv_w(w, f"b{blk}/s{s}", 728, 728)
+    _sepconv_w(w, "b13/s1", 728, 728)
+    _sepconv_w(w, "b13/s2", 728, 1024)
+    w["b13/res"] = he_init((1, 1, 728, 1024), "xc/b13/res")
+    _sepconv_w(w, "b14/s1", 1024, 1536)
+    _sepconv_w(w, "b14/s2", 1536, 2048)
+    return w
+
+
+def _sep(w, x, name, stride=1):
+    x = depthwise_conv2d(x, w[f"{name}/dw"], stride=stride)
+    return conv2d(x, w[f"{name}/pw"])
+
+
+def _xception_forward(w, x, cut_layer):
+    x = relu(conv2d(x, w["stem/c1"], stride=2, padding="valid"))
+    x = relu(conv2d(x, w["stem/c2"], padding="valid"))
+    for blk in (2, 3, 4):  # entry flow residual-downsample blocks
+        res = conv2d(x, w[f"b{blk}/res"], stride=2)
+        y = _sep(w, x if blk == 2 else relu(x), f"b{blk}/s1")
+        y = _sep(w, relu(y), f"b{blk}/s2")
+        y = maxpool2d(pad_same(y, 3, 3, 2, 2), 3, 2)
+        # bounded residual sum without batch-norm statistics (see
+        # resnet50 note above)
+        x = (y + res) * np.float32(0.5)
+    for blk in range(5, 13):  # middle flow: 8 identity-residual blocks
+        y = x
+        for s in (1, 2, 3):
+            y = _sep(w, relu(y), f"b{blk}/s{s}")
+        x = (y + x) * np.float32(0.5)
+        if cut_layer == f"block{blk}":
+            return x
+    res = conv2d(x, w["b13/res"], stride=2)
+    y = _sep(w, relu(x), "b13/s1")
+    y = _sep(w, relu(y), "b13/s2")
+    y = maxpool2d(pad_same(y, 3, 3, 2, 2), 3, 2)
+    x = (y + res) * np.float32(0.5)
+    if cut_layer == "block13":
+        return x
+    x = relu(_sep(w, x, "b14/s1"))
+    x = relu(_sep(w, x, "b14/s2"))
+    if cut_layer == "block14_sepconv2_act":
+        return x
     raise AssertionError(f"cut layer {cut_layer} not reached")
 
 
@@ -236,7 +375,10 @@ EXTRA_MODELS = {
         "preprocessing": "tf",
         "forward": _inception_forward,
         "build_weights": _inception_weights,
-        "depth_to_layer": {1: "mixed10", 2: "mixed9b", 3: "mixed9a", 4: "mixed8"},
+        # pop-table equivalents (build_featurizer.py:40): 2→mixed10,
+        # 19→pool3×3(mixed9), 33→mixed9, 50→pool3×3(mixed8)
+        "depth_to_layer": {1: "mixed10", 2: "mixed9_pool", 3: "mixed9",
+                           4: "mixed8_pool"},
         "widths": {1: 2048, 2: 2048, 3: 2048, 4: 1280},
     },
     "xception": {
@@ -244,7 +386,10 @@ EXTRA_MODELS = {
         "preprocessing": "tf",
         "forward": _xception_forward,
         "build_weights": _xception_weights,
-        "depth_to_layer": {1: "exit2", 2: "exit1", 3: "mid3", 4: "mid2"},
+        # pop-table equivalents (build_featurizer.py:62): 1→block14
+        # sepconv2 act, 8→end block13, 18→end block12, 28→end block11
+        "depth_to_layer": {1: "block14_sepconv2_act", 2: "block13",
+                           3: "block12", 4: "block11"},
         "widths": {1: 2048, 2: 1024, 3: 728, 4: 728},
     },
 }
