@@ -38,12 +38,19 @@ class TextStats:
         batch["n_punct"] = s.str.count(_PUNCT).astype("int64")
         nc = batch["n_chars_calc"].to_numpy().astype(np.float64)
         batch["punct_ratio"] = batch["n_punct"] / np.maximum(nc, 1.0)
+        # explode+groupby keeps the whole batch in pandas kernels (no
+        # per-row Python lambdas): one stopword-membership pass and one
+        # char-length pass over all words of the batch at once
         words = s.str.lower().str.findall(_WORD)
-        batch["stopword_ratio"] = words.map(
-            lambda ws: sum(w in STOPWORDS for w in ws) / max(len(ws), 1)
-        )
-        total_word_chars = words.map(lambda ws: sum(len(w) for w in ws))
-        batch["avg_word_len"] = total_word_chars / np.maximum(batch["n_words"].to_numpy(), 1)
+        exploded = words.explode()
+        grp = exploded.index
+        stop_counts = exploded.isin(STOPWORDS).groupby(grp).sum().reindex(
+            batch.index, fill_value=0)
+        word_chars = exploded.str.len().fillna(0).groupby(grp).sum().reindex(
+            batch.index, fill_value=0)
+        n_words = np.maximum(batch["n_words"].to_numpy(), 1)
+        batch["stopword_ratio"] = stop_counts.to_numpy() / n_words
+        batch["avg_word_len"] = word_chars.to_numpy() / n_words
         # simple quality heuristic: long-enough, low punct, some stopwords
         batch["quality_score"] = (
             np.clip(nc / 200.0, 0, 1) * 0.4
@@ -80,21 +87,26 @@ class LangId:
         self.word = _WORD
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        # vectorized scoring: explode the batch's words once, one isin
+        # pass per language, groupby-sum back to rows, argmax across the
+        # (rows × langs) rate matrix (first-max ties == the scalar
+        # strict-> iteration order)
         words = batch["text"].str.lower().str.findall(self.word)
-
-        def score(ws):
-            if not ws:
-                return "und", 0.0
-            best, best_r = "und", 0.0
-            for lang, sw in self.LANG_STOPWORDS.items():
-                r = sum(w in sw for w in ws) / len(ws)
-                if r > best_r:
-                    best, best_r = lang, r
-            return best if best_r > 0.01 else "und", best_r
-
-        scored = words.map(score)
-        batch["lang_pred"] = scored.map(lambda t: t[0])
-        batch["lang_conf"] = scored.map(lambda t: t[1])
+        exploded = words.explode()
+        grp = exploded.index
+        n = words.str.len().to_numpy().astype(np.float64)
+        rates = np.zeros((len(batch), len(self.LANG_STOPWORDS)))
+        langs = list(self.LANG_STOPWORDS)
+        for j, lang in enumerate(langs):
+            hits = exploded.isin(self.LANG_STOPWORDS[lang]).groupby(grp).sum()
+            rates[:, j] = hits.reindex(batch.index, fill_value=0).to_numpy() \
+                / np.maximum(n, 1.0)
+        best = rates.argmax(axis=1)
+        best_r = rates[np.arange(len(batch)), best]
+        pred = np.array(langs, dtype=object)[best]
+        pred[best_r <= 0.01] = "und"
+        batch["lang_pred"] = pred
+        batch["lang_conf"] = best_r
         return batch
 
 

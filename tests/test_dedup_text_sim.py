@@ -319,3 +319,29 @@ def test_ngram_jaccard_exact_all_pairs(ray_session, docs_pdf):
     assert got_pairs.keys() == expect.keys()
     for key_ in expect:
         assert abs(got_pairs[key_] - expect[key_]) < 1e-12
+
+
+def test_textstats_langid_vectorized_equal_scalar(docs_pdf):
+    """The explode/groupby kernels must reproduce the per-row scalar
+    definitions exactly."""
+    from pic2vec_ray.stages.text import _WORD, STOPWORDS, LangId, TextStats
+
+    batch = docs_pdf.head(50)[["doc_id", "text"]].copy()
+    batch.loc[len(batch)] = {"doc_id": 10**9, "text": ""}  # empty-doc edge
+    batch = batch.reset_index(drop=True)
+    out = TextStats()(batch.copy())
+    lid = LangId()(batch.copy())
+    for i, t in enumerate(batch.text):
+        ws = _WORD.findall(t.lower())
+        exp_stop = sum(w in STOPWORDS for w in ws) / max(len(ws), 1)
+        exp_avg = sum(len(w) for w in ws) / max(len(ws), 1)
+        assert abs(out.stopword_ratio[i] - exp_stop) < 1e-12
+        assert abs(out.avg_word_len[i] - exp_avg) < 1e-12
+        best, best_r = "und", 0.0
+        for lang, sw in LangId.LANG_STOPWORDS.items():
+            r = sum(w in sw for w in ws) / len(ws) if ws else 0.0
+            if r > best_r:
+                best, best_r = lang, r
+        exp_pred = best if best_r > 0.01 else "und"
+        assert lid.lang_pred[i] == exp_pred
+        assert abs(lid.lang_conf[i] - best_r) < 1e-12
