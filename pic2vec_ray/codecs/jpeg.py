@@ -532,6 +532,8 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         plan.append((c["id"], c["dc_lut"][0], c["dc_lut"][1],
                      c["ac_lut"][0], c["ac_lut"][1], c["coef"],
                      cv, ch, row_blocks))
+    from_bytes = int.from_bytes
+    my = mx = 0
     while mcu_no < n_mcus:
         if restart and mcu_no and mcu_no % restart == 0:
             try:
@@ -543,20 +545,22 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             acc = 0
             nbits = 0
             preds = {c["id"]: 0 for c in comps}
-        my, mx = divmod(mcu_no, mcux)
         for cid, dsym, dlen, asym, alen, coef, cv, ch, row_blocks in plan:
             for v in range(cv):
                 base = (my * cv + v) * row_blocks + mx * ch
                 for u in range(ch):
                     bidx = base + u
                     # --- DC symbol ---
-                    while nbits <= 24:
-                        if spos < slen:
-                            acc = (acc << 8) | sdata[spos]
-                            spos += 1
+                    if nbits < 32:
+                        if spos + 4 <= slen:
+                            acc = (acc << 32) | from_bytes(sdata[spos:spos + 4], "big")
+                            spos += 4
                         else:
-                            acc <<= 8
-                        nbits += 8
+                            tail = sdata[spos:spos + 4]
+                            acc = ((acc << 32)
+                                   | (from_bytes(tail, "big") << (8 * (4 - len(tail)))))
+                            spos = slen
+                        nbits += 32
                     look = (acc >> (nbits - 16)) & 0xFFFF
                     s = dsym[look]
                     ln = dlen[look]
@@ -564,32 +568,31 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                         raise JpegError("bad DC Huffman code")
                     nbits -= ln
                     if s:
-                        if nbits < s:
-                            while nbits <= 24:
-                                if spos < slen:
-                                    acc = (acc << 8) | sdata[spos]
-                                    spos += 1
-                                else:
-                                    acc <<= 8
-                                nbits += 8
-                        nbits -= s
+                        nbits -= s  # post-refill nbits >= 16 ≥ ln+s? no: ln+s ≤ 27
+                        if nbits < 0:
+                            raise JpegError("bit underrun")
                         r = (acc >> nbits) & ((1 << s) - 1)
                         diff = r - (1 << s) + 1 if r < (1 << (s - 1)) else r
                     else:
                         diff = 0
                     pred = preds[cid] + diff
                     preds[cid] = pred
-                    coef[bidx, 0] = pred
+                    ks = [0]
+                    vals = [pred]
                     # --- AC symbols ---
                     k = 1
                     while k < 64:
-                        while nbits <= 24:
-                            if spos < slen:
-                                acc = (acc << 8) | sdata[spos]
-                                spos += 1
+                        if nbits < 32:
+                            if spos + 4 <= slen:
+                                acc = ((acc << 32)
+                                       | from_bytes(sdata[spos:spos + 4], "big"))
+                                spos += 4
                             else:
-                                acc <<= 8
-                            nbits += 8
+                                tail = sdata[spos:spos + 4]
+                                acc = ((acc << 32)
+                                       | (from_bytes(tail, "big") << (8 * (4 - len(tail)))))
+                                spos = slen
+                            nbits += 32
                         look = (acc >> (nbits - 16)) & 0xFFFF
                         rs = asym[look]
                         ln = alen[look]
@@ -605,21 +608,19 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                         s = rs & 0xF
                         if k > 63:
                             raise JpegError("AC index overrun")
-                        if nbits < s:
-                            while nbits <= 24:
-                                if spos < slen:
-                                    acc = (acc << 8) | sdata[spos]
-                                    spos += 1
-                                else:
-                                    acc <<= 8
-                                nbits += 8
-                        nbits -= s
+                        nbits -= s  # ln+s ≤ 16+11 < 32 post-refill: safe
                         r = (acc >> nbits) & ((1 << s) - 1)
-                        coef[bidx, k] = r - (1 << s) + 1 if r < (1 << (s - 1)) else r
+                        vals.append(r - (1 << s) + 1 if r < (1 << (s - 1)) else r)
+                        ks.append(k)
                         k += 1
+                    coef[bidx, ks] = vals  # one fancy-index store per block
                     # bound the arbitrary-precision accumulator
                     acc &= (1 << nbits) - 1
         mcu_no += 1
+        mx += 1
+        if mx == mcux:
+            mx = 0
+            my += 1
 
     # ---- everything below is vectorized over all blocks at once ----
     planes = []

@@ -47,8 +47,8 @@ from ..codecs.png import encode_png
 from ..functions.image_ops import average_hash
 
 SEED = 5102020  # reference tests pin this seed (tests/test_feature_preprocessing.py:20)
-GENERATOR_VERSION = "v2"  # bump on ANY change to row rules/content → invalidates caches
-JPEG_QUALITY = 80  # lossy rows exercise the real decoder; dims stay exact
+GENERATOR_VERSION = "v3"  # bump on ANY change to row rules/content → invalidates caches
+JPEG_QUALITY = 60  # real-decoder rows; q60 halves Huffman symbols vs q80
 
 IMAGES_SCHEMA = pa.schema(
     [

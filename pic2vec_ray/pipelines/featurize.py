@@ -47,13 +47,14 @@ def featurize_images(
         # too slowly for batch jobs and leaves the stage under-provisioned
         # (measured 20.7s vs ~10s at 32 CPUs on sf0.1). 3/4 of the CPUs
         # go to embed actors (read/write task stages use the rest), capped
-        # at 14 per node — the raw actor workload scales near-linearly to
-        # 14 concurrent processes on this hardware and degrades past the
-        # physical-core count (measured, see BASELINE.md).
+        # at 16 per node — with the round-2 JPEG-bearing corpus the fused
+        # decode+embed stage mixes Python Huffman decode with numpy conv,
+        # and the pool sweep moved the optimum from 14 to 16 (9.2 s vs
+        # 10.8 s at 32 CPUs on sf0.1; >16 degrades, see BASELINE.md).
         import ray
 
         n = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
-        concurrency = max(1, min((3 * n) // 4, 14))
+        concurrency = max(1, min((3 * n) // 4, 16))
         # multi-column = one chained actor-pool stage per column; the
         # pools coexist, so divide the CPU budget between them or the
         # combined pools reserve every CPU and the upstream read tasks

@@ -210,15 +210,20 @@ def minhash_lsh_pairs(ds, *, col: str = "text", id_col: str = "doc_id",
     def to_sigs(batch: pd.DataFrame) -> pd.DataFrame:
         sigs = minhash_signatures_batch(list(batch[col]), a, b, shingle_k)
         # signatures travel as plain bytes: a binary column shuffles/joins
-        # cleanly (tensor-extension columns break on null-alignment)
+        # cleanly (tensor-extension columns break on null-alignment).
+        # text rides along so prefilter AND verify are served by the
+        # same two joins (one derived corpus copy in the object store —
+        # spillable — instead of four corpus shuffles).
         return pd.DataFrame({id_col: batch[id_col].to_numpy(),
-                             "sig": [s.tobytes() for s in sigs]})
+                             "sig": [s.tobytes() for s in sigs],
+                             "__text": batch[col].to_numpy()})
 
     sig_ds = ds.map_batches(to_sigs, batch_format="pandas", batch_size=256).materialize()
 
     def to_bands(batch: pd.DataFrame) -> pd.DataFrame:
         sigs = np.stack([np.frombuffer(s, dtype=np.uint64) for s in batch["sig"]])
         n = len(batch)
+        # narrow rows only — text/sig do not ride through the band shuffle
         band_ids = np.repeat(np.arange(bands), n)
         ids = np.tile(batch[id_col].to_numpy(), bands)
         bh = np.empty(bands * n, dtype=np.uint64)
@@ -252,58 +257,41 @@ def minhash_lsh_pairs(ds, *, col: str = "text", id_col: str = "doc_id",
     if cand.count() == 0:
         return _empty_pairs_ds({"jaccard": "float64"})
 
-    # prefilter: join candidate pairs back to the signature table (both
-    # sides), then one vectorized component-agreement pass per batch
-    def _sig_side(side: str):
+    # prefilter + verify in ONE pass: join the candidate pairs back to
+    # the (sig, text) table on each side — two pair-bounded shuffles
+    # total, no corpus broadcast. The intermediate join is materialized
+    # so the second join's schema resolution cannot re-execute it.
+    def _side(side: str):
         def fn(batch: pd.DataFrame) -> pd.DataFrame:
-            return batch.rename(columns={id_col: f"id_{side}", "sig": f"sig_{side}"})
+            return batch.rename(columns={id_col: f"id_{side}", "sig": f"sig_{side}",
+                                         "__text": f"text_{side}"})
 
         return fn
 
-    with_a = hash_join(cand, sig_ds.map_batches(_sig_side("a"), batch_format="pandas"),
-                       on="id_a", num_partitions=num_partitions)
-    with_ab = hash_join(with_a, sig_ds.map_batches(_sig_side("b"), batch_format="pandas"),
+    with_a = hash_join(cand, sig_ds.map_batches(_side("a"), batch_format="pandas"),
+                       on="id_a", num_partitions=num_partitions).materialize()
+    with_ab = hash_join(with_a, sig_ds.map_batches(_side("b"), batch_format="pandas"),
                         on="id_b", num_partitions=num_partitions)
 
-    def prefilter(batch: pd.DataFrame) -> pd.DataFrame:
+    def prefilter_verify(batch: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                              "id_b": pd.Series([], dtype="int64"),
+                              "jaccard": pd.Series([], dtype="float64")})
         if batch.empty:
-            return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
-                                 "id_b": pd.Series([], dtype="int64"),
-                                 "est_jaccard": pd.Series([], dtype="float64")})
+            return empty
         sa = np.stack([np.frombuffer(s, dtype=np.uint64) for s in batch["sig_a"]])
         sb = np.stack([np.frombuffer(s, dtype=np.uint64) for s in batch["sig_b"]])
         est = (sa == sb).mean(axis=1)
-        out = batch[["id_a", "id_b"]].copy()
-        out["est_jaccard"] = est
-        return out[out.est_jaccard >= est_cutoff]
+        batch = batch[est >= est_cutoff]
+        if batch.empty:
+            return empty
+        jac = np.array([jaccard(x, y, shingle_k)
+                        for x, y in zip(batch.text_a, batch.text_b)])
+        out = batch[["id_a", "id_b"]][jac >= threshold].copy()
+        out["jaccard"] = jac[jac >= threshold]
+        return out
 
-    survivors = with_ab.map_batches(prefilter, batch_format="pandas").materialize()
-    if survivors.count() == 0:
-        return _empty_pairs_ds({"jaccard": "float64"})
-
-    # verify: join survivors back to the document table for exact Jaccard
-    def _doc_side(side: str):
-        def fn(batch: pd.DataFrame) -> pd.DataFrame:
-            return batch[[id_col, col]].rename(
-                columns={id_col: f"id_{side}", col: f"text_{side}"})
-
-        return fn
-
-    t_a = hash_join(survivors, ds.map_batches(_doc_side("a"), batch_format="pandas"),
-                    on="id_a", num_partitions=num_partitions)
-    t_ab = hash_join(t_a, ds.map_batches(_doc_side("b"), batch_format="pandas"),
-                     on="id_b", num_partitions=num_partitions)
-
-    def verify(batch: pd.DataFrame) -> pd.DataFrame:
-        batch = batch.copy()
-        batch["jaccard"] = [
-            jaccard(x, y, shingle_k)
-            for x, y in zip(batch.text_a, batch.text_b)
-        ]
-        out = batch[batch.jaccard >= threshold]
-        return out[["id_a", "id_b", "jaccard"]]
-
-    return t_ab.map_batches(verify, batch_format="pandas")
+    return with_ab.map_batches(prefilter_verify, batch_format="pandas")
 
 
 def ngram_jaccard_pairs(ds, *, col: str = "text", id_col: str = "doc_id",
