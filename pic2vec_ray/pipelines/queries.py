@@ -415,7 +415,8 @@ def text_stats_docs(sf_dir: str):
     from ..stages.text import TextStats, count_tokens_bpe_ish
 
     ds = _rd().read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    out = ds.map_batches(TextStats, batch_format="pandas", concurrency=(1, 4)) \
+    # fixed pool: autoscaling (1, N) ramps too slowly for batch jobs
+    out = ds.map_batches(TextStats, batch_format="pandas", concurrency=4) \
             .map_batches(count_tokens_bpe_ish, batch_format="pandas")
     return out.select_columns(
         ["doc_id", "n_chars_calc", "n_tokens", "n_words", "n_punct", "punct_ratio", "n_bpe_tokens"]
@@ -682,7 +683,7 @@ def langid_docs(sf_dir: str):
     from ..stages.text import LangId
 
     ds = _rd().read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"])
-    return ds.map_batches(LangId, batch_format="pandas", concurrency=(1, 4)) \
+    return ds.map_batches(LangId, batch_format="pandas", concurrency=4) \
              .select_columns(["doc_id", "lang", "lang_pred", "lang_conf"])
 
 

@@ -145,6 +145,58 @@ def ingest_images(image_directory: str | None = None, csv_path: str | None = Non
     return rd.from_arrow(table)
 
 
+def ingest_images_distributed(image_directory: str):
+    """S1 at scale: distributed directory ingest.
+
+    The driver only LISTS paths (metadata); file BYTES are read by
+    ``ray.data.read_binary_files`` tasks across the cluster — the
+    100 TB path where ``ingest_images``'s driver-side reads would not
+    fly. Content probing (sniff/decode/dims/phash) runs as a
+    ``map_batches`` stage over the streamed bytes. Emits the canonical
+    input_hint schema; rows whose content fails the whitelist keep
+    their bytes (decode stage applies missing semantics downstream),
+    matching ``ingest_images`` row-for-row for the same directory.
+    """
+    import ray.data as rd
+
+    names = find_directory_image_paths(image_directory)
+    if not names:
+        raise ValueError(f"no whitelisted images under {image_directory!r}")
+    paths = [os.path.join(image_directory, n) for n in names]
+    ds = rd.read_binary_files(paths, include_paths=True)
+    prefix_len = len(image_directory.rstrip(os.sep)) + 1
+
+    def probe(t: pa.Table) -> pa.Table:
+        ids, ws, hs, fmts, hashes = [], [], [], [], []
+        for path, data in zip(t["path"].to_pylist(), t["bytes"].to_pylist()):
+            data = bytes(data)
+            ids.append(path[prefix_len:] if path.startswith(image_directory.rstrip(os.sep)) else path)
+            fmt = sniff_format(data[:8]) or ""
+            w = h = 0
+            ph = 0
+            try:
+                img = decode_image(data)
+                h, w = img.shape[:2]
+                ph = average_hash(img)
+            except (DecodeError, Exception):
+                pass
+            ws.append(w)
+            hs.append(h)
+            fmts.append(fmt)
+            hashes.append(ph)
+        return pa.table({
+            "image_id": pa.array(ids, pa.string()),
+            "bytes": t["bytes"],
+            "w": pa.array(np.array(ws, dtype=np.int32)),
+            "h": pa.array(np.array(hs, dtype=np.int32)),
+            "fmt": pa.array(fmts, pa.string()),
+            "caption": pa.array([""] * len(t), pa.string()),
+            "phash": pa.array(np.array(hashes, dtype=np.int64)),
+        })
+
+    return ds.map_batches(probe, batch_format="pyarrow")
+
+
 def ingest_images_multi(image_directory: str | None, csv_path: str | None,
                         image_columns: list[str]):
     """Multi-column ingest: the reference featurizes EVERY listed CSV

@@ -119,3 +119,17 @@ def test_facade_error_paths(ray_session):
         f.featurize("images")  # neither path given
     with pytest.raises(ValueError):
         ImageFeaturizer(model="nope")
+
+
+def test_distributed_ingest_matches_driver_ingest(ray_session, corpus):
+    """S1 scale path (read_binary_files + probe stage) must equal the
+    driver-side ingest row-for-row on the same directory."""
+    from pic2vec_ray.sources.ingest import ingest_images, ingest_images_distributed
+
+    d, _ = corpus
+    a = ingest_images(str(d)).to_pandas().sort_values("image_id").reset_index(drop=True)
+    b = ingest_images_distributed(str(d)).to_pandas().sort_values("image_id").reset_index(drop=True)
+    assert a.image_id.tolist() == b.image_id.tolist()
+    for col in ("w", "h", "fmt", "phash"):
+        assert a[col].tolist() == b[col].tolist(), col
+    assert all(bytes(x) == bytes(y) for x, y in zip(a.bytes, b.bytes))
