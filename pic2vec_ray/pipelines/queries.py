@@ -190,6 +190,48 @@ GROUP BY o_orderpriority
 """
 
 
+def _custkeys_joined(sf_dir: str, how: str):
+    from ..temporal.join import hash_join
+
+    rd = _rd()
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey"])
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_custkey", "o_orderpriority"])
+
+    def urgent(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["o_orderpriority"], "1-URGENT"))
+        return t.drop_columns(["o_orderpriority"])
+
+    return hash_join(cust, orders.map_batches(urgent, batch_format="pyarrow"),
+                     on="c_custkey", right_on="o_custkey", how=how,
+                     num_partitions=_nparts(sf_dir, "customer", "orders"))
+
+
+def customers_without_orders(sf_dir: str):
+    """Distributed ANTI join (the membership-miss side of the
+    reference's CSV⋉directory semantics, §2.4, at table scale):
+    customers with no urgent order."""
+    return _custkeys_joined(sf_dir, "anti")
+
+
+def customers_with_orders(sf_dir: str):
+    """Distributed SEMI join (membership-hit side): customers with at
+    least one urgent order — no row duplication from multiple matches."""
+    return _custkeys_joined(sf_dir, "semi")
+
+
+SQL_ANTI_JOIN = """
+SELECT c_custkey FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+"""
+SQL_SEMI_JOIN = """
+SELECT c_custkey FROM customer
+WHERE EXISTS (SELECT 1 FROM orders
+              WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+"""
+
+
 # ----------------------------------------------------------- temporal layer
 
 
@@ -705,6 +747,8 @@ QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q2_top_customers": q2_top_customers,
     "q3_priority_revenue": q3_priority_revenue,
+    "customers_without_orders": customers_without_orders,
+    "customers_with_orders": customers_with_orders,
     "embedding_neardup": embedding_neardup,
     "asof_purchase": asof_purchase,
     "asof_purchase_strict": asof_purchase_strict,
@@ -734,6 +778,8 @@ ORACLE_SQL = {
     "q1_pricing_summary": SQL_Q1,
     "q2_top_customers": SQL_Q2,
     "q3_priority_revenue": SQL_Q3,
+    "customers_without_orders": SQL_ANTI_JOIN,
+    "customers_with_orders": SQL_SEMI_JOIN,
     "asof_purchase": SQL_ASOF,
     "asof_purchase_strict": SQL_ASOF_STRICT,
     "lag_lead_value": SQL_LAG_LEAD,

@@ -32,12 +32,16 @@ def hash_join(
     suffix: str = "_r",
     num_partitions: int = DEFAULT_PARTITIONS,
 ):
-    """Join two Datasets on equality keys. ``how``: inner/left.
+    """Join two Datasets on equality keys. ``how``: inner/left/semi/anti.
 
-    Output: left columns + right's non-key columns (clashes suffixed).
+    inner/left output: left columns + right's non-key columns (clashes
+    suffixed). semi/anti output: left columns only — left rows with at
+    least one / no key match on the right (the reference's CSV⋉directory
+    membership shape, §2.4, as a true distributed join instead of a
+    broadcast membership set).
     """
-    if how not in ("inner", "left"):
-        raise ValueError("how must be 'inner' or 'left'")
+    if how not in ("inner", "left", "semi", "anti"):
+        raise ValueError("how must be 'inner', 'left', 'semi' or 'anti'")
     keys = [on] if isinstance(on, str) else list(on)
     rkeys = [right_on] if isinstance(right_on, str) else list(right_on or keys)
     if len(keys) != len(rkeys):
@@ -86,7 +90,11 @@ def hash_join(
     def merge(group: pd.DataFrame) -> pd.DataFrame:
         l = group[group[_SIDE] == 0][left_names]
         r = group[group[_SIDE] == 1][keys + value_cols]
-        out = l.merge(r, on=keys, how=how)
+        if how in ("semi", "anti"):
+            mask = l.set_index(keys).index.isin(r.set_index(keys).index)
+            out = l[mask] if how == "semi" else l[~mask]
+        else:
+            out = l.merge(r, on=keys, how=how)
         from .core import restore_int_dtypes
 
         return restore_int_dtypes(out, int_like)

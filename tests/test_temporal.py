@@ -136,3 +136,20 @@ def test_rolling_range_oracle(events, events_pdf):
     o["v1h"] = expect
     o = o.sort_values("event_id").reset_index(drop=True)
     assert np.allclose(got.v1h.to_numpy(), o.v1h.to_numpy(), atol=1e-9)
+
+
+def test_hash_join_semi_anti(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from pic2vec_ray.temporal.join import hash_join
+
+    left = pd.DataFrame({"k": [1, 2, 3, 4], "v": list("abcd")})
+    right = pd.DataFrame({"k": [2, 2, 4, 9], "w": [1.0, 2.0, 3.0, 4.0]})
+    semi = hash_join(rd.from_pandas(left), rd.from_pandas(right), on="k",
+                     how="semi", num_partitions=2).to_pandas().sort_values("k")
+    anti = hash_join(rd.from_pandas(left), rd.from_pandas(right), on="k",
+                     how="anti", num_partitions=2).to_pandas().sort_values("k")
+    assert semi.k.tolist() == [2, 4] and semi.columns.tolist() == ["k", "v"]
+    assert anti.k.tolist() == [1, 3]
+    assert semi.v.tolist() == ["b", "d"]  # no duplication from 2 right matches
