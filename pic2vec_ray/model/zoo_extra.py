@@ -153,10 +153,6 @@ def depthwise_conv2d(x, w, stride=1, padding="same"):
 # (tests/test_build_featurizer.py:301-306).
 
 
-def _cbr(w, x, name, kh, kw, cout_key=None, stride=1, padding="same"):
-    return relu(conv2d(x, w[name], stride=stride, padding=padding))
-
-
 def _inception_weights():
     w = {}
 

@@ -388,6 +388,64 @@ GROUP BY user_id, DATE_TRUNC('day', ts)
 """
 
 
+def hopping_30m_1h(sf_dir: str):
+    """Hopping event-time windows (width 1 h, hop 30 min — every event
+    lands in 2 overlapping windows) per user."""
+    from ..temporal.windows import hopping_window_agg
+
+    ds = _events(sf_dir, columns=["user_id", "ts", "value"])
+    out = hopping_window_agg(ds, by="user_id", order="ts", value="value",
+                             width=pd.Timedelta(hours=1),
+                             hop=pd.Timedelta(minutes=30),
+                             origin=pd.Timestamp("2024-01-01"),
+                             aggs=("count", "sum"),
+                             num_partitions=_nparts(sf_dir, "events"))
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["sum_v"] = df.sum_v.round(6)
+        df["n_rows"] = df.n_rows.astype("int64")
+        return df[["user_id", "window_start", "n_rows", "sum_v"]]
+
+    return out.map_batches(finish, batch_format="pandas")
+
+
+SQL_HOPPING = """
+SELECT user_id,
+       time_bucket(INTERVAL 30 MINUTE, ts) - i * INTERVAL 30 MINUTE AS window_start,
+       COUNT(*) AS n_rows, ROUND(SUM(value), 6) AS sum_v
+FROM events, (SELECT unnest([0, 1]) AS i) hops
+GROUP BY 1, 2
+"""
+
+
+def top3_purchases_per_user(sf_dir: str):
+    """Deterministic top-n per group (ROW_NUMBER ≤ 3): each user's 3
+    highest-value purchases, event_id tiebreak."""
+    from ..temporal.windows import top_n_per_group
+
+    ds = _events(sf_dir, columns=["event_id", "user_id", "ts", "event_type", "value"])
+
+    def purchases(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["event_type"], "purchase"))
+        return t.drop_columns(["event_type"])
+
+    out = top_n_per_group(ds.map_batches(purchases, batch_format="pyarrow"),
+                          by="user_id", order_cols=["value", "event_id"],
+                          ascending=[False, True], n=3,
+                          num_partitions=_nparts(sf_dir, "events"))
+    return out.select_columns(["event_id", "user_id", "ts", "value"])
+
+
+SQL_TOP3 = """
+SELECT event_id, user_id, ts, value
+FROM events
+WHERE event_type = 'purchase'
+QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id
+                           ORDER BY value DESC, event_id) <= 3
+"""
+
+
 def rolling_1h(sf_dir: str):
     from ..temporal.windows import rolling_range_agg
 
@@ -729,6 +787,38 @@ def langid_docs(sf_dir: str):
              .select_columns(["doc_id", "lang", "lang_pred", "lang_conf"])
 
 
+def _langid_sql() -> str:
+    """DuckDB oracle generated FROM LangId's own stopword lists (no
+    drift): per-language stopword-hit rate over regexp words, first-max
+    argmax via CASE order, und below the 0.01 floor. Valid because the
+    synthetic docs are pure ASCII (re \\w ≡ RE2 \\w there)."""
+    from ..stages.text import LangId
+
+    rate_cols, case_arms = [], []
+    langs = list(LangId.LANG_STOPWORDS)
+    for lang in langs:
+        lst = ", ".join(f"'{w}'" for w in sorted(LangId.LANG_STOPWORDS[lang]))
+        rate_cols.append(
+            f"len(list_filter(ws, x -> x IN ({lst})))::DOUBLE"
+            f" / greatest(len(ws), 1) AS r_{lang}")
+        case_arms.append(f"WHEN r_{lang} = g THEN '{lang}'")
+    greatest = ", ".join(f"r_{lang}" for lang in langs)
+    return f"""
+WITH w AS (
+  SELECT doc_id, lang, regexp_extract_all(lower(text), '\\w+') AS ws
+  FROM documents
+), r AS (
+  SELECT doc_id, lang, {", ".join(rate_cols)} FROM w
+), g AS (
+  SELECT *, greatest({greatest}) AS g FROM r
+)
+SELECT doc_id, lang,
+       CASE WHEN g <= 0.01 THEN 'und' {" ".join(case_arms)} END AS lang_pred,
+       g AS lang_conf
+FROM g
+"""
+
+
 def ivf_search_embeddings(sf_dir: str):
     from ..stages.similarity import IvfIndex
 
@@ -756,6 +846,8 @@ QUERIES = {
     "backfill_purchase_value": backfill_purchase_value,
     "sessionize_events": sessionize_events,
     "tumbling_1d": tumbling_1d,
+    "hopping_30m_1h": hopping_30m_1h,
+    "top3_purchases_per_user": top3_purchases_per_user,
     "rolling_1h": rolling_1h,
     "dedup_exact_docs": dedup_exact_docs,
     "distinct_sources": distinct_sources,
@@ -786,6 +878,8 @@ ORACLE_SQL = {
     "backfill_purchase_value": SQL_BACKFILL,
     "sessionize_events": SQL_SESSIONIZE,
     "tumbling_1d": SQL_TUMBLING,
+    "hopping_30m_1h": SQL_HOPPING,
+    "top3_purchases_per_user": SQL_TOP3,
     "rolling_1h": SQL_ROLLING,
     "dedup_exact_docs": SQL_DEDUP_EXACT,
     "distinct_sources": SQL_DISTINCT,
@@ -796,4 +890,5 @@ ORACLE_SQL = {
     "caption_roundtrip": SQL_CAPTION,
     "featurize_dims": SQL_FEATURIZE_DIMS,
     "ngram_jaccard_pairs": SQL_NGRAM_JACCARD,
+    "langid_docs": _langid_sql(),
 }

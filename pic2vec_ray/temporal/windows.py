@@ -163,3 +163,60 @@ def rolling_range_agg(ds, *, by: str, order: str, value: str | None, window: pd.
         return df
 
     return partitioned_apply(ds, by, fn, num_partitions)
+
+
+def hopping_window_agg(ds, *, by: str, order: str, value: str, width: pd.Timedelta,
+                       hop: pd.Timedelta, origin: pd.Timestamp,
+                       aggs: tuple[str, ...] = ("count", "sum"),
+                       num_partitions: int = DEFAULT_PARTITIONS):
+    """Hopping (sliding, overlapping) event-time windows per entity:
+    width ``width``, advancing every ``hop`` (``width = m × hop``
+    required). Each row is REPLICATED to its m covering windows with a
+    vectorized projection — rows expand ×m before the same grouped
+    aggregate tumbling uses, so the shuffle grows by the overlap
+    factor, never the driver. SQL equivalent: GROUP BY time_bucket
+    minus i·hop over an unnested hop index.
+    """
+    width_us = int(width.total_seconds() * 1_000_000)
+    hop_us = int(hop.total_seconds() * 1_000_000)
+    if width_us % hop_us:
+        raise ValueError("width must be an integer multiple of hop")
+    m = width_us // hop_us
+    origin64 = pd.Timestamp(origin).to_datetime64()
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        off = (df[order].to_numpy() - origin64).astype("timedelta64[us]").astype("int64")
+        base = (off // hop_us) * hop_us  # latest covering window start
+        frames = []
+        for i in range(m):
+            w = df[[by, value]].copy()
+            w["window_start"] = pd.Series(
+                origin64 + (base - i * hop_us).astype("timedelta64[us]"),
+                index=df.index)
+            frames.append(w)
+        allw = pd.concat(frames, ignore_index=True)
+        g = allw.groupby([by, "window_start"], as_index=False)
+        out = g.agg(n_rows=(value, "size"), sum_v=(value, "sum"), mean_v=(value, "mean"))
+        keep = ["n_rows"] if "count" in aggs else []
+        if "sum" in aggs:
+            keep.append("sum_v")
+        if "mean" in aggs:
+            keep.append("mean_v")
+        return out[[by, "window_start"] + keep]
+
+    return partitioned_apply(ds, by, fn, num_partitions)
+
+
+def top_n_per_group(ds, *, by: str, order_cols: list[str], ascending: list[bool],
+                    n: int, num_partitions: int = DEFAULT_PARTITIONS):
+    """Deterministic top-n rows per entity (SQL ROW_NUMBER ≤ n): one
+    hash shuffle on the entity key, then a vectorized partition-local
+    sort + ``groupby.head`` — never a global sort, never a driver
+    collect. ``order_cols``/``ascending`` must pin total order
+    (include a tiebreak column)."""
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.sort_values(order_cols, ascending=ascending, kind="mergesort")
+                  .groupby(by, sort=False).head(n))
+
+    return partitioned_apply(ds, by, fn, num_partitions)

@@ -74,3 +74,60 @@ def test_tumbling_window_matches_pandas(ray_session, sf_dir):
     assert len(merged) == len(exp) == len(out)
     assert (merged.n_rows == merged.n_rows_e).all()
     assert np.allclose(merged.sum_v, merged.sum_v_e)
+
+
+def test_hopping_window_brute_force(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from pic2vec_ray.temporal.windows import hopping_window_agg
+
+    rng = np.random.default_rng(11)
+    base = pd.Timestamp("2024-01-01")
+    df = pd.DataFrame({
+        "k": rng.integers(0, 3, 60),
+        "ts": base + pd.to_timedelta(rng.integers(0, 6 * 3600, 60), unit="s"),
+        "v": rng.random(60).round(3),
+    })
+    df["ts"] = df["ts"].astype("datetime64[us]")
+    out = hopping_window_agg(rd.from_pandas(df), by="k", order="ts", value="v",
+                             width=pd.Timedelta(hours=1),
+                             hop=pd.Timedelta(minutes=30), origin=base,
+                             num_partitions=2).to_pandas()
+    # brute force: every (k, aligned start) window covering >= 1 event
+    hop, width = pd.Timedelta(minutes=30), pd.Timedelta(hours=1)
+    expect = {}
+    for r in df.itertuples():
+        latest = base + ((r.ts - base) // hop) * hop
+        for i in range(2):
+            s = latest - i * hop
+            key = (r.k, s)
+            cnt, sv = expect.get(key, (0, 0.0))
+            expect[key] = (cnt + 1, sv + r.v)
+    got = {(r.k, r.window_start): (r.n_rows, round(r.sum_v, 9))
+           for r in out.itertuples()}
+    assert got.keys() == expect.keys()
+    for key_, (cnt, sv) in expect.items():
+        assert got[key_][0] == cnt and abs(got[key_][1] - sv) < 1e-9
+    # every event lands in exactly width/hop windows
+    assert out.n_rows.sum() == 2 * len(df)
+
+
+def test_top_n_per_group_brute_force(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from pic2vec_ray.temporal.windows import top_n_per_group
+
+    rng = np.random.default_rng(5)
+    df = pd.DataFrame({"k": rng.integers(0, 5, 80),
+                       "id": np.arange(80),
+                       "v": rng.integers(0, 10, 80)})  # ties on v → id tiebreak
+    out = top_n_per_group(rd.from_pandas(df), by="k",
+                          order_cols=["v", "id"], ascending=[False, True],
+                          n=3, num_partitions=3).to_pandas()
+    expect = (df.sort_values(["v", "id"], ascending=[False, True])
+                .groupby("k").head(3))
+    assert sorted(out.id) == sorted(expect.id)
