@@ -32,9 +32,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-equivalent SQL for every SQL-expressible query; rows-only
-    ops (model scoring, sketch-based near-dup, IVF search) are omitted
-    by design — see pipelines/queries.py docstrings."""
+    """DuckDB-equivalent SQL for every SQL-expressible query (25 of 30
+    as of round 2). The 5 rows-only residue is genuinely
+    non-SQL-expressible: minhash/simhash pairs + minhash groups (the
+    sketch hash has no SQL equivalent), IVF search (k-means training),
+    and featurize_flagship's CNN feature norms (its structural contract
+    IS oracle-checked via featurize_dims)."""
     from pic2vec_ray.pipelines.queries import ORACLE_SQL
 
     return dict(ORACLE_SQL)

@@ -535,6 +535,53 @@ FROM documents
 """
 
 
+QUALITY_CUTOFF = 0.5
+
+
+def quality_filter_docs(sf_dir: str):
+    """Quality-score filter — the composite training-data gate
+    (length / punctuation / stopword heuristics) as a streaming filter;
+    the score formula is reproduced in SQL exactly (ratios of ints +
+    clip arithmetic → identical doubles)."""
+    from ..stages.text import TextStats
+
+    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    out = ds.map_batches(TextStats, batch_format="pandas", concurrency=4)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df.quality_score > QUALITY_CUTOFF].copy()
+        df["quality_score"] = df.quality_score.round(6)
+        return df[["doc_id", "quality_score"]]
+
+    return out.map_batches(finish, batch_format="pandas")
+
+
+def _quality_sql() -> str:
+    from ..stages.text import STOPWORDS
+
+    sw = ", ".join(f"'{w}'" for w in sorted(STOPWORDS))
+    return f"""
+WITH t AS (
+  SELECT doc_id,
+         LENGTH(text)::DOUBLE AS nc,
+         LEN(regexp_extract_all(text, '[^\\w\\s]'))::DOUBLE
+           / GREATEST(LENGTH(text), 1) AS punct_ratio,
+         LEN(list_filter(regexp_extract_all(lower(text), '\\w+'),
+                         x -> x IN ({sw})))::DOUBLE
+           / GREATEST(LEN(regexp_extract_all(text, '\\w+')), 1) AS stopword_ratio
+  FROM documents
+), q AS (
+  SELECT doc_id,
+         LEAST(nc / 200.0, 1.0) * 0.4
+         + (1.0 - LEAST(punct_ratio * 5, 1.0)) * 0.3
+         + LEAST(stopword_ratio * 4, 1.0) * 0.3 AS quality_score
+  FROM t
+)
+SELECT doc_id, ROUND(quality_score, 6) AS quality_score
+FROM q WHERE quality_score > {QUALITY_CUTOFF}
+"""
+
+
 def ann_topk_embeddings(sf_dir: str):
     from ..stages.similarity import ann_topk
 
@@ -852,6 +899,7 @@ QUERIES = {
     "dedup_exact_docs": dedup_exact_docs,
     "distinct_sources": distinct_sources,
     "text_stats_docs": text_stats_docs,
+    "quality_filter_docs": quality_filter_docs,
     "ann_topk_embeddings": ann_topk_embeddings,
     "image_decode_dims": image_decode_dims,
     "caption_roundtrip": caption_roundtrip,
@@ -884,6 +932,7 @@ ORACLE_SQL = {
     "dedup_exact_docs": SQL_DEDUP_EXACT,
     "distinct_sources": SQL_DISTINCT,
     "text_stats_docs": SQL_TEXT_STATS,
+    "quality_filter_docs": _quality_sql(),
     "ann_topk_embeddings": SQL_ANN_TOPK,
     "embedding_neardup": SQL_EMB_NEARDUP,
     "image_decode_dims": SQL_IMAGE_DIMS,
