@@ -35,6 +35,7 @@ from .core import DEFAULT_PARTITIONS, PART_COL, hash_partition_ids
 
 _SIDE = "__side"
 _SALT = "__salt"
+BROADCAST_MAX_BYTES = 64 << 20  # right sides under this go via ray.put
 
 
 def _arrow_schema(ds) -> pa.Schema:
@@ -78,7 +79,7 @@ def asof_join(
     tolerance=None,
     suffix: str = "_r",
     num_partitions: int = DEFAULT_PARTITIONS,
-    broadcast: bool = False,
+    broadcast: bool | str = False,
     hot_keys: list | None = None,
     salt: int = 8,
 ):
@@ -113,6 +114,17 @@ def asof_join(
         right_schema = _arrow_schema(right)
         value_cols = [n for n in right_schema.names if n not in (by, ron)]
 
+    if broadcast == "auto":
+        # plan selection from metadata only: broadcast when the right
+        # side is ALREADY MATERIALIZED and comfortably single-node
+        # (size_bytes on a lazy lineage would trigger an execution just
+        # to pick a plan); anything lazy or big takes the shuffle plan,
+        # which is always correct.
+        from ray.data.dataset import MaterializedDataset
+
+        nbytes = (right.size_bytes()
+                  if isinstance(right, MaterializedDataset) else None)
+        broadcast = nbytes is not None and nbytes <= BROADCAST_MAX_BYTES
     if broadcast:
         return _asof_broadcast(left, right, on, by, ron, value_cols,
                                allow_exact_matches, direction, tolerance)

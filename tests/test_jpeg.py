@@ -172,3 +172,39 @@ def test_zigzag_is_an_involution_pair():
     from pic2vec_ray.codecs.jpeg import UNZIGZAG
 
     assert np.array_equal(v[ZIGZAG][UNZIGZAG], v)
+
+
+# ------------------------------------------------------ property tests
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    h=st.integers(min_value=1, max_value=40),
+    w=st.integers(min_value=1, max_value=40),
+    quality=st.integers(min_value=5, max_value=100),
+    sub=st.sampled_from(["444", "420"]),
+    seed=st.integers(min_value=0, max_value=10_000),
+)
+def test_roundtrip_never_crashes_and_preserves_shape(h, w, quality, sub, seed):
+    """Any size × quality × subsampling roundtrips to the exact input
+    shape with in-range pixels — no crashes, no dimension drift."""
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+    out = decode_jpeg(encode_jpeg(img, quality=quality, subsampling=sub))
+    assert out.shape == (h, w, 3)
+    assert out.dtype == np.uint8
+
+
+@settings(max_examples=15, deadline=None)
+@given(seed=st.integers(min_value=0, max_value=10_000),
+       ri=st.integers(min_value=1, max_value=7))
+def test_restart_interval_is_pixel_invariant(seed, ri):
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, (24, 24, 3), dtype=np.uint8)
+    plain = decode_jpeg(encode_jpeg(img, quality=70))
+    restarted = decode_jpeg(encode_jpeg(img, quality=70, restart_interval=ri))
+    assert np.array_equal(plain, restarted)

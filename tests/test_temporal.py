@@ -153,3 +153,23 @@ def test_hash_join_semi_anti(ray_session):
     assert semi.k.tolist() == [2, 4] and semi.columns.tolist() == ["k", "v"]
     assert anti.k.tolist() == [1, 3]
     assert semi.v.tolist() == ["b", "d"]  # no duplication from 2 right matches
+
+
+def test_asof_auto_plan_selection(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from pic2vec_ray.temporal.asof import asof_join
+
+    ts = pd.to_datetime(["2024-01-01", "2024-01-02"]).astype("datetime64[us]")
+    left = pd.DataFrame({"k": [1, 1], "ts": ts})
+    right = pd.DataFrame({"k": [1], "ts": ts[:1], "v": [2.5]})
+    # materialized small right → auto picks the broadcast plan; lazy
+    # right → auto falls back to shuffle; results identical either way
+    r_small = rd.from_pandas(right).materialize()
+    r_lazy = rd.from_pandas(right).map_batches(lambda df: df, batch_format="pandas")
+    a = asof_join(rd.from_pandas(left), r_small, on="ts", by="k",
+                  broadcast="auto", num_partitions=2).to_pandas().sort_values("ts")
+    b = asof_join(rd.from_pandas(left), r_lazy, on="ts", by="k",
+                  broadcast="auto", num_partitions=2).to_pandas().sort_values("ts")
+    assert a.v.tolist() == b.v.tolist() == [2.5, 2.5]
