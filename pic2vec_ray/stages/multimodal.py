@@ -1,14 +1,16 @@
 """Multimodal columns beyond images: audio / video as opaque ``binary``
 columns with typed metadata, processed by actor-pool map_batches stages.
 
-The container has no audio/video codecs, so the DECODE step is a
-clearly-marked stub (``decoder="stub"`` produces a deterministic fake
-signal seeded by the payload bytes; ``decoder="strict"`` raises
-NotImplementedError). Everything around the decode — the input schema
-contract, actor signature, batch sizing, zero-copy Arrow plumbing,
-missing-row semantics and fixed-size-list output layout — is real and
-tested, so swapping in a real codec (ffmpeg/librosa binding) changes
-ONE method.
+Round 2: AUDIO decode is REAL for uncompressed audio — a from-scratch
+RIFF/WAVE codec (``codecs/wav.py``, PCM u8/s16/s24/s32 + IEEE float)
+feeds the spectral-feature pipeline; compressed audio and all VIDEO
+containers still need codec libraries this environment lacks, so those
+paths keep the clearly-marked stub (``decoder="stub"`` produces a
+deterministic fake signal seeded by the payload bytes;
+``decoder="strict"`` raises NotImplementedError). Everything around
+decode — schema contract, actor signature, batch sizing, zero-copy
+Arrow plumbing, missing-row semantics, fixed-size-list output layout —
+is real and tested either way.
 
 Schema contracts (mirroring the image input_hint shape):
 
@@ -39,9 +41,9 @@ class AudioFeatureActor:
     """
 
     def __init__(self, n_bands: int = 16, frame: int = 512,
-                 bytes_col: str = "bytes", decoder: str = "stub"):
-        if decoder not in ("stub", "strict"):
-            raise ValueError("decoder must be 'stub' or 'strict'")
+                 bytes_col: str = "bytes", decoder: str = "wav"):
+        if decoder not in ("wav", "stub", "strict"):
+            raise ValueError("decoder must be 'wav', 'stub' or 'strict'")
         self.n_bands = n_bands
         self.frame = frame
         self.bytes_col = bytes_col
@@ -49,18 +51,27 @@ class AudioFeatureActor:
         self.window = np.hanning(frame).astype(np.float32)
 
     def _decode(self, data: bytes, n_samples: int) -> np.ndarray | None:
-        """STUB decode: deterministic fake PCM from the payload bytes.
-
-        A real implementation decodes data (wav/flac/...) to float PCM;
-        no audio codec exists in this environment (see module docstring).
-        """
+        """``decoder="wav"`` (default): REAL RIFF/WAVE parse → mono mix
+        (codecs/wav.py); undecodable payloads → missing row. ``stub``
+        keeps the deterministic fake signal; ``strict`` raises."""
         if not data:
             return None
         if self.decoder == "strict":
             raise NotImplementedError(
-                "audio decode requires an audio codec library not present "
-                "in this environment"
+                "compressed-audio decode requires codec libraries not "
+                "present in this environment (WAV/PCM decodes natively)"
             )
+        if self.decoder == "wav":
+            from ..codecs.wav import WavError, decode_wav
+
+            try:
+                pcm, _rate = decode_wav(bytes(data))
+            except (WavError, Exception):
+                return None
+            mono = pcm.mean(axis=1).astype(np.float32)
+            if len(mono) < self.frame:  # zero-pad sub-frame clips
+                mono = np.pad(mono, (0, self.frame - len(mono)))
+            return mono
         rng = np.random.default_rng(_seed_from(data))
         n = max(int(n_samples), self.frame)
         return rng.standard_normal(n).astype(np.float32)

@@ -1,6 +1,6 @@
-"""Audio/video multimodal plumbing tests: the Ray-side contract
-(schema, actor pool, batch flow, missing semantics, fixed-size-list
-output) is real; only the codec decode is a marked stub."""
+"""Audio/video multimodal tests. Round 2: the audio path decodes REAL
+RIFF/WAVE bytes (codecs/wav.py); video decode remains a marked stub
+(no container codecs here) with real Ray-side plumbing."""
 
 from __future__ import annotations
 
@@ -12,11 +12,20 @@ import pytest
 from pic2vec_ray.stages.multimodal import AudioFeatureActor, VideoFrameSampleActor
 
 
+def _sine_wav(freq: float, sr: int = 16000, n: int = 4096, fmt: str = "s16") -> bytes:
+    from pic2vec_ray.codecs.wav import encode_wav
+
+    t = np.arange(n) / sr
+    return encode_wav(0.5 * np.sin(2 * np.pi * freq * t), sr, fmt=fmt)
+
+
 def _audio_table(n=10):
-    rng = np.random.default_rng(3)
     rows = []
     for i in range(n):
-        data = b"" if i % 5 == 4 else bytes(rng.integers(0, 256, 256, dtype=np.uint8))
+        if i % 5 == 4:
+            data = b""  # missing placeholder
+        else:
+            data = _sine_wav(200.0 + 300.0 * i)
         rows.append((f"clip_{i:04d}", data, 16000, 4096, "wav"))
     return pa.table(
         dict(zip(["clip_id", "bytes", "sample_rate", "n_samples", "fmt"], zip(*rows))),
@@ -57,7 +66,7 @@ def test_audio_deterministic_and_strict_mode(ray_session):
     for x, y in zip(f1.features, f2.features):
         assert np.allclose(np.asarray(x), np.asarray(y))
     strict = AudioFeatureActor(decoder="strict")
-    with pytest.raises(NotImplementedError, match="audio decode"):
+    with pytest.raises(NotImplementedError, match="compressed-audio"):
         strict(t)
 
 
@@ -81,3 +90,68 @@ def test_video_strict_mode():
     strict = VideoFrameSampleActor(decoder="strict")
     with pytest.raises(NotImplementedError, match="video decode"):
         strict(_video_table(2))
+
+
+# ------------------------------------------------------- real WAV codec
+
+
+def test_wav_roundtrip_formats():
+    from pic2vec_ray.codecs.wav import decode_wav, encode_wav
+
+    rng = np.random.default_rng(0)
+    x = (rng.random((500, 2)) * 2 - 1).astype(np.float32)
+    # bounds: quantization step + the standard asymmetric-range scale
+    # skew (encode *32767 / decode ÷32768, likewise for u8)
+    for fmt, atol in (("s16", 5e-5), ("f32", 1e-7), ("u8", 0.013)):
+        pcm, rate = decode_wav(encode_wav(x, 22050, fmt=fmt))
+        assert rate == 22050 and pcm.shape == (500, 2)
+        assert np.allclose(pcm, x, atol=atol)
+
+
+def test_wav_rejects_non_wav_and_compressed():
+    from pic2vec_ray.codecs.wav import WavError, decode_wav, encode_wav
+
+    with pytest.raises(WavError):
+        decode_wav(b"not a wave file at all....")
+    # flip the format tag to 0x55 (MP3-in-WAV) → rejected
+    import struct
+
+    raw = bytearray(encode_wav(np.zeros(64), 8000))
+    idx = bytes(raw).find(b"fmt ") + 8
+    raw[idx:idx + 2] = struct.pack("<H", 0x55)
+    with pytest.raises(WavError, match="format tag"):
+        decode_wav(bytes(raw))
+
+
+def test_audio_features_track_tone_frequency():
+    """A pure tone's band energies must peak in the band containing its
+    frequency — proves the REAL decode → FFT chain end to end."""
+    actor = AudioFeatureActor(n_bands=16, frame=512)
+    sr, frame, n_bands = 16000, 512, 16
+    rows = []
+    freqs = [300.0, 3000.0, 7000.0]
+    for i, f in enumerate(freqs):
+        rows.append((f"tone{i}", _sine_wav(f, sr=sr), sr, 4096, "wav"))
+    t = pa.table(dict(zip(["clip_id", "bytes", "sample_rate", "n_samples", "fmt"],
+                          zip(*rows))))
+    out = actor(t).to_pandas()
+    assert not out.missing.any()
+    # rfft of a 512 frame at 16 kHz: bin = f/31.25; 257 bins over 16 bands
+    for i, f in enumerate(freqs):
+        bands = np.asarray(out.features[i])
+        expect_band = min(int((f / (sr / frame)) / (257 / n_bands)), n_bands - 1)
+        assert abs(int(bands.argmax()) - expect_band) <= 1
+
+
+def test_audio_garbage_bytes_become_missing(ray_session):
+    rng = np.random.default_rng(9)
+    t = pa.table({
+        "clip_id": ["a", "b"],
+        "bytes": [bytes(rng.integers(0, 256, 300, dtype=np.uint8)),
+                  _sine_wav(440.0)],
+        "sample_rate": [16000, 16000],
+        "n_samples": [4096, 4096],
+        "fmt": ["wav", "wav"],
+    })
+    out = AudioFeatureActor()(t).to_pandas()
+    assert out.missing.tolist() == [True, False]
