@@ -32,8 +32,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-equivalent SQL for every SQL-expressible query (25 of 30
-    as of round 2). The 5 rows-only residue is genuinely
+    """DuckDB-equivalent SQL for every SQL-expressible query (26 of 31
+    as of round 2, incl. the full audio decode→FFT pipeline). The 5 rows-only residue is genuinely
     non-SQL-expressible: minhash/simhash pairs + minhash groups (the
     sketch hash has no SQL equivalent), IVF search (k-means training),
     and featurize_flagship's CNN feature norms (its structural contract

@@ -180,3 +180,87 @@ def make_feature_events(sf_dir: str, max_versions: int = 3) -> pa.Table:
     return pa.table(
         {"image_id": ids, "feature_ts": pa.array(tss, type=pa.timestamp("us"))}
     )
+
+
+# ---------------------------------------------------------------- audio
+
+AUDIO_SR = 16000
+AUDIO_N = 4096
+AUDIO_FRAME = 512
+AUDIO_BANDS = 16
+
+
+def audio_band_center_freq(band: int) -> float:
+    """Center frequency of FFT band ``band`` under the AudioFeatureActor
+    layout (rfft of AUDIO_FRAME → 257 bins, array_split into 16 bands):
+    tones at these centers land their band-energy argmax in ``band``
+    by construction."""
+    bins = AUDIO_FRAME // 2 + 1
+    center_bin = (band + 0.5) * bins / AUDIO_BANDS
+    return center_bin * AUDIO_SR / AUDIO_FRAME
+
+
+def make_audio_row(partkey: int) -> dict:
+    """One audio-table row; role = partkey % 10:
+
+    8 → undecodable garbage bytes, 9 → empty bytes (both: missing);
+    else a pure tone centered in band ``partkey % 16`` — so the
+    dominant band is closed-form SQL-predictable from ``part``.
+    """
+    from ..codecs.wav import encode_wav
+
+    role = partkey % 10
+    clip_id = f"clip_{partkey:08d}"
+    if role == 9:
+        return dict(clip_id=clip_id, bytes=b"", sample_rate=AUDIO_SR,
+                    n_samples=0, fmt="wav")
+    if role == 8:
+        rng = np.random.default_rng(SEED + partkey)
+        return dict(clip_id=clip_id,
+                    bytes=bytes(rng.integers(0, 256, 128, dtype=np.uint8)),
+                    sample_rate=AUDIO_SR, n_samples=0, fmt="wav")
+    band = partkey % AUDIO_BANDS
+    t = np.arange(AUDIO_N) / AUDIO_SR
+    tone = 0.5 * np.sin(2 * np.pi * audio_band_center_freq(band) * t)
+    return dict(clip_id=clip_id, bytes=encode_wav(tone, AUDIO_SR, fmt="s16"),
+                sample_rate=AUDIO_SR, n_samples=AUDIO_N, fmt="wav")
+
+
+AUDIO_SCHEMA = pa.schema([
+    ("clip_id", pa.string()),
+    ("bytes", pa.binary()),
+    ("sample_rate", pa.int32()),
+    ("n_samples", pa.int32()),
+    ("fmt", pa.string()),
+])
+
+
+def synth_audio_batch(batch: pa.Table) -> pa.Table:
+    rows = [make_audio_row(int(k))
+            for k in batch["p_partkey"].to_numpy(zero_copy_only=False)]
+    cols = {name: [r[name] for r in rows] for name in AUDIO_SCHEMA.names}
+    return pa.table(cols, schema=AUDIO_SCHEMA)
+
+
+def audio_table_path(sf_dir: str, cache_root: str = "/tmp/pic2vec_ray_cache") -> str:
+    """Build (or reuse) the synthetic audio parquet for ``sf_dir`` —
+    same distributed generate-and-cache shape as images_table_path."""
+    import ray.data as rd
+
+    tag = hashlib.sha1(f"audio:{sf_dir}:{GENERATOR_VERSION}".encode()).hexdigest()[:12]
+    out_dir = os.path.join(cache_root, f"audio_{tag}")
+    done = os.path.join(out_dir, "_SUCCESS")
+    if os.path.exists(done):
+        return out_dir
+    part = rd.read_parquet(os.path.join(sf_dir, "part.parquet"), columns=["p_partkey"])
+    ds = part.map_batches(synth_audio_batch, batch_format="pyarrow", batch_size=512)
+    tmp = out_dir + ".tmp"
+    import shutil
+
+    shutil.rmtree(tmp, ignore_errors=True)
+    shutil.rmtree(out_dir, ignore_errors=True)
+    ds.write_parquet(tmp)
+    os.rename(tmp, out_dir)
+    with open(done, "w") as f:
+        f.write("ok\n")
+    return out_dir

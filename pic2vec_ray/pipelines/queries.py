@@ -750,6 +750,44 @@ WHERE i::DOUBLE / (na.n + nb.n - i) >= 0.5
 """
 
 
+def audio_dominant_band(sf_dir: str):
+    """End-to-end AUDIO pipeline: synthetic WAV clips (tones centered in
+    a partkey-derived FFT band, plus garbage/empty missing rows) →
+    real RIFF/WAVE decode → windowed-FFT band energies in the
+    AudioFeatureActor pool → per-clip dominant band. The dominant band
+    is closed-form from ``part`` (tone construction), so the whole
+    decode→spectral chain is rows+schema+hash oracle-checked."""
+    from ..fixtures.synth import audio_table_path
+    from ..stages.multimodal import AudioFeatureActor
+
+    ds = _rd().read_parquet(audio_table_path(sf_dir))
+    out = ds.map_batches(AudioFeatureActor,
+                         fn_constructor_kwargs=dict(n_bands=16, frame=512),
+                         batch_format="pyarrow", batch_size=256, concurrency=4)
+
+    def project(t: pa.Table) -> pa.Table:
+        feats = t["features"].combine_chunks()
+        arr = feats.flatten().to_numpy(zero_copy_only=False).reshape(len(t), -1)
+        missing = t["missing"].to_numpy(zero_copy_only=False)
+        band = np.where(missing, -1, arr.argmax(axis=1)).astype(np.int64)
+        return pa.table({
+            "clip_id": t["clip_id"],
+            "missing": t["missing"],
+            "dominant_band": pa.array(band),
+        })
+
+    return out.map_batches(project, batch_format="pyarrow")
+
+
+SQL_AUDIO_BAND = """
+SELECT printf('clip_%08d', p_partkey) AS clip_id,
+       p_partkey % 10 >= 8 AS missing,
+       CASE WHEN p_partkey % 10 >= 8 THEN -1
+            ELSE p_partkey % 16 END AS dominant_band
+FROM part
+"""
+
+
 # ------------------------------------------------ rows-only (non-SQL) ops
 
 
@@ -905,6 +943,7 @@ QUERIES = {
     "caption_roundtrip": caption_roundtrip,
     "featurize_dims": featurize_dims,
     "ngram_jaccard_pairs": ngram_jaccard_pairs_docs,
+    "audio_dominant_band": audio_dominant_band,
     # rows-only (not SQL-expressible; see module docstring)
     "featurize_flagship": featurize_flagship,
     "minhash_neardup_docs": minhash_neardup_docs,
@@ -940,4 +979,5 @@ ORACLE_SQL = {
     "featurize_dims": SQL_FEATURIZE_DIMS,
     "ngram_jaccard_pairs": SQL_NGRAM_JACCARD,
     "langid_docs": _langid_sql(),
+    "audio_dominant_band": SQL_AUDIO_BAND,
 }
