@@ -118,3 +118,51 @@ def test_checkpoint_default_metrics(ray_session, images_dir, tmp_path):
     assert all(m["metrics"]["files"] >= 1 and m["metrics"]["bytes"] > 0 for m in manifests)
     # roles 17/18/19 of p_partkey % 20 over 200 rows → 30 missing total
     assert sum(m["metrics"]["missing_rows"] for m in manifests) == 30
+
+
+@st.composite
+def join_frames(draw):
+    n = draw(st.integers(min_value=0, max_value=40))
+    m = draw(st.integers(min_value=0, max_value=40))
+    lk = draw(st.lists(st.integers(min_value=0, max_value=8), min_size=n, max_size=n))
+    rk = draw(st.lists(st.integers(min_value=0, max_value=8), min_size=m, max_size=m))
+    left = pd.DataFrame({"k": np.array(lk, dtype=np.int64),
+                         "lid": np.arange(n, dtype=np.int64)})
+    right = pd.DataFrame({"k": np.array(rk, dtype=np.int64),
+                          "w": np.arange(m, dtype=np.float64) * 1.5})
+    return left, right
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(frames=join_frames(),
+       how=st.sampled_from(["inner", "left", "semi", "anti"]))
+def test_hash_join_matches_pandas_oracle(ray_session, frames, how):
+    import ray.data as rd
+
+    from pic2vec_ray.temporal.join import hash_join
+
+    left, right = frames
+    if left.empty or right.empty:
+        return  # schema resolution needs >=1 row per side (documented)
+    got = hash_join(rd.from_pandas(left), rd.from_pandas(right), on="k", how=how,
+                    num_partitions=3).to_pandas()
+    if how in ("inner", "left"):
+        exp = left.merge(right, on="k", how=how)
+        if "lid" not in got.columns:  # schema-less empty result
+            assert exp.empty
+            return
+        key = lambda d: sorted(map(tuple, d[["k", "lid"]].to_numpy().tolist()))
+        assert key(got) == key(exp)
+        # row-level value check incl. null padding for left joins
+        gs = got.sort_values(["lid", "w"], na_position="last").reset_index(drop=True)
+        es = exp.sort_values(["lid", "w"], na_position="last").reset_index(drop=True)
+        assert np.array_equal(gs.w.isna(), es.w.isna())
+        assert np.allclose(gs.w.dropna(), es.w.dropna())
+    else:
+        members = set(right.k)
+        exp_ids = [r.lid for r in left.itertuples()
+                   if (r.k in members) == (how == "semi")]
+        # an all-filtered result comes back as a schema-less empty frame
+        got_ids = sorted(got.lid) if "lid" in got.columns else []
+        assert got_ids == sorted(exp_ids)
