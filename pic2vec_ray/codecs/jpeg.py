@@ -1,4 +1,5 @@
-"""Pure-numpy baseline-sequential JPEG codec (no libjpeg/PIL here).
+"""Pure-numpy JPEG codec — baseline sequential AND progressive DCT
+(no libjpeg/PIL here).
 
 The reference whitelists JPEG as a primary format and its fixture
 corpus is led by a ``.jpg``
@@ -9,20 +10,26 @@ decoder — not a stub that silently degrades every JPEG row to
 
 Implemented from the public ITU-T T.81 spec:
 
-- **decoder**: baseline sequential DCT (SOF0), 8-bit, 1 or 3
-  components, sampling factors 1–2 (4:4:4 / 4:2:2 / 4:2:0), DQT/DHT
-  tables from the stream, DRI/restart markers, byte-stuffing. The
-  Huffman scan is the only per-symbol Python loop (a 16-bit lookahead
-  LUT per table, a handful of int ops per symbol); everything after it
-  — dequantization, inverse zigzag, IDCT (two matmuls over all blocks
-  at once), chroma upsampling, YCbCr→RGB — is vectorized numpy over
-  the whole image. Progressive (SOF2) / arithmetic coding raise
-  :class:`JpegError` (→ missing-row semantics downstream, same as any
-  corrupt payload).
+- **decoder**: baseline sequential (SOF0/1) and progressive (SOF2,
+  round 2) DCT, 8-bit, 1 or 3 components, sampling factors 1–2
+  (4:4:4 / 4:2:2 / 4:2:0), DQT/DHT tables from the stream, DRI/restart
+  markers, byte-stuffing. Progressive support is full: spectral
+  selection, successive approximation (DC and AC first + refinement
+  scans incl. correction bits), EOB runs with appended bits, ZRL in
+  refinement. The baseline Huffman scan is the only hot per-symbol
+  Python loop (16-bit lookahead LUTs, hand-inlined bit buffer);
+  everything after entropy decode — dequantization, inverse zigzag,
+  IDCT (two matmuls over all blocks at once), chroma upsampling,
+  YCbCr→RGB — is vectorized numpy shared by both paths. Arithmetic
+  coding / hierarchical / 12-bit raise :class:`JpegError`
+  (→ missing-row semantics downstream, same as any corrupt payload).
 - **encoder**: 4:4:4 or 4:2:0, Annex-K quantization tables scaled by
   the libjpeg quality convention, Annex-K Huffman tables, optional
-  restart intervals. Used by the synthetic fixture generator and the
-  roundtrip tests.
+  restart intervals, and ``progressive=True`` (SS+SA scan script, EOB
+  runs capped at one block so the Annex-K tables suffice). Used by the
+  synthetic fixture generator and the roundtrip tests; a progressive
+  encoding transmits exactly the baseline scan's coefficients, so both
+  encodings of an image decode bit-identically (pinned by test).
 
 The DCT pair is the orthonormal matrix form: ``F = C·f·Cᵀ``,
 ``f = Cᵀ·F·C`` with ``C[k,n] = s_k·cos(π(2n+1)k/16)`` — exactly
@@ -285,7 +292,7 @@ def _encode_block(w: _BitWriter, coeffs: np.ndarray, pred: int,
 
 
 def encode_jpeg(img: np.ndarray, quality: int = 85, subsampling: str = "444",
-                restart_interval: int = 0) -> bytes:
+                restart_interval: int = 0, progressive: bool = False) -> bytes:
     """(H, W, 3) or (H, W[, 1]) uint8 → baseline JFIF bytes."""
     img = np.asarray(img)
     if img.ndim == 2:
@@ -337,6 +344,13 @@ def encode_jpeg(img: np.ndarray, quality: int = 85, subsampling: str = "444",
     dc_codes = [_canonical_codes(*s) for s in dc_specs]
     ac_codes = [_canonical_codes(*s) for s in ac_specs]
     tbl_ids = [0] + [1] * (len(planes) - 1)
+
+    if progressive:
+        if restart_interval:
+            raise JpegError("restart intervals unsupported with progressive=True")
+        return _encode_progressive(
+            h, w, gray, factors, qt_ids, tbl_ids, qts, comp_coeffs,
+            dc_specs, ac_specs, dc_codes, ac_codes, mcux, mcuy, hmax, vmax)
 
     wtr = _BitWriter()
     preds = [0] * len(planes)
@@ -390,6 +404,208 @@ def encode_jpeg(img: np.ndarray, quality: int = 85, subsampling: str = "444",
     return bytes(out)
 
 
+def _encode_progressive(h, w, gray, factors, qt_ids, tbl_ids, qts, comp_coeffs,
+                        dc_specs, ac_specs, dc_codes, ac_codes,
+                        mcux, mcuy, hmax, vmax) -> bytes:
+    """Progressive (SOF2) encoding with a fixed 4-stage script:
+    DC first (Al=1) → DC refinement → per-component AC first scans
+    (Ss=1..63, Al=1) → per-component AC refinements (Ah=1, Al=0).
+
+    Exercises spectral selection, successive approximation, EOB and ZRL
+    coding in both directions. EOB runs are capped at one block so the
+    standard Annex-K tables suffice (longer runs need EOBn symbols
+    those tables don't define); the refinement emitters literally
+    mirror the decoder's walk, so correction-bit order is correct by
+    construction. The coefficients transmitted are EXACTLY the baseline
+    scan's, so progressive and baseline encodings of the same image
+    must decode bit-identically (pinned by test).
+    """
+    AL = 1  # successive-approximation split point
+    ncomp = len(factors)
+    ntab = 1 if gray else 2
+
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    for tid, qt in enumerate(qts[:ntab]):
+        out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([tid]) + bytes(
+            int(x) for x in qt[ZIGZAG])
+    out += b"\xff\xc2" + struct.pack(">HBHHB", 8 + 3 * ncomp, 8, h, w, ncomp)
+    for ci, (fx, fy) in enumerate(factors):
+        out += bytes([ci + 1, (fx << 4) | fy, qt_ids[ci]])
+    for cls, specs in ((0, dc_specs), (1, ac_specs)):
+        for tid, (bits, vals) in enumerate(specs[:ntab]):
+            out += b"\xff\xc4" + struct.pack(">H", 19 + len(vals))
+            out += bytes([(cls << 4) | tid]) + bytes(bits) + bytes(vals)
+
+    bw = [(w * fx + 8 * hmax - 1) // (8 * hmax) for fx, _ in factors]
+    bh = [(h * fy + 8 * vmax - 1) // (8 * vmax) for _, fy in factors]
+    row_blocks = [mcux * fx for fx, _ in factors]
+
+    def sos(comp_ids, ss, se, ahl_hi, ahl_lo, use_dc=True):
+        hdr = bytearray(b"\xff\xda")
+        hdr += struct.pack(">HB", 6 + 2 * len(comp_ids), len(comp_ids))
+        for ci in comp_ids:
+            t = tbl_ids[ci]
+            hdr += bytes([ci + 1, (t << 4) | t])
+        hdr += bytes([ss, se, (ahl_hi << 4) | ahl_lo])
+        return bytes(hdr)
+
+    # ---- scan 1: DC first (interleaved when ncomp > 1), Al=AL ----
+    out += sos(list(range(ncomp)), 0, 0, 0, AL)
+    wtr = _BitWriter()
+    preds = [0] * ncomp
+    if ncomp > 1:
+        for my in range(mcuy):
+            for mx in range(mcux):
+                for ci, (fx, fy) in enumerate(factors):
+                    for v in range(fy):
+                        for u in range(fx):
+                            dc = int(comp_coeffs[ci][my * fy + v, mx * fx + u, 0])
+                            red = dc >> AL  # arithmetic shift per T.81
+                            s, bits = _magnitude(red - preds[ci])
+                            code, ln = dc_codes[tbl_ids[ci]][s]
+                            wtr.write(code, ln)
+                            if s:
+                                wtr.write(bits, s)
+                            preds[ci] = red
+    else:
+        for b in range(bw[0] * bh[0]):
+            by, bx = divmod(b, bw[0])
+            dc = int(comp_coeffs[0][by, bx, 0])
+            red = dc >> AL
+            s, bits = _magnitude(red - preds[0])
+            code, ln = dc_codes[0][s]
+            wtr.write(code, ln)
+            if s:
+                wtr.write(bits, s)
+            preds[0] = red
+    wtr.flush()
+    out += wtr.out
+
+    # ---- scan 2: DC refinement (Ah=AL → one more bit per block) ----
+    out += sos(list(range(ncomp)), 0, 0, AL, 0)
+    wtr = _BitWriter()
+    if ncomp > 1:
+        for my in range(mcuy):
+            for mx in range(mcux):
+                for ci, (fx, fy) in enumerate(factors):
+                    for v in range(fy):
+                        for u in range(fx):
+                            wtr.write(int(comp_coeffs[ci][my * fy + v, mx * fx + u, 0]) & 1, 1)
+    else:
+        for b in range(bw[0] * bh[0]):
+            by, bx = divmod(b, bw[0])
+            wtr.write(int(comp_coeffs[0][by, bx, 0]) & 1, 1)
+    wtr.flush()
+    out += wtr.out
+
+    # ---- per-component AC first scans (Ss=1..63, Ah=0, Al=AL) ----
+    for ci in range(ncomp):
+        out += sos([ci], 1, 63, 0, AL)
+        wtr = _BitWriter()
+        ac = ac_codes[tbl_ids[ci]]
+        grid = comp_coeffs[ci]
+        for b in range(bw[ci] * bh[ci]):
+            by, bx = divmod(b, bw[ci])
+            band = grid[by, bx, 1:64]
+            red = np.sign(band) * (np.abs(band) >> AL)  # sign-magnitude
+            nz = np.flatnonzero(red)
+            if nz.size == 0:
+                code, ln = ac[0x00]
+                wtr.write(code, ln)  # EOB (run capped at 1 block)
+                continue
+            r = 0
+            for k in range(64 - 1):
+                v = int(red[k])
+                if v == 0:
+                    r += 1
+                    continue
+                while r > 15:
+                    code, ln = ac[0xF0]
+                    wtr.write(code, ln)
+                    r -= 16
+                s, bits = _magnitude(v)
+                code, ln = ac[(r << 4) | s]
+                wtr.write(code, ln)
+                wtr.write(bits, s)
+                r = 0
+            if int(nz[-1]) < 62:  # trailing zeros → EOB
+                code, ln = ac[0x00]
+                wtr.write(code, ln)
+        wtr.flush()
+        out += wtr.out
+
+    # ---- per-component AC refinements (Ah=AL, Al=0) ----
+    for ci in range(ncomp):
+        out += sos([ci], 1, 63, AL, 0)
+        wtr = _BitWriter()
+        ac = ac_codes[tbl_ids[ci]]
+        grid = comp_coeffs[ci]
+        for b in range(bw[ci] * bh[ci]):
+            by, bx = divmod(b, bw[ci])
+            band = grid[by, bx, 1:64]
+            absv = np.abs(band)
+            k = 0  # index into the 63-coeff band
+            while True:
+                # next newly-significant coeff (|v| == 1 at this stage)
+                # and the zero-run before it (positions with |v| == 0)
+                found = -1
+                r = 0
+                j = k
+                while j < 63:
+                    a = int(absv[j])
+                    if a == 1:
+                        found = j
+                        break
+                    if a == 0:
+                        r += 1
+                    j += 1
+                if found < 0:
+                    if k < 63:  # band positions remain → decoder reads EOB
+                        code, ln = ac[0x00]
+                        wtr.write(code, ln)  # EOB (run of 1)
+                        for t in range(k, 63):  # tail correction bits
+                            if int(absv[t]) >= 2:
+                                wtr.write(int(absv[t]) & 1, 1)
+                    # k == 63: the decoder already left this block — a
+                    # trailing EOB here would desync the next block
+                    break
+                while r > 15:  # ZRL: 16 zero-history skips w/ corrections
+                    code, ln = ac[0xF0]
+                    wtr.write(code, ln)
+                    zeros = 0
+                    while k < 63:
+                        a = int(absv[k])
+                        if a >= 2:
+                            wtr.write(a & 1, 1)
+                        else:  # a == 0 (first |v|==1 lies beyond these zeros)
+                            zeros += 1
+                            if zeros == 16:
+                                k += 1
+                                break
+                        k += 1
+                    r -= 16
+                code, ln = ac[(r << 4) | 1]
+                wtr.write(code, ln)
+                wtr.write(1 if int(band[found]) > 0 else 0, 1)
+                while k < 63:  # mirror the decoder's placement walk
+                    a = int(absv[k])
+                    if a >= 2:
+                        wtr.write(a & 1, 1)
+                        k += 1
+                        continue
+                    if r == 0:  # the placement position (a == 1 here)
+                        k += 1
+                        break
+                    r -= 1
+                    k += 1
+        wtr.flush()
+        out += wtr.out
+
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
 # ---------------------------------------------------------------- decoder
 
 
@@ -427,10 +643,10 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     ac_luts: dict[int, tuple[list, list]] = {}
     restart = 0
     frame = None
+    progressive = False
     pos = 2
     n = len(data)
-    segments = None
-    scan_comps = None
+    scans: list[dict] = []
     while pos + 4 <= n:
         if data[pos] != 0xFF:
             raise JpegError(f"marker sync lost at {pos}")
@@ -465,7 +681,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 vals = list(seg[o + 17: o + 17 + cnt])
                 (dc_luts if tc == 0 else ac_luts)[th] = _decode_lut(bits, vals)
                 o += 17 + cnt
-        elif marker == 0xC0 or marker == 0xC1:  # baseline / extended seq.
+        elif marker in (0xC0, 0xC1, 0xC2):  # baseline / ext.seq / progressive
             prec, fh, fw, ncomp = seg[0], struct.unpack(">H", seg[1:3])[0], \
                 struct.unpack(">H", seg[3:5])[0], seg[5]
             if prec != 8:
@@ -475,9 +691,10 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 cid, hv, tq = seg[6 + 3 * ci: 9 + 3 * ci]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq})
             frame = {"h": fh, "w": fw, "comps": comps}
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+            progressive = marker == 0xC2
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
-            raise JpegError("only baseline sequential JPEG is supported")
+            raise JpegError("only baseline and progressive DCT JPEG are supported")
         elif marker == 0xDD:  # DRI
             restart = struct.unpack(">H", seg[:2])[0]
         elif marker == 0xDA:  # SOS
@@ -486,21 +703,24 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             for ci in range(ns):
                 cs, tt = seg[1 + 2 * ci: 3 + 2 * ci]
                 scan_comps.append({"id": cs, "dc": tt >> 4, "ac": tt & 0xF})
+            ss, se, ahl = seg[1 + 2 * ns], seg[2 + 2 * ns], seg[3 + 2 * ns]
             segments, pos = _split_entropy_segments(data, pos + 2 + seglen)
-            break
+            scans.append({"comps": scan_comps, "Ss": ss, "Se": se,
+                          "Ah": ahl >> 4, "Al": ahl & 0xF,
+                          "segments": segments, "restart": restart})
+            if not progressive:
+                break  # baseline: single scan
+            continue
         pos += 2 + seglen
-    if frame is None or segments is None or scan_comps is None:
+    if frame is None or not scans:
         raise JpegError("truncated JPEG (no frame/scan)")
 
     comps = frame["comps"]
+    scan_comps = scans[0]["comps"]
+    segments = scans[0]["segments"]
     for c in comps:
         if not (1 <= c["h"] <= 2 and 1 <= c["v"] <= 2):
             raise JpegError(f"sampling factor {c['h']}x{c['v']} unsupported")
-        sc = next((s for s in scan_comps if s["id"] == c["id"]), None)
-        if sc is None:
-            raise JpegError("scan/frame component mismatch")
-        c["dc_lut"] = dc_luts[sc["dc"]]
-        c["ac_lut"] = ac_luts[sc["ac"]]
         if c["tq"] not in qts:
             raise JpegError("missing quantization table")
     hmax = max(c["h"] for c in comps)
@@ -511,6 +731,22 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     n_mcus = mcux * mcuy
     for c in comps:
         c["coef"] = np.zeros((mcuy * c["v"] * mcux * c["h"], 64), dtype=np.int32)
+        # non-interleaved scans walk the component's OWN block grid
+        c["bw"] = (w * c["h"] + 8 * hmax - 1) // (8 * hmax)
+        c["bh"] = (h * c["v"] + 8 * vmax - 1) // (8 * vmax)
+        c["row_blocks"] = mcux * c["h"]
+
+    if progressive:
+        _decode_progressive_scans(comps, scans, dc_luts, ac_luts,
+                                  mcux, mcuy, n_mcus)
+        return _reconstruct(comps, qts, mcux, mcuy, hmax, vmax, h, w)
+
+    for c in comps:
+        sc = next((s for s in scan_comps if s["id"] == c["id"]), None)
+        if sc is None:
+            raise JpegError("scan/frame component mismatch")
+        c["dc_lut"] = dc_luts[sc["dc"]]
+        c["ac_lut"] = ac_luts[sc["ac"]]
 
     # ---- the Huffman scan: the only per-symbol Python loop. The bit
     # buffer is hand-inlined (locals, no method calls) — measured ~3×
@@ -624,11 +860,19 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             my += 1
 
     # ---- everything below is vectorized over all blocks at once ----
-    planes = []
     for c in comps:
         # ONE bulk scatter of all decoded coefficients per component
         # (per-block numpy stores cost ~25% of small-image decode time)
         c["coef"].reshape(-1)[np.array(c["pos"], dtype=np.int64)] = c["val"]
+    return _reconstruct(comps, qts, mcux, mcuy, hmax, vmax, h, w)
+
+
+def _reconstruct(comps, qts, mcux, mcuy, hmax, vmax, h, w) -> np.ndarray:
+    """Dequantize + inverse-zigzag + IDCT + upsample + color convert —
+    shared by the baseline and progressive paths (both leave their
+    result in the per-component ``coef`` arrays)."""
+    planes = []
+    for c in comps:
         qt = qts[c["tq"]]
         # coefficients are zigzag-ordered — dequantize with the
         # zigzag-ordered table, THEN invert the ordering
@@ -652,3 +896,226 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     b = y + 1.772 * cb
     rgb = np.stack([r, g, b], axis=2)
     return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+# ----------------------------------------------------------- progressive
+
+
+class _Bits:
+    """MSB-first bit reader over unstuffed entropy segments (progressive
+    scans decode far fewer symbols per scan than the fused baseline
+    loop, so a reader object is fine here)."""
+
+    __slots__ = ("data", "pos", "acc", "nbits")
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.nbits = 0
+
+    def _fill(self):
+        while self.nbits <= 24:
+            if self.pos < len(self.data):
+                self.acc = (self.acc << 8) | self.data[self.pos]
+                self.pos += 1
+            else:
+                self.acc <<= 8
+            self.nbits += 8
+        self.acc &= (1 << self.nbits) - 1
+
+    def huff(self, lut) -> int:
+        if self.nbits < 16:
+            self._fill()
+        look = (self.acc >> (self.nbits - 16)) & 0xFFFF
+        sym, ln = lut[0][look], lut[1][look]
+        if ln == 0:
+            raise JpegError("bad Huffman code")
+        self.nbits -= ln
+        return sym
+
+    def receive(self, n: int) -> int:
+        if n == 0:
+            return 0
+        if self.nbits < n:
+            self._fill()
+        self.nbits -= n
+        return (self.acc >> self.nbits) & ((1 << n) - 1)
+
+
+def _comp_block_index(c, b: int) -> int:
+    """Non-interleaved block ``b`` (row-major over the component's own
+    grid) → row index into the MCU-padded coef array."""
+    by, bx = divmod(b, c["bw"])
+    return by * c["row_blocks"] + bx
+
+
+def _decode_progressive_scans(comps, scans, dc_luts, ac_luts, mcux, mcuy, n_mcus):
+    by_id = {c["id"]: c for c in comps}
+    for scan in scans:
+        ss, se = scan["Ss"], scan["Se"]
+        ah, al = scan["Ah"], scan["Al"]
+        segs = scan["segments"]
+        restart = scan["restart"]
+        sc_list = scan["comps"]
+        if ss == 0:
+            if se != 0:
+                raise JpegError("progressive scan mixes DC and AC")
+            _scan_dc(by_id, sc_list, dc_luts, segs, restart, ah, al,
+                     mcux, mcuy, n_mcus)
+        else:
+            if len(sc_list) != 1:
+                raise JpegError("progressive AC scans are single-component")
+            c = by_id.get(sc_list[0]["id"])
+            if c is None:
+                raise JpegError("scan/frame component mismatch")
+            lut = ac_luts[sc_list[0]["ac"]]
+            if ah == 0:
+                _scan_ac_first(c, lut, segs, restart, ss, se, al)
+            else:
+                _scan_ac_refine(c, lut, segs, restart, ss, se, al)
+
+
+def _scan_dc(by_id, sc_list, dc_luts, segs, restart, ah, al, mcux, mcuy, n_mcus):
+    scs = []
+    for sc in sc_list:
+        c = by_id.get(sc["id"])
+        if c is None:
+            raise JpegError("scan/frame component mismatch")
+        scs.append((c, dc_luts[sc["dc"]] if ah == 0 else None))
+    seg_iter = iter(segs)
+    rdr = _Bits(next(seg_iter))
+    preds = {c["id"]: 0 for c, _ in scs}
+    interleaved = len(scs) > 1
+    n_units = n_mcus if interleaved else \
+        scs[0][0]["bw"] * scs[0][0]["bh"]
+    for unit in range(n_units):
+        if restart and unit and unit % restart == 0:
+            try:
+                rdr = _Bits(next(seg_iter))
+            except StopIteration as exc:
+                raise JpegError("missing restart segment") from exc
+            preds = {c["id"]: 0 for c, _ in scs}
+        if interleaved:
+            my, mx = divmod(unit, mcux)
+            for c, lut in scs:
+                cv, ch = c["v"], c["h"]
+                for v in range(cv):
+                    for u in range(ch):
+                        bidx = (my * cv + v) * c["row_blocks"] + mx * ch + u
+                        _dc_one(c, lut, rdr, preds, bidx, ah, al)
+        else:
+            c, lut = scs[0]
+            _dc_one(c, lut, rdr, preds, _comp_block_index(c, unit), ah, al)
+
+
+def _dc_one(c, lut, rdr, preds, bidx, ah, al):
+    coef = c["coef"]
+    if ah == 0:  # first DC scan: diffs of DC >> Al (arithmetic shift)
+        s = rdr.huff(lut)
+        diff = 0
+        if s:
+            r = rdr.receive(s)
+            diff = r - (1 << s) + 1 if r < (1 << (s - 1)) else r
+        preds[c["id"]] += diff
+        coef[bidx, 0] = preds[c["id"]] << al
+    else:  # refinement: one more low-order bit
+        if rdr.receive(1):
+            coef[bidx, 0] |= 1 << al
+
+
+def _scan_ac_first(c, lut, segs, restart, ss, se, al):
+    coef = c["coef"]
+    seg_iter = iter(segs)
+    rdr = _Bits(next(seg_iter))
+    eobrun = 0
+    n_blocks = c["bw"] * c["bh"]
+    for b in range(n_blocks):
+        if restart and b and b % restart == 0:
+            try:
+                rdr = _Bits(next(seg_iter))
+            except StopIteration as exc:
+                raise JpegError("missing restart segment") from exc
+            eobrun = 0
+        if eobrun > 0:
+            eobrun -= 1
+            continue
+        bidx = _comp_block_index(c, b)
+        k = ss
+        while k <= se:
+            rs = rdr.huff(lut)
+            r, s = rs >> 4, rs & 0xF
+            if s == 0:
+                if r < 15:  # EOBn: run of (1<<r) + appended blocks
+                    eobrun = (1 << r) - 1
+                    if r:
+                        eobrun += rdr.receive(r)
+                    break
+                k += 16  # ZRL
+                continue
+            k += r
+            if k > se:
+                raise JpegError("AC band overrun")
+            v = rdr.receive(s)
+            v = v - (1 << s) + 1 if v < (1 << (s - 1)) else v
+            coef[bidx, k] = v << al
+            k += 1
+
+
+def _scan_ac_refine(c, lut, segs, restart, ss, se, al):
+    coef = c["coef"]
+    p1 = 1 << al
+    seg_iter = iter(segs)
+    rdr = _Bits(next(seg_iter))
+    eobrun = 0
+    n_blocks = c["bw"] * c["bh"]
+    for b in range(n_blocks):
+        if restart and b and b % restart == 0:
+            try:
+                rdr = _Bits(next(seg_iter))
+            except StopIteration as exc:
+                raise JpegError("missing restart segment") from exc
+            eobrun = 0
+        bidx = _comp_block_index(c, b)
+        row = coef[bidx]
+        k = ss
+        if eobrun == 0:
+            while k <= se:
+                rs = rdr.huff(lut)
+                r, s = rs >> 4, rs & 0xF
+                newval = 0
+                if s == 0:
+                    if r < 15:  # EOBn
+                        eobrun = (1 << r)
+                        if r:
+                            eobrun += rdr.receive(r)
+                        break
+                    # ZRL: skip 16 zero-history coeffs
+                else:
+                    if s != 1:
+                        raise JpegError("invalid refinement magnitude")
+                    newval = p1 if rdr.receive(1) else -p1
+                # advance over the band: correction bits on nonzero
+                # history, count down r zero-history positions
+                while k <= se:
+                    cur = row[k]
+                    if cur != 0:
+                        if rdr.receive(1) and (cur & p1) == 0:
+                            row[k] = cur + (p1 if cur > 0 else -p1)
+                    else:
+                        if r == 0:
+                            if newval:
+                                row[k] = newval
+                            k += 1
+                            break
+                        r -= 1
+                    k += 1
+        if eobrun > 0:
+            # EOB region: correction bits for every nonzero coeff left
+            while k <= se:
+                cur = row[k]
+                if cur != 0:
+                    if rdr.receive(1) and (cur & p1) == 0:
+                        row[k] = cur + (p1 if cur > 0 else -p1)
+                k += 1
+            eobrun -= 1

@@ -47,7 +47,7 @@ from ..codecs.png import encode_png
 from ..functions.image_ops import average_hash
 
 SEED = 5102020  # reference tests pin this seed (tests/test_feature_preprocessing.py:20)
-GENERATOR_VERSION = "v3"  # bump on ANY change to row rules/content → invalidates caches
+GENERATOR_VERSION = "v4"  # bump on ANY change to row rules/content → invalidates caches
 JPEG_QUALITY = 60  # real-decoder rows; q60 halves Huffman symbols vs q80
 
 IMAGES_SCHEMA = pa.schema(
@@ -110,7 +110,11 @@ def make_image_row(partkey: int, caption: str) -> dict:
     elif cs % 3 == 1:
         data, fmt = encode_bmp(px), "bmp"
     else:
-        data, fmt = encode_jpeg(px, quality=JPEG_QUALITY), "jpeg"
+        # every 20th jpeg row is PROGRESSIVE (cs%60==5 ⊂ cs%3==2) — the
+        # SOF2 path decodes bit-identically, so dims/feature goldens are
+        # untouched while the corpus exercises both entropy layouts
+        prog = cs % 60 == 5
+        data, fmt = encode_jpeg(px, quality=JPEG_QUALITY, progressive=prog), "jpeg"
     return dict(
         image_id=image_id, bytes=data, w=w, h=h, fmt=fmt, caption=caption,
         phash=average_hash(px),

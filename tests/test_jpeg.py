@@ -148,13 +148,48 @@ def test_grayscale_roundtrip():
     assert psnr(out, g[:, :, None]) > 40
 
 
-def test_progressive_rejected():
+def test_arithmetic_and_hierarchical_rejected():
+    img = _smooth(16, 16)
+    for sof in (0xC9, 0xCA, 0xC3):  # arithmetic seq./prog., lossless
+        enc = bytearray(encode_jpeg(img))
+        idx = bytes(enc).find(b"\xff\xc0")
+        enc[idx + 1] = sof
+        with pytest.raises(JpegError, match="baseline and progressive"):
+            decode_jpeg(bytes(enc))
+
+
+def test_malformed_progressive_scan_rejected():
+    """A baseline full-band scan relabeled SOF2 mixes DC+AC in one scan
+    — illegal in progressive mode and must fail loudly, not desync."""
     img = _smooth(16, 16)
     enc = bytearray(encode_jpeg(img))
     idx = bytes(enc).find(b"\xff\xc0")
-    enc[idx + 1] = 0xC2  # flip SOF0 → SOF2 (progressive)
-    with pytest.raises(JpegError, match="baseline"):
+    enc[idx + 1] = 0xC2
+    with pytest.raises(JpegError):
         decode_jpeg(bytes(enc))
+
+
+@pytest.mark.parametrize("sub,shape,quality", [
+    ("444", (33, 41), 75), ("420", (32, 32), 90), ("420", (17, 23), 50),
+])
+def test_progressive_decodes_bit_identical_to_baseline(sub, shape, quality):
+    """The progressive script (SS+SA: DC first/refine, per-component AC
+    first/refine with EOB runs and ZRL) transmits exactly the baseline
+    coefficients — two completely different entropy layouts must decode
+    to identical pixels."""
+    rng = np.random.default_rng(shape[0])
+    img = rng.integers(0, 256, (*shape, 3), dtype=np.uint8)
+    base = decode_jpeg(encode_jpeg(img, quality=quality, subsampling=sub))
+    prog = decode_jpeg(encode_jpeg(img, quality=quality, subsampling=sub,
+                                   progressive=True))
+    assert np.array_equal(base, prog)
+
+
+def test_progressive_grayscale_bit_identical():
+    g = np.random.default_rng(9).integers(0, 256, (24, 16), dtype=np.uint8)
+    assert np.array_equal(
+        decode_jpeg(encode_jpeg(g, quality=80)),
+        decode_jpeg(encode_jpeg(g, quality=80, progressive=True)))
 
 
 def test_truncated_and_garbage_rejected():
@@ -208,3 +243,20 @@ def test_restart_interval_is_pixel_invariant(seed, ri):
     plain = decode_jpeg(encode_jpeg(img, quality=70))
     restarted = decode_jpeg(encode_jpeg(img, quality=70, restart_interval=ri))
     assert np.array_equal(plain, restarted)
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    h=st.integers(min_value=1, max_value=40),
+    w=st.integers(min_value=1, max_value=40),
+    quality=st.integers(min_value=5, max_value=100),
+    sub=st.sampled_from(["444", "420"]),
+    seed=st.integers(min_value=0, max_value=10_000),
+)
+def test_progressive_equals_baseline_property(h, w, quality, sub, seed):
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+    base = decode_jpeg(encode_jpeg(img, quality=quality, subsampling=sub))
+    prog = decode_jpeg(encode_jpeg(img, quality=quality, subsampling=sub,
+                                   progressive=True))
+    assert np.array_equal(base, prog)
