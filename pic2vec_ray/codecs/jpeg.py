@@ -292,7 +292,8 @@ def _encode_block(w: _BitWriter, coeffs: np.ndarray, pred: int,
 
 
 def encode_jpeg(img: np.ndarray, quality: int = 85, subsampling: str = "444",
-                restart_interval: int = 0, progressive: bool = False) -> bytes:
+                restart_interval: int = 0, progressive: bool = False,
+                dht_per_scan: bool = False) -> bytes:
     """(H, W, 3) or (H, W[, 1]) uint8 → baseline JFIF bytes."""
     img = np.asarray(img)
     if img.ndim == 2:
@@ -350,7 +351,10 @@ def encode_jpeg(img: np.ndarray, quality: int = 85, subsampling: str = "444",
             raise JpegError("restart intervals unsupported with progressive=True")
         return _encode_progressive(
             h, w, gray, factors, qt_ids, tbl_ids, qts, comp_coeffs,
-            dc_specs, ac_specs, dc_codes, ac_codes, mcux, mcuy, hmax, vmax)
+            dc_specs, ac_specs, dc_codes, ac_codes, mcux, mcuy, hmax, vmax,
+            dht_per_scan)
+    if dht_per_scan:
+        raise JpegError("dht_per_scan requires progressive=True")
 
     wtr = _BitWriter()
     preds = [0] * len(planes)
@@ -406,10 +410,20 @@ def encode_jpeg(img: np.ndarray, quality: int = 85, subsampling: str = "444",
 
 def _encode_progressive(h, w, gray, factors, qt_ids, tbl_ids, qts, comp_coeffs,
                         dc_specs, ac_specs, dc_codes, ac_codes,
-                        mcux, mcuy, hmax, vmax) -> bytes:
+                        mcux, mcuy, hmax, vmax,
+                        dht_per_scan: bool = False) -> bytes:
     """Progressive (SOF2) encoding with a fixed 4-stage script:
     DC first (Al=1) → DC refinement → per-component AC first scans
     (Ss=1..63, Al=1) → per-component AC refinements (Ah=1, Al=0).
+
+    ``dht_per_scan=True`` mimics libjpeg's optimized progressive
+    output: no up-front DHT block — each scan is preceded by a DHT
+    that (re)defines SLOT 0 with the table that scan uses, so slot 0's
+    meaning changes between scans (luma AC vs chroma AC). Decoders
+    that resolve table slots after parsing the whole stream instead of
+    at each SOS decode such files wrong; the repo's decoder snapshots
+    per-SOS and a regression test pins bit-identity with the
+    all-tables-up-front encoding.
 
     Exercises spectral selection, successive approximation, EOB and ZRL
     coding in both directions. EOB runs are capped at one block so the
@@ -432,25 +446,38 @@ def _encode_progressive(h, w, gray, factors, qt_ids, tbl_ids, qts, comp_coeffs,
     out += b"\xff\xc2" + struct.pack(">HBHHB", 8 + 3 * ncomp, 8, h, w, ncomp)
     for ci, (fx, fy) in enumerate(factors):
         out += bytes([ci + 1, (fx << 4) | fy, qt_ids[ci]])
-    for cls, specs in ((0, dc_specs), (1, ac_specs)):
-        for tid, (bits, vals) in enumerate(specs[:ntab]):
-            out += b"\xff\xc4" + struct.pack(">H", 19 + len(vals))
-            out += bytes([(cls << 4) | tid]) + bytes(bits) + bytes(vals)
+    if not dht_per_scan:
+        for cls, specs in ((0, dc_specs), (1, ac_specs)):
+            for tid, (bits, vals) in enumerate(specs[:ntab]):
+                out += b"\xff\xc4" + struct.pack(">H", 19 + len(vals))
+                out += bytes([(cls << 4) | tid]) + bytes(bits) + bytes(vals)
 
     bw = [(w * fx + 8 * hmax - 1) // (8 * hmax) for fx, _ in factors]
     bh = [(h * fy + 8 * vmax - 1) // (8 * vmax) for _, fy in factors]
     row_blocks = [mcux * fx for fx, _ in factors]
 
-    def sos(comp_ids, ss, se, ahl_hi, ahl_lo, use_dc=True):
+    def dht(cls, tid, spec):
+        bits, vals = spec
+        return (b"\xff\xc4" + struct.pack(">H", 19 + len(vals))
+                + bytes([(cls << 4) | tid]) + bytes(bits) + bytes(vals))
+
+    def sos(comp_ids, ss, se, ahl_hi, ahl_lo):
         hdr = bytearray(b"\xff\xda")
         hdr += struct.pack(">HB", 6 + 2 * len(comp_ids), len(comp_ids))
         for ci in comp_ids:
-            t = tbl_ids[ci]
+            t = 0 if dht_per_scan else tbl_ids[ci]
             hdr += bytes([ci + 1, (t << 4) | t])
         hdr += bytes([ss, se, (ahl_hi << 4) | ahl_lo])
         return bytes(hdr)
 
+    # table used per component: with dht_per_scan everything is encoded
+    # through slot 0, whose content the per-scan DHTs swap around
+    scan_dc_codes = [dc_codes[0]] * ncomp if dht_per_scan else \
+        [dc_codes[tbl_ids[ci]] for ci in range(ncomp)]
+
     # ---- scan 1: DC first (interleaved when ncomp > 1), Al=AL ----
+    if dht_per_scan:
+        out += dht(0, 0, dc_specs[0])
     out += sos(list(range(ncomp)), 0, 0, 0, AL)
     wtr = _BitWriter()
     preds = [0] * ncomp
@@ -463,7 +490,7 @@ def _encode_progressive(h, w, gray, factors, qt_ids, tbl_ids, qts, comp_coeffs,
                             dc = int(comp_coeffs[ci][my * fy + v, mx * fx + u, 0])
                             red = dc >> AL  # arithmetic shift per T.81
                             s, bits = _magnitude(red - preds[ci])
-                            code, ln = dc_codes[tbl_ids[ci]][s]
+                            code, ln = scan_dc_codes[ci][s]
                             wtr.write(code, ln)
                             if s:
                                 wtr.write(bits, s)
@@ -501,6 +528,8 @@ def _encode_progressive(h, w, gray, factors, qt_ids, tbl_ids, qts, comp_coeffs,
 
     # ---- per-component AC first scans (Ss=1..63, Ah=0, Al=AL) ----
     for ci in range(ncomp):
+        if dht_per_scan:  # redefines AC slot 0 (luma↔chroma) per scan
+            out += dht(1, 0, ac_specs[tbl_ids[ci]])
         out += sos([ci], 1, 63, 0, AL)
         wtr = _BitWriter()
         ac = ac_codes[tbl_ids[ci]]
@@ -537,6 +566,8 @@ def _encode_progressive(h, w, gray, factors, qt_ids, tbl_ids, qts, comp_coeffs,
 
     # ---- per-component AC refinements (Ah=AL, Al=0) ----
     for ci in range(ncomp):
+        if dht_per_scan:
+            out += dht(1, 0, ac_specs[tbl_ids[ci]])
         out += sos([ci], 1, 63, AL, 0)
         wtr = _BitWriter()
         ac = ac_codes[tbl_ids[ci]]
@@ -702,7 +733,14 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             scan_comps = []
             for ci in range(ns):
                 cs, tt = seg[1 + 2 * ci: 3 + 2 * ci]
-                scan_comps.append({"id": cs, "dc": tt >> 4, "ac": tt & 0xF})
+                # Snapshot the RESOLVED LUTs now, not the slot ids: a
+                # later DHT may redefine slot 0/1 for the next scan
+                # (libjpeg's optimized progressive output does exactly
+                # this), and each scan must decode with the tables that
+                # were current when ITS SOS appeared (T.81 B.2.4.2).
+                scan_comps.append({"id": cs,
+                                   "dc_lut": dc_luts.get(tt >> 4),
+                                   "ac_lut": ac_luts.get(tt & 0xF)})
             ss, se, ahl = seg[1 + 2 * ns], seg[2 + 2 * ns], seg[3 + 2 * ns]
             segments, pos = _split_entropy_segments(data, pos + 2 + seglen)
             scans.append({"comps": scan_comps, "Ss": ss, "Se": se,
@@ -737,16 +775,17 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         c["row_blocks"] = mcux * c["h"]
 
     if progressive:
-        _decode_progressive_scans(comps, scans, dc_luts, ac_luts,
-                                  mcux, mcuy, n_mcus)
+        _decode_progressive_scans(comps, scans, mcux, mcuy, n_mcus)
         return _reconstruct(comps, qts, mcux, mcuy, hmax, vmax, h, w)
 
     for c in comps:
         sc = next((s for s in scan_comps if s["id"] == c["id"]), None)
         if sc is None:
             raise JpegError("scan/frame component mismatch")
-        c["dc_lut"] = dc_luts[sc["dc"]]
-        c["ac_lut"] = ac_luts[sc["ac"]]
+        if sc["dc_lut"] is None or sc["ac_lut"] is None:
+            raise JpegError("scan references an undefined Huffman table")
+        c["dc_lut"] = sc["dc_lut"]
+        c["ac_lut"] = sc["ac_lut"]
 
     # ---- the Huffman scan: the only per-symbol Python loop. The bit
     # buffer is hand-inlined (locals, no method calls) — measured ~3×
@@ -950,7 +989,7 @@ def _comp_block_index(c, b: int) -> int:
     return by * c["row_blocks"] + bx
 
 
-def _decode_progressive_scans(comps, scans, dc_luts, ac_luts, mcux, mcuy, n_mcus):
+def _decode_progressive_scans(comps, scans, mcux, mcuy, n_mcus):
     by_id = {c["id"]: c for c in comps}
     for scan in scans:
         ss, se = scan["Ss"], scan["Se"]
@@ -961,7 +1000,7 @@ def _decode_progressive_scans(comps, scans, dc_luts, ac_luts, mcux, mcuy, n_mcus
         if ss == 0:
             if se != 0:
                 raise JpegError("progressive scan mixes DC and AC")
-            _scan_dc(by_id, sc_list, dc_luts, segs, restart, ah, al,
+            _scan_dc(by_id, sc_list, segs, restart, ah, al,
                      mcux, mcuy, n_mcus)
         else:
             if len(sc_list) != 1:
@@ -969,20 +1008,24 @@ def _decode_progressive_scans(comps, scans, dc_luts, ac_luts, mcux, mcuy, n_mcus
             c = by_id.get(sc_list[0]["id"])
             if c is None:
                 raise JpegError("scan/frame component mismatch")
-            lut = ac_luts[sc_list[0]["ac"]]
+            lut = sc_list[0]["ac_lut"]  # snapshotted at SOS parse time
+            if lut is None:
+                raise JpegError("AC scan references an undefined Huffman table")
             if ah == 0:
                 _scan_ac_first(c, lut, segs, restart, ss, se, al)
             else:
                 _scan_ac_refine(c, lut, segs, restart, ss, se, al)
 
 
-def _scan_dc(by_id, sc_list, dc_luts, segs, restart, ah, al, mcux, mcuy, n_mcus):
+def _scan_dc(by_id, sc_list, segs, restart, ah, al, mcux, mcuy, n_mcus):
     scs = []
     for sc in sc_list:
         c = by_id.get(sc["id"])
         if c is None:
             raise JpegError("scan/frame component mismatch")
-        scs.append((c, dc_luts[sc["dc"]] if ah == 0 else None))
+        if ah == 0 and sc["dc_lut"] is None:
+            raise JpegError("DC scan references an undefined Huffman table")
+        scs.append((c, sc["dc_lut"] if ah == 0 else None))
     seg_iter = iter(segs)
     rdr = _Bits(next(seg_iter))
     preds = {c["id"]: 0 for c, _ in scs}

@@ -841,7 +841,12 @@ def embedding_neardup(sf_dir: str):
         return t.set_column(0, "vec_id", pc.add(t["vec_id"], 100000))
 
     both = ds.union(ds.map_batches(clones, batch_format="pyarrow"))
-    pairs = embedding_neardup_pairs(both, threshold=0.95)
+    # mode="exact" pins the oracle check: the SQL oracle is exact
+    # all-pairs cosine, and LSH's ~2e-4 per-pair miss probability would
+    # make the hash comparison probabilistically flaky as corpora grow.
+    # LSH (the scale default) is recall-tested against this exact path
+    # in tests/test_dedup_text_sim.py instead.
+    pairs = embedding_neardup_pairs(both, threshold=0.95, mode="exact")
 
     def finish(df: pd.DataFrame) -> pd.DataFrame:
         df = df.copy()

@@ -43,6 +43,15 @@ class UrlFetcher:
     def _fetch_one(self, url: str) -> bytes:
         if not url:
             return b""
+        # urllib's default opener also accepts file:// and ftp:// — a
+        # hostile CSV row like file:///etc/passwd would silently read
+        # local files into the dataset. Only http(s) is a URL source;
+        # anything else is a missing row, same as a failed fetch.
+        from urllib.parse import urlparse
+
+        if urlparse(url).scheme not in ("http", "https"):
+            self.failed += 1
+            return b""
         for attempt in range(self.max_retries + 1):
             try:
                 with self.opener.open(url, timeout=self.timeout) as resp:

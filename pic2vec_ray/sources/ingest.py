@@ -162,15 +162,20 @@ def ingest_images_distributed(image_directory: str):
     names = find_directory_image_paths(image_directory)
     if not names:
         raise ValueError(f"no whitelisted images under {image_directory!r}")
-    paths = [os.path.join(image_directory, n) for n in names]
+    # resolve BEFORE handing paths to Ray: read tasks run in workers
+    # whose cwd differs from the driver's, so relative paths would fail
+    # at read time; and Ray may echo normalized paths, so image_id is
+    # mapped back via a resolved-path lookup, not string-prefix strip.
+    root = os.path.realpath(image_directory)
+    paths = [os.path.join(root, n) for n in names]
     ds = rd.read_binary_files(paths, include_paths=True)
-    prefix_len = len(image_directory.rstrip(os.sep)) + 1
+    id_by_resolved = {os.path.realpath(p): n for p, n in zip(paths, names)}
 
     def probe(t: pa.Table) -> pa.Table:
         ids, ws, hs, fmts, hashes = [], [], [], [], []
         for path, data in zip(t["path"].to_pylist(), t["bytes"].to_pylist()):
             data = bytes(data)
-            ids.append(path[prefix_len:] if path.startswith(image_directory.rstrip(os.sep)) else path)
+            ids.append(id_by_resolved.get(os.path.realpath(path), path))
             fmt = sniff_format(data[:8]) or ""
             w = h = 0
             ph = 0

@@ -632,72 +632,125 @@ def embedding_neardup_pairs(ds, *, vec_col: str = "embedding", id_col: str = "ve
     ``mode="lsh"`` (default, the scale path): random-hyperplane sign
     sketches — ``bands`` bands of ``band_bits`` projection signs each;
     two vectors land in the same bucket for a band iff all its signs
-    agree, and exact cosine runs only inside buckets. A true pair is
-    missed only if every band splits it: for cosine ≥ 0.95 the per-band
-    hit rate is (1 − θ/π)^8 ≈ 0.43, so 16 bands give recall ≈ 1 − 0.57^16
-    > 0.9998 (exact duplicates are always caught — identical vectors
-    sign identically). Candidates, not the corpus, bound every
-    intermediate; one hash shuffle of narrow (band, bucket, id, vec)
-    rows.
+    agree, and exact cosine runs only on bucket-derived candidate
+    pairs. A true pair is missed only if every band splits it: for
+    cosine ≥ 0.95 the per-band hit rate is (1 − θ/π)^8 ≈ 0.43, so 16
+    bands give recall ≈ 1 − 0.57^16 > 0.9998 (exact duplicates are
+    always caught — identical vectors sign identically).
+
+    Shuffle shape (the minhash shape, ``minhash_lsh_pairs``): the band
+    exchange carries only narrow ``(band, bucket, id)`` rows — vector
+    bytes do NOT ride it ``bands`` times. Buckets emit candidate id
+    pairs; the pairs are deduped and hash-JOINED back to a materialized
+    ``(id, vec)`` table on each side, then cosine is one vectorized
+    rowwise dot per batch. Candidate count, not corpus size, bounds
+    every post-bucket intermediate; the vector table crosses an
+    exchange once per join (2×) instead of once per band (16×).
 
     ``mode="exact"``: the quadratic broadcast baseline — the normalized
     corpus matrix is shipped once via ray.put and each batch computes
     one matmul block. Only for corpora that fit one node; the oracle
     baseline for the LSH path's recall tests.
     """
+    from ..temporal.join import hash_join
+
     if mode == "exact":
         return _embedding_neardup_exact(ds, vec_col, id_col, threshold)
 
-    def sketch(batch: pd.DataFrame) -> pd.DataFrame:
+    def to_norm(batch: pd.DataFrame) -> pd.DataFrame:
         q = np.stack(batch[vec_col].to_numpy()).astype(np.float64)
         q /= np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-12)
-        dim = q.shape[1]
-        planes = np.random.default_rng(seed).standard_normal((dim, bands * band_bits))
+        return pd.DataFrame({id_col: batch[id_col].to_numpy(),
+                             "vec": [v.tobytes() for v in q]})
+
+    # one derived corpus copy in the object store (spillable), reused by
+    # the band stage and both join-back sides
+    vec_ds = ds.map_batches(to_norm, batch_format="pandas").materialize()
+
+    def to_bands(batch: pd.DataFrame) -> pd.DataFrame:
+        q = np.stack([np.frombuffer(v, dtype=np.float64) for v in batch["vec"]])
+        # planes built once per worker process (cached by content key),
+        # not once per batch — same pattern as the JPEG LUT cache
+        planes = _lsh_planes(seed, q.shape[1], bands * band_bits)
         bits = (q @ planes >= 0).astype(np.uint8)  # (n, bands*band_bits)
         n = len(batch)
-        frames = []
         ids = batch[id_col].to_numpy()
+        band_ids = np.repeat(np.arange(bands), n)
+        keys = np.empty(bands * n, dtype=np.int64)
         for bi in range(bands):
             seg = bits[:, bi * band_bits : (bi + 1) * band_bits]
-            key = np.packbits(seg, axis=1, bitorder="little")[:, 0].astype(np.int64)
-            frames.append(pd.DataFrame({
-                "band": bi, "bucket": key, id_col: ids,
-                "vec": [v.tobytes() for v in q],
-            }))
-        out = pd.concat(frames, ignore_index=True)
+            keys[bi * n : (bi + 1) * n] = np.packbits(
+                seg, axis=1, bitorder="little")[:, 0].astype(np.int64)
+        out = pd.DataFrame({"band": band_ids, "bucket": keys,
+                            id_col: np.tile(ids, bands)})
         out["__part"] = (
             pd.util.hash_pandas_object(out[["band", "bucket"]], index=False)
             % num_partitions
         ).astype("int64")
         return out
 
-    def bucket_verify(group: pd.DataFrame) -> pd.DataFrame:
-        res = []
+    def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        pairs = []
         for _, g in group.groupby(["band", "bucket"], sort=False):
-            if len(g) < 2:
-                continue
-            g = g.drop_duplicates(subset=[id_col]).sort_values(id_col)
-            ids = g[id_col].to_numpy()
-            m = np.stack([np.frombuffer(v, dtype=np.float64) for v in g["vec"]])
-            sims = m @ m.T
-            ia, ib = np.triu_indices(len(ids), k=1)
-            keep = sims[ia, ib] >= threshold
-            if keep.any():
-                res.append(pd.DataFrame({"id_a": ids[ia[keep]], "id_b": ids[ib[keep]],
-                                         "cosine": sims[ia[keep], ib[keep]]}))
-        if not res:
+            ids = np.sort(g[id_col].unique())
+            if len(ids) > 1:
+                ia, ib = np.triu_indices(len(ids), k=1)
+                pairs.append(pd.DataFrame({"id_a": ids[ia], "id_b": ids[ib]}))
+        if not pairs:
+            return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                                 "id_b": pd.Series([], dtype="int64")})
+        return pd.concat(pairs, ignore_index=True).drop_duplicates()
+
+    cand = (
+        vec_ds.map_batches(to_bands, batch_format="pandas")
+        .groupby("__part")
+        .map_groups(bucket_pairs, batch_format="pandas")
+    )
+    cand = dedup_pairs(cand, num_partitions).materialize()
+    if cand.count() == 0:
+        return _empty_pairs_ds({"cosine": "float64"})
+
+    def _side(side: str):
+        def fn(batch: pd.DataFrame) -> pd.DataFrame:
+            return batch.rename(columns={id_col: f"id_{side}", "vec": f"vec_{side}"})
+
+        return fn
+
+    # materialize between the chained joins: a lazy first join would be
+    # re-executed by the second join's schema resolution
+    with_a = hash_join(cand, vec_ds.map_batches(_side("a"), batch_format="pandas"),
+                       on="id_a", num_partitions=num_partitions).materialize()
+    with_ab = hash_join(with_a, vec_ds.map_batches(_side("b"), batch_format="pandas"),
+                        on="id_b", num_partitions=num_partitions)
+
+    def verify(batch: pd.DataFrame) -> pd.DataFrame:
+        if batch.empty:
             return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
                                  "id_b": pd.Series([], dtype="int64"),
                                  "cosine": pd.Series([], dtype="float64")})
-        return pd.concat(res, ignore_index=True)
+        va = np.stack([np.frombuffer(v, dtype=np.float64) for v in batch["vec_a"]])
+        vb = np.stack([np.frombuffer(v, dtype=np.float64) for v in batch["vec_b"]])
+        cos = np.einsum("ij,ij->i", va, vb)
+        out = batch.loc[cos >= threshold, ["id_a", "id_b"]].copy()
+        out["cosine"] = cos[cos >= threshold]
+        return out
 
-    out = (
-        ds.map_batches(sketch, batch_format="pandas")
-        .groupby("__part")
-        .map_groups(bucket_verify, batch_format="pandas")
-    )
-    # the same pair can surface from several bands → final dedup
-    return dedup_pairs(out, num_partitions)
+    return with_ab.map_batches(verify, batch_format="pandas")
+
+
+_PLANES_CACHE: dict[tuple, np.ndarray] = {}
+
+
+def _lsh_planes(seed: int, dim: int, nbits: int) -> np.ndarray:
+    """Deterministic random-hyperplane matrix, built once per worker
+    process per (seed, dim, nbits) — hoisted out of the per-batch fn."""
+    key = (seed, dim, nbits)
+    hit = _PLANES_CACHE.get(key)
+    if hit is None:
+        hit = np.random.default_rng(seed).standard_normal((dim, nbits))
+        if len(_PLANES_CACHE) < 16:
+            _PLANES_CACHE[key] = hit
+    return hit
 
 
 def _embedding_neardup_exact(ds, vec_col: str, id_col: str, threshold: float):

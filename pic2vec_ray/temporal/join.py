@@ -90,6 +90,12 @@ def hash_join(
     def merge(group: pd.DataFrame) -> pd.DataFrame:
         l = group[group[_SIDE] == 0][left_names]
         r = group[group[_SIDE] == 1][keys + value_cols]
+        # SQL semantics: a NULL key never matches anything (pandas'
+        # isin/merge treat NaN == NaN as a match) — drop null-key right
+        # rows; null-key left rows then fall out naturally (inner/semi
+        # exclude them, left/anti keep them unmatched, = EXISTS/NOT
+        # EXISTS in the DuckDB oracle).
+        r = r.dropna(subset=keys)
         if how in ("semi", "anti"):
             mask = l.set_index(keys).index.isin(r.set_index(keys).index)
             out = l[mask] if how == "semi" else l[~mask]

@@ -185,6 +185,43 @@ def test_progressive_decodes_bit_identical_to_baseline(sub, shape, quality):
     assert np.array_equal(base, prog)
 
 
+@pytest.mark.parametrize("sub,shape,quality", [
+    ("444", (33, 41), 75), ("420", (32, 32), 90),
+])
+def test_progressive_dht_redefined_between_scans(sub, shape, quality):
+    """libjpeg's optimized progressive output emits a fresh DHT before
+    each scan, REUSING slot ids 0/1 — the luma AC scan and the chroma
+    AC scans see different tables behind the same slot. A decoder that
+    resolves slots after parsing the whole stream decodes early scans
+    with the LAST table definitions; the per-SOS LUT snapshot must
+    yield pixels bit-identical to the all-tables-up-front encoding."""
+    rng = np.random.default_rng(shape[1])
+    img = rng.integers(0, 256, (*shape, 3), dtype=np.uint8)
+    plain = encode_jpeg(img, quality=quality, subsampling=sub,
+                        progressive=True)
+    per_scan = encode_jpeg(img, quality=quality, subsampling=sub,
+                           progressive=True, dht_per_scan=True)
+    # the stream really does redefine tables mid-stream: DHT segments
+    # must appear AFTER the first SOS
+    first_sos = per_scan.find(b"\xff\xda")
+    assert per_scan.find(b"\xff\xc4", first_sos) > first_sos
+    assert per_scan.count(b"\xff\xc4") >= 3
+    assert np.array_equal(decode_jpeg(per_scan), decode_jpeg(plain))
+
+
+def test_scan_missing_huffman_table_rejected():
+    """A scan whose SOS references a slot no DHT has defined yet must
+    raise JpegError (missing-row semantics), not KeyError/garbage."""
+    img = _smooth(16, 16)
+    enc = bytearray(encode_jpeg(img, progressive=True, dht_per_scan=True))
+    # drop the first DHT (appears before the first SOS) entirely
+    idx = bytes(enc).find(b"\xff\xc4")
+    (seglen,) = np.frombuffer(bytes(enc[idx + 2: idx + 4]), dtype=">u2")
+    del enc[idx: idx + 2 + int(seglen)]
+    with pytest.raises(JpegError):
+        decode_jpeg(bytes(enc))
+
+
 def test_progressive_grayscale_bit_identical():
     g = np.random.default_rng(9).integers(0, 256, (24, 16), dtype=np.uint8)
     assert np.array_equal(
