@@ -268,3 +268,96 @@ def audio_table_path(sf_dir: str, cache_root: str = "/tmp/pic2vec_ray_cache") ->
     with open(done, "w") as f:
         f.write("ok\n")
     return out_dir
+
+
+# ---------------------------------------------------------------- video
+
+VIDEO_W, VIDEO_H = 32, 24
+VIDEO_FRAMES = 8
+VIDEO_FPS = 10.0
+VIDEO_QUALITY = 90  # q90 → luma qt[0] == 3 → grays 128+3m roundtrip exactly
+VIDEO_GRAY_MOD = 85  # m ∈ [-42, 42] keeps 128+3m inside [2, 254]
+
+
+def video_frame_gray(partkey: int, frame: int) -> int:
+    """Solid-gray value of frame ``frame`` of clip ``partkey``.
+
+    Grays are ``128 + 3m``: at JPEG quality 90 the luma quantizer's DC
+    step is 3, so a solid block's single DC coefficient quantizes and
+    reconstructs EXACTLY (8·3m/3 = 8m, 8m·3/8 = 3m) — the decoded frame
+    is bit-identical to the source, which makes per-clip intensity
+    stats closed-form SQL over ``part``.
+    """
+    m = (partkey * 7 + frame) % VIDEO_GRAY_MOD - 42
+    return 128 + 3 * m
+
+
+def make_video_row(partkey: int) -> dict:
+    """One video-table row; role = partkey % 10:
+
+    8 → undecodable garbage bytes, 9 → empty bytes (both: missing);
+    else an 8-frame MJPEG/AVI of solid-gray frames whose values follow
+    :func:`video_frame_gray` — decode-exact, so frame stats are
+    SQL-predictable from ``part``.
+    """
+    from ..codecs.avi import encode_avi_mjpeg
+
+    role = partkey % 10
+    clip_id = f"vid_{partkey:08d}"
+    if role == 9:
+        return dict(clip_id=clip_id, bytes=b"", w=0, h=0, n_frames=0,
+                    fps=0.0, fmt="avi")
+    if role == 8:
+        rng = np.random.default_rng(SEED + partkey)
+        return dict(clip_id=clip_id,
+                    bytes=bytes(rng.integers(0, 256, 128, dtype=np.uint8)),
+                    w=0, h=0, n_frames=0, fps=0.0, fmt="avi")
+    frames = np.stack([
+        np.full((VIDEO_H, VIDEO_W), video_frame_gray(partkey, f), dtype=np.uint8)
+        for f in range(VIDEO_FRAMES)
+    ])
+    data = encode_avi_mjpeg(frames, fps=VIDEO_FPS, quality=VIDEO_QUALITY)
+    return dict(clip_id=clip_id, bytes=data, w=VIDEO_W, h=VIDEO_H,
+                n_frames=VIDEO_FRAMES, fps=VIDEO_FPS, fmt="avi")
+
+
+VIDEO_SCHEMA = pa.schema([
+    ("clip_id", pa.string()),
+    ("bytes", pa.binary()),
+    ("w", pa.int32()),
+    ("h", pa.int32()),
+    ("n_frames", pa.int32()),
+    ("fps", pa.float64()),
+    ("fmt", pa.string()),
+])
+
+
+def synth_video_batch(batch: pa.Table) -> pa.Table:
+    rows = [make_video_row(int(k))
+            for k in batch["p_partkey"].to_numpy(zero_copy_only=False)]
+    cols = {name: [r[name] for r in rows] for name in VIDEO_SCHEMA.names}
+    return pa.table(cols, schema=VIDEO_SCHEMA)
+
+
+def video_table_path(sf_dir: str, cache_root: str = "/tmp/pic2vec_ray_cache") -> str:
+    """Build (or reuse) the synthetic video parquet for ``sf_dir`` —
+    same distributed generate-and-cache shape as images_table_path."""
+    import ray.data as rd
+
+    tag = hashlib.sha1(f"video:{sf_dir}:{GENERATOR_VERSION}".encode()).hexdigest()[:12]
+    out_dir = os.path.join(cache_root, f"video_{tag}")
+    done = os.path.join(out_dir, "_SUCCESS")
+    if os.path.exists(done):
+        return out_dir
+    part = rd.read_parquet(os.path.join(sf_dir, "part.parquet"), columns=["p_partkey"])
+    ds = part.map_batches(synth_video_batch, batch_format="pyarrow", batch_size=512)
+    tmp = out_dir + ".tmp"
+    import shutil
+
+    shutil.rmtree(tmp, ignore_errors=True)
+    shutil.rmtree(out_dir, ignore_errors=True)
+    ds.write_parquet(tmp)
+    os.rename(tmp, out_dir)
+    with open(done, "w") as f:
+        f.write("ok\n")
+    return out_dir

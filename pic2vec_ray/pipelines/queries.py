@@ -788,6 +788,55 @@ FROM part
 """
 
 
+def video_frame_stats(sf_dir: str):
+    """End-to-end VIDEO pipeline: synthetic MJPEG/AVI clips (8
+    solid-gray frames per clip at the decode-exact grays 128+3m, plus
+    garbage/empty missing rows) → real RIFF/AVI container parse →
+    uniform 4-frame sample → from-scratch JPEG decode → CNN embed in
+    the VideoFrameSampleActor pool. The projected per-clip stats
+    (container frame count, mean sampled-frame intensity) are
+    closed-form from ``part`` — the whole demux→sample→decode chain is
+    rows+schema+hash oracle-checked; the CNN features over the same
+    frames are pinned separately in pytest (not SQL-expressible)."""
+    from ..fixtures.synth import video_table_path
+    from ..stages.multimodal import VideoFrameSampleActor
+
+    ds = _rd().read_parquet(video_table_path(sf_dir))
+    out = ds.map_batches(
+        VideoFrameSampleActor,
+        fn_constructor_kwargs=dict(num_frames=4, model_str="tinynet",
+                                   decoder="mjpeg", emit_stats=True),
+        batch_format="pyarrow", batch_size=64, concurrency=4)
+
+    def project(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "clip_id": t["clip_id"],
+            "missing": t["missing"],
+            "frames_decoded": t["frames_decoded"],
+            "mean_intensity": t["mean_intensity"],
+        })
+
+    return out.map_batches(project, batch_format="pyarrow")
+
+
+# sampled indices for 8 stored frames, 4 samples: unique(linspace(0,7,4)
+# .astype(int)) = {0, 2, 4, 7}; each frame is solid gray
+# 128 + 3·((partkey·7 + f) % 85 − 42), decode-exact at quality 90.
+SQL_VIDEO_STATS = """
+SELECT printf('vid_%08d', p_partkey) AS clip_id,
+       p_partkey % 10 >= 8 AS missing,
+       CAST(CASE WHEN p_partkey % 10 >= 8 THEN -1 ELSE 8 END AS BIGINT)
+           AS frames_decoded,
+       CASE WHEN p_partkey % 10 >= 8 THEN -1.0
+            ELSE 128.0 + 3.0 * ( ((p_partkey * 7 + 0) % 85 - 42)
+                               + ((p_partkey * 7 + 2) % 85 - 42)
+                               + ((p_partkey * 7 + 4) % 85 - 42)
+                               + ((p_partkey * 7 + 7) % 85 - 42) ) / 4.0
+       END AS mean_intensity
+FROM part
+"""
+
+
 # ------------------------------------------------ rows-only (non-SQL) ops
 
 
@@ -949,6 +998,7 @@ QUERIES = {
     "featurize_dims": featurize_dims,
     "ngram_jaccard_pairs": ngram_jaccard_pairs_docs,
     "audio_dominant_band": audio_dominant_band,
+    "video_frame_stats": video_frame_stats,
     # rows-only (not SQL-expressible; see module docstring)
     "featurize_flagship": featurize_flagship,
     "minhash_neardup_docs": minhash_neardup_docs,
@@ -985,4 +1035,5 @@ ORACLE_SQL = {
     "ngram_jaccard_pairs": SQL_NGRAM_JACCARD,
     "langid_docs": _langid_sql(),
     "audio_dominant_band": SQL_AUDIO_BAND,
+    "video_frame_stats": SQL_VIDEO_STATS,
 }

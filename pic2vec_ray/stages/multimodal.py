@@ -1,16 +1,17 @@
 """Multimodal columns beyond images: audio / video as opaque ``binary``
 columns with typed metadata, processed by actor-pool map_batches stages.
 
-Round 2: AUDIO decode is REAL for uncompressed audio — a from-scratch
-RIFF/WAVE codec (``codecs/wav.py``, PCM u8/s16/s24/s32 + IEEE float)
-feeds the spectral-feature pipeline; compressed audio and all VIDEO
-containers still need codec libraries this environment lacks, so those
-paths keep the clearly-marked stub (``decoder="stub"`` produces a
-deterministic fake signal seeded by the payload bytes;
-``decoder="strict"`` raises NotImplementedError). Everything around
-decode — schema contract, actor signature, batch sizing, zero-copy
-Arrow plumbing, missing-row semantics, fixed-size-list output layout —
-is real and tested either way.
+AUDIO decode is REAL for uncompressed audio — a from-scratch RIFF/WAVE
+codec (``codecs/wav.py``, PCM u8/s16/s24/s32 + IEEE float) feeds the
+spectral-feature pipeline. VIDEO decode is REAL for MJPEG-in-AVI
+(round 3) — ``codecs/avi.py`` walks the RIFF container and the
+from-scratch JPEG decoder handles each sampled frame. Compressed
+audio (mp3/flac/ogg) and inter-frame video codecs (H.264 etc.) still
+need libraries this environment lacks: those payloads raise in the
+codec → missing-row semantics, and each actor keeps a clearly-marked
+``decoder="stub"`` (deterministic fake signal seeded by the payload
+bytes) plus ``decoder="strict"`` (raises NotImplementedError) for
+plumbing tests.
 
 Schema contracts (mirroring the image input_hint shape):
 
@@ -104,60 +105,99 @@ class AudioFeatureActor:
 class VideoFrameSampleActor:
     """Decode → sample K frames → per-frame embed → mean-pool per clip.
 
-    Frame sampling is uniform over ``n_frames``; the per-frame embed
-    reuses the image model zoo (real numpy CNN), so only the
-    container/codec decode is stubbed.
+    Round 3: VIDEO decode is REAL for MJPEG-in-AVI — the RIFF container
+    walk (``codecs/avi.py``, same family as the WAV codec) plus the
+    from-scratch JPEG decoder; only the K sampled frames pay decode
+    cost (the parser returns raw payload slices). Other containers/
+    codecs raise ``AviError`` → missing row (``decoder="mjpeg"``,
+    default); ``decoder="stub"`` keeps the deterministic fake frames
+    for plumbing tests and ``decoder="strict"`` raises on everything.
+    Frame sampling is uniform over the container's stored frame count;
+    the per-frame embed reuses the image model zoo (real numpy CNN).
     """
 
     def __init__(self, num_frames: int = 4, model_str: str = "tinynet",
-                 bytes_col: str = "bytes", decoder: str = "stub"):
+                 bytes_col: str = "bytes", decoder: str = "mjpeg",
+                 emit_stats: bool = False):
         from ..model.zoo import build_featurizer
         from ..functions.image_ops import NORMALIZERS
 
-        if decoder not in ("stub", "strict"):
-            raise ValueError("decoder must be 'stub' or 'strict'")
+        if decoder not in ("mjpeg", "stub", "strict"):
+            raise ValueError("decoder must be 'mjpeg', 'stub' or 'strict'")
         self.num_frames = num_frames
         self.bytes_col = bytes_col
         self.decoder = decoder
+        self.emit_stats = emit_stats
         self.model = build_featurizer(model_str, depth=1)
         self.normalize = NORMALIZERS[self.model.preprocessing]
         self.num_features = self.model.num_features
 
-    def _decode_frames(self, data: bytes, w: int, h: int, n_frames: int) -> np.ndarray | None:
-        """STUB decode: deterministic fake frames from the payload bytes
-        (a real implementation demuxes+decodes the container and seeks
-        to the sampled timestamps)."""
-        if not data or n_frames <= 0:
+    def _decode_frames(self, data: bytes, w: int, h: int,
+                       n_frames: int) -> tuple[np.ndarray, int, float] | None:
+        """→ (resized frame stack, container frame count, mean intensity
+        of the sampled pre-resize frames) or None for a missing row.
+
+        ``decoder="mjpeg"`` (default): REAL AVI parse; only the
+        ``num_frames`` uniformly-sampled payloads are JPEG-decoded,
+        then resized to the model target like any image row. Frame
+        count comes from the CONTAINER, not the metadata column."""
+        if not data:
             return None
         if self.decoder == "strict":
             raise NotImplementedError(
-                "video decode requires a codec library not present in this "
-                "environment"
+                "non-MJPEG video decode requires codec libraries not "
+                "present in this environment (MJPEG/AVI decodes natively)"
             )
+        th, tw = self.model.target_size
+        if self.decoder == "mjpeg":
+            from ..codecs.avi import AviError, parse_avi_mjpeg
+            from ..codecs.jpeg import JpegError, decode_jpeg
+            from ..functions.image_ops import resize_nearest, to_rgb
+
+            try:
+                vid = parse_avi_mjpeg(bytes(data))
+                idx = np.unique(np.linspace(
+                    0, vid.n_frames - 1, min(self.num_frames, vid.n_frames)
+                ).astype(int))
+                frames = [decode_jpeg(vid.frames[int(i)]) for i in idx]
+            except (AviError, JpegError, Exception):
+                return None
+            mean_i = float(np.mean([f.mean(dtype=np.float64) for f in frames]))
+            stack = np.stack([resize_nearest(to_rgb(f), (th, tw)) for f in frames])
+            return stack, vid.n_frames, mean_i
+        if n_frames <= 0:
+            return None
         idx = np.linspace(0, max(n_frames - 1, 0), self.num_frames).astype(int)
         rng = np.random.default_rng(_seed_from(data))
-        th, tw = self.model.target_size
-        return rng.integers(0, 256, size=(len(idx), th, tw, 3), dtype=np.uint8)
+        fake = rng.integers(0, 256, size=(len(idx), th, tw, 3), dtype=np.uint8)
+        return fake, n_frames, float(fake.mean(dtype=np.float64))
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         n = len(batch)
         feats = np.zeros((n, self.num_features), dtype=np.float32)
         missing = np.zeros(n, dtype=bool)
+        frames_decoded = np.full(n, -1, dtype=np.int64)
+        mean_intensity = np.full(n, -1.0, dtype=np.float64)
         byte_rows = batch[self.bytes_col].to_pylist()
         w = batch["w"].to_numpy()
         h = batch["h"].to_numpy()
         nf = batch["n_frames"].to_numpy()
         for i, data in enumerate(byte_rows):
-            frames = self._decode_frames(bytes(data) if data else b"",
-                                         int(w[i]), int(h[i]), int(nf[i]))
-            if frames is None:
+            dec = self._decode_frames(bytes(data) if data else b"",
+                                      int(w[i]), int(h[i]), int(nf[i]))
+            if dec is None:
                 missing[i] = True
                 continue
+            frames, frames_decoded[i], mean_intensity[i] = dec
             emb = self.model(self.normalize(frames.astype(np.float32)))
             feats[i] = emb.mean(axis=0)  # mean-pool over sampled frames
         out = batch.drop_columns([self.bytes_col])
         out = out.append_column("missing", pa.array(missing))
         flat = pa.array(feats.ravel(), type=pa.float32())
-        return out.append_column(
+        out = out.append_column(
             "features", pa.FixedSizeListArray.from_arrays(flat, self.num_features)
         )
+        if self.emit_stats:
+            out = out.append_column("frames_decoded", pa.array(frames_decoded))
+            out = out.append_column("mean_intensity", pa.array(mean_intensity))
+        return out

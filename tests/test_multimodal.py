@@ -1,6 +1,7 @@
-"""Audio/video multimodal tests. Round 2: the audio path decodes REAL
-RIFF/WAVE bytes (codecs/wav.py); video decode remains a marked stub
-(no container codecs here) with real Ray-side plumbing."""
+"""Audio/video multimodal tests. The audio path decodes REAL RIFF/WAVE
+bytes (codecs/wav.py); round 3: the video path decodes REAL
+MJPEG-in-AVI (codecs/avi.py + the from-scratch JPEG decoder) — the
+stub decoder remains only for plumbing tests."""
 
 from __future__ import annotations
 
@@ -75,7 +76,8 @@ def test_video_frame_sample_on_ray(ray_session):
 
     ds = rd.from_arrow(_video_table(6))
     out = ds.map_batches(VideoFrameSampleActor,
-                         fn_constructor_kwargs=dict(num_frames=3, model_str="tinynet"),
+                         fn_constructor_kwargs=dict(num_frames=3, model_str="tinynet",
+                                                    decoder="stub"),
                          batch_format="pyarrow", batch_size=4,
                          concurrency=1).to_pandas()
     assert len(out) == 6
@@ -141,6 +143,99 @@ def test_audio_features_track_tone_frequency():
         bands = np.asarray(out.features[i])
         expect_band = min(int((f / (sr / frame)) / (257 / n_bands)), n_bands - 1)
         assert abs(int(bands.argmax()) - expect_band) <= 1
+
+
+# ------------------------------------------------- real MJPEG/AVI codec
+
+
+def _gray_frames(ms, h=24, w=32):
+    return np.stack([np.full((h, w), 128 + 3 * m, dtype=np.uint8) for m in ms])
+
+
+def test_avi_mjpeg_roundtrip_exact_grays():
+    """Solid grays of the form 128+3m survive q90 JPEG exactly (DC step
+    3), so container encode → parse → per-frame decode is bit-exact."""
+    from pic2vec_ray.codecs.avi import decode_avi_frames, encode_avi_mjpeg, parse_avi_mjpeg
+
+    ms = [-42, -10, 0, 7, 21, 40, -3, 13]
+    avi = encode_avi_mjpeg(_gray_frames(ms), fps=10.0, quality=90)
+    vid = parse_avi_mjpeg(avi)
+    assert (vid.width, vid.height, vid.fps, vid.n_frames) == (32, 24, 10.0, 8)
+    dec = decode_avi_frames(avi)
+    assert dec.shape == (8, 24, 32, 1)
+    for i, m in enumerate(ms):
+        assert (dec[i] == 128 + 3 * m).all()
+    # selective decode pays JPEG cost only for the requested frames
+    sub = decode_avi_frames(avi, [0, 7])
+    assert (sub[0] == 128 + 3 * ms[0]).all() and (sub[1] == 128 + 3 * ms[7]).all()
+
+
+def test_avi_mjpeg_color_roundtrip_psnr():
+    from pic2vec_ray.codecs.avi import decode_avi_frames, encode_avi_mjpeg
+    from pic2vec_ray.functions.image_ops import psnr
+
+    rng = np.random.default_rng(11)
+    yy, xx = np.mgrid[0:24, 0:32]
+    frames = np.stack([
+        np.stack([(xx * 8 + t * 9) % 256, (yy * 10) % 256,
+                  (xx + yy + t) % 256], axis=2).astype(np.uint8)
+        for t in range(4)
+    ])
+    dec = decode_avi_frames(encode_avi_mjpeg(frames, fps=5, quality=90))
+    assert dec.shape == frames.shape
+    for a, b in zip(dec, frames):
+        assert psnr(a, b) > 25.0
+
+
+def test_avi_rejects_garbage_and_foreign_codecs():
+    from pic2vec_ray.codecs.avi import AviError, encode_avi_mjpeg, parse_avi_mjpeg
+
+    with pytest.raises(AviError):
+        parse_avi_mjpeg(b"RIFF\x08\x00\x00\x00WAVEdata")
+    with pytest.raises(AviError):
+        parse_avi_mjpeg(b"not an avi at all...........")
+    avi = bytearray(encode_avi_mjpeg(_gray_frames([0, 3]), quality=90))
+    idx = bytes(avi).find(b"vids") + 4
+    avi[idx:idx + 4] = b"H264"  # foreign fccHandler → explicit rejection
+    with pytest.raises(AviError, match="codec"):
+        parse_avi_mjpeg(bytes(avi))
+
+
+def test_video_actor_mjpeg_features_match_cnn_of_frames(ray_session):
+    """decoder='mjpeg' end to end: features == mean-pooled CNN over the
+    sampled (decode-exact) frames, computed independently here."""
+    import ray.data as rd
+
+    from pic2vec_ray.codecs.avi import encode_avi_mjpeg
+    from pic2vec_ray.functions.image_ops import NORMALIZERS, resize_nearest, to_rgb
+    from pic2vec_ray.model.zoo import build_featurizer
+
+    ms = [(7 * i) % 85 - 42 for i in range(8)]
+    frames = _gray_frames(ms)
+    avi = encode_avi_mjpeg(frames, fps=10.0, quality=90)
+    rng = np.random.default_rng(2)
+    t = pa.table({
+        "clip_id": ["ok", "garbage", "empty"],
+        "bytes": [avi, bytes(rng.integers(0, 256, 256, dtype=np.uint8)), b""],
+        "w": [32, 0, 0], "h": [24, 0, 0], "n_frames": [8, 0, 0],
+        "fps": [10.0, 0.0, 0.0], "fmt": ["avi", "avi", "avi"],
+    })
+    out = rd.from_arrow(t).map_batches(
+        VideoFrameSampleActor,
+        fn_constructor_kwargs=dict(num_frames=4, model_str="tinynet",
+                                   decoder="mjpeg", emit_stats=True),
+        batch_format="pyarrow", batch_size=4, concurrency=1,
+    ).to_pandas().set_index("clip_id")
+    assert out.missing.tolist() == [False, True, True]
+    assert out.frames_decoded.tolist() == [8, -1, -1]
+    sampled = [0, 2, 4, 7]  # unique(linspace(0, 7, 4).astype(int))
+    expect_mean = np.mean([128 + 3 * ms[i] for i in sampled])
+    assert out.mean_intensity["ok"] == expect_mean
+    model = build_featurizer("tinynet", depth=1)
+    th, tw = model.target_size
+    stack = np.stack([resize_nearest(to_rgb(frames[i]), (th, tw)) for i in sampled])
+    want = model(NORMALIZERS[model.preprocessing](stack.astype(np.float32))).mean(axis=0)
+    assert np.allclose(np.asarray(out.features["ok"]), want, atol=1e-5)
 
 
 def test_audio_garbage_bytes_become_missing(ray_session):
