@@ -29,10 +29,20 @@ from .numpy_nn import conv2d, downsample_features, global_avg_pool, he_init, max
 
 
 class FeaturizerModel:
-    """A decapitated featurizer: callable (N,H,W,3) float32 → (N,F) float32."""
+    """A decapitated featurizer: callable (N,H,W,3) float32 → (N,F) float32.
+
+    ``weights`` (optional) replaces the seeded He-init blobs with a
+    user-supplied ``{layer_name: array}`` dict — the custom-weights
+    hook (reference ``build_featurizer.py:90-97``: build with
+    ``weights=None`` then ``load_weights(path)``). Keys and shapes are
+    validated against the architecture up front so a mismatched file
+    fails at build time on the driver, not at the first batch inside
+    an actor.
+    """
 
     def __init__(self, name: str, depth: int = 1, downsample: bool = False,
-                 num_pooled_features: int = 0):
+                 num_pooled_features: int = 0,
+                 weights: dict[str, np.ndarray] | None = None):
         from .numpy_nn import check_downsampling_mismatch
 
         spec = MODEL_REGISTRY.get(name)
@@ -47,6 +57,8 @@ class FeaturizerModel:
         self.cut_layer = spec["depth_to_layer"][depth]
         self._forward = spec["forward"]
         self._weights = spec["build_weights"]()
+        if weights is not None:
+            self._weights = _validated_weights(name, self._weights, weights)
         base_width = spec["widths"][depth]
         self.downsample, self.num_pooled_features = check_downsampling_mismatch(
             downsample, num_pooled_features, base_width
@@ -202,10 +214,65 @@ def validate_config(model_str: str, depth: int = 1, downsample: bool = False,
     return base
 
 
+def _validated_weights(name: str, expected: dict[str, np.ndarray],
+                       supplied: dict) -> dict[str, np.ndarray]:
+    """Validate a user weight dict against the architecture's canonical
+    layout (every layer present, every shape exact) — the analog of
+    Keras ``load_weights`` raising on a mismatched file (reference
+    ``tests/test_build_featurizer.py:187-223``)."""
+    missing = sorted(set(expected) - set(supplied))
+    if missing:
+        raise ValueError(f"weights for {name!r} missing layers: {missing[:5]}"
+                         f"{'...' if len(missing) > 5 else ''}")
+    out = {}
+    for key, ref in expected.items():
+        arr = np.asarray(supplied[key], dtype=np.float32)
+        if arr.shape != ref.shape:
+            raise ValueError(
+                f"weight {key!r} for {name!r} has shape {arr.shape}, "
+                f"architecture expects {ref.shape}")
+        out[key] = arr
+    return out
+
+
+def save_weights_npz(model: FeaturizerModel, path: str) -> None:
+    """Persist a model's weights as a portable ``.npz`` (one array per
+    layer key) — the save half of the custom-weights hook."""
+    np.savez(path, **model._weights)
+
+
+def load_weights_npz(path: str) -> dict[str, np.ndarray]:
+    """``.npz`` weight file → ``{layer_name: array}`` dict."""
+    try:
+        with np.load(path) as npz:
+            return {k: npz[k] for k in npz.files}
+    except (OSError, ValueError) as err:
+        raise IOError(f"problem loading custom weights from {path!r}: {err}") from err
+
+
 def build_featurizer(model_str: str = "squeezenet", depth: int = 1,
-                     downsample: bool = False, num_pooled_features: int = 0) -> FeaturizerModel:
-    """Assembly entry point (T7, ``build_featurizer.py:302-379``)."""
-    return FeaturizerModel(model_str, depth, downsample, num_pooled_features)
+                     downsample: bool = False, num_pooled_features: int = 0,
+                     loaded_weights: str = "",
+                     loaded_model: FeaturizerModel | None = None) -> FeaturizerModel:
+    """Assembly entry point (T7, ``build_featurizer.py:302-379``).
+
+    ``loaded_weights``: path to an ``.npz`` weight file (keys/shapes
+    validated against the architecture; bad files raise at build time)
+    — parity with the reference's custom-weights path
+    (``build_featurizer.py:90-97``). ``loaded_model``: a pre-built
+    :class:`FeaturizerModel` whose weights are reused while the
+    requested depth/downsampling is (re)applied — parity with the
+    reference's ``loaded_model`` (``build_featurizer.py:306,340-342``,
+    which re-decapitates the supplied model).
+    """
+    if loaded_model is not None:
+        if not isinstance(loaded_model, FeaturizerModel):
+            raise TypeError("loaded_model must be a FeaturizerModel")
+        return FeaturizerModel(loaded_model.name, depth, downsample,
+                               num_pooled_features, weights=loaded_model._weights)
+    weights = load_weights_npz(loaded_weights) if loaded_weights else None
+    return FeaturizerModel(model_str, depth, downsample, num_pooled_features,
+                           weights=weights)
 
 
 def featurize_data(model: FeaturizerModel, array: np.ndarray) -> np.ndarray:

@@ -32,14 +32,23 @@ def featurize_images(
     image_columns: str | list[str] = "bytes",
     batch_size: int = 128,
     concurrency=None,
+    loaded_weights: str = "",
 ):
     """images: a Dataset or a parquet path of the input_hint schema.
 
     Returns a lazy Dataset with ``{prefix}features`` +
     ``{prefix}missing`` appended per image column. ``concurrency``
     sizes the actor pool (default: 3/4 of cluster CPUs, capped).
+    ``loaded_weights`` names an ``.npz`` custom-weight file on shared
+    storage, loaded once per actor in ``__init__``.
     """
     validate_config(model_str, depth, downsample, num_pooled_features)
+    if loaded_weights:
+        # fail on the driver, not inside the first actor batch
+        from ..model.zoo import build_featurizer
+
+        build_featurizer(model_str, depth, downsample, num_pooled_features,
+                         loaded_weights=loaded_weights)
     if isinstance(image_columns, str):
         image_columns = [image_columns]
     if concurrency is None:
@@ -81,6 +90,7 @@ def featurize_images(
                 num_pooled_features=num_pooled_features,
                 bytes_col=col,
                 features_col=f"{prefix}features",
+                loaded_weights=loaded_weights,
             ),
             batch_format="pyarrow",
             batch_size=batch_size,

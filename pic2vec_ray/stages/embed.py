@@ -33,8 +33,12 @@ class EmbedActor:
     def __init__(self, model_str: str = "tinynet", depth: int = 1,
                  downsample: bool = False, num_pooled_features: int = 0,
                  bytes_col: str = "bytes", features_col: str = "features",
-                 drop_bytes: bool = True):
-        self.model = build_featurizer(model_str, depth, downsample, num_pooled_features)
+                 drop_bytes: bool = True, loaded_weights: str = ""):
+        # custom weights load once per actor from shared storage — the
+        # npz path rides the tiny fn_constructor_kwargs, not the batches
+        self.model = build_featurizer(model_str, depth, downsample,
+                                      num_pooled_features,
+                                      loaded_weights=loaded_weights)
         self.normalize = NORMALIZERS[self.model.preprocessing]
         self.decoder = BatchDecoder(target_size=self.model.target_size)
         self.bytes_col = bytes_col

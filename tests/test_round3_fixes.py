@@ -102,6 +102,107 @@ def test_lsh_planes_cached_per_process():
     assert not np.array_equal(a, c)
 
 
+# ------------------------------------------- custom-weight injection (T1)
+
+
+def test_weights_npz_roundtrip_bit_identical(tmp_path):
+    """Save → reload through the loaded_weights hook → features must be
+    bit-identical (reference build_featurizer.py:90-97 parity)."""
+    from pic2vec_ray.model.zoo import build_featurizer, save_weights_npz
+
+    rng = np.random.default_rng(3)
+    x = rng.random((2, 64, 64, 3)).astype(np.float32)
+    base = build_featurizer("tinynet", depth=1)
+    path = str(tmp_path / "w.npz")
+    save_weights_npz(base, path)
+    reloaded = build_featurizer("tinynet", depth=1, loaded_weights=path)
+    assert np.array_equal(base(x), reloaded(x))
+
+
+def test_custom_weights_actually_used(tmp_path):
+    from pic2vec_ray.model.zoo import build_featurizer, save_weights_npz
+
+    base = build_featurizer("tinynet", depth=1)
+    custom = {k: v * 0.5 for k, v in base._weights.items()}
+    path = str(tmp_path / "half.npz")
+    np.savez(path, **custom)
+    half = build_featurizer("tinynet", depth=1, loaded_weights=path)
+    x = np.random.default_rng(4).random((1, 64, 64, 3)).astype(np.float32)
+    assert not np.allclose(base(x), half(x))
+
+
+def test_mismatched_weights_rejected(tmp_path):
+    """Shape-mismatched / incomplete weight files must raise at build
+    time (reference tests/test_build_featurizer.py:187-223 analog)."""
+    from pic2vec_ray.model.zoo import build_featurizer
+
+    good = build_featurizer("tinynet", depth=1)._weights
+    bad_shape = dict(good)
+    bad_shape["conv1/w"] = np.zeros((5, 5, 3, 32), np.float32)
+    p1 = str(tmp_path / "bad_shape.npz")
+    np.savez(p1, **bad_shape)
+    with pytest.raises(ValueError, match="shape"):
+        build_featurizer("tinynet", depth=1, loaded_weights=p1)
+
+    incomplete = {k: v for k, v in good.items() if k != "conv3/w"}
+    p2 = str(tmp_path / "incomplete.npz")
+    np.savez(p2, **incomplete)
+    with pytest.raises(ValueError, match="missing"):
+        build_featurizer("tinynet", depth=1, loaded_weights=p2)
+
+    with pytest.raises(IOError):
+        build_featurizer("tinynet", depth=1,
+                         loaded_weights=str(tmp_path / "nope.npz"))
+
+
+def test_loaded_model_redecapitated():
+    """A pre-built model passed via loaded_model is reused (weights
+    shared) while the requested depth is applied — the reference
+    re-decapitates the supplied model (build_featurizer.py:306,340)."""
+    from pic2vec_ray.model.zoo import build_featurizer
+
+    d1 = build_featurizer("tinynet", depth=1)
+    d2_via_loaded = build_featurizer("tinynet", depth=2, loaded_model=d1)
+    d2_fresh = build_featurizer("tinynet", depth=2)
+    x = np.random.default_rng(5).random((1, 64, 64, 3)).astype(np.float32)
+    assert d2_via_loaded.num_features == d2_fresh.num_features == 64
+    assert np.array_equal(d2_via_loaded(x), d2_fresh(x))
+    with pytest.raises(TypeError):
+        build_featurizer("tinynet", depth=1, loaded_model="not a model")
+
+
+def test_featurize_images_with_custom_weights(ray_session, tmp_path):
+    """The distributed actor path loads the npz once per actor and its
+    features match the local model with the same weights."""
+    import ray.data as rd
+
+    from pic2vec_ray.codecs.png import encode_png
+    from pic2vec_ray.functions.image_ops import NORMALIZERS, resize_nearest
+    from pic2vec_ray.model.zoo import build_featurizer
+    from pic2vec_ray.pipelines.featurize import featurize_images
+
+    base = build_featurizer("tinynet", depth=1)
+    custom = {k: v * -0.25 for k, v in base._weights.items()}
+    path = str(tmp_path / "c.npz")
+    np.savez(path, **custom)
+
+    rng = np.random.default_rng(6)
+    imgs = [rng.integers(0, 256, (16, 16, 3), dtype=np.uint8) for _ in range(3)]
+    t = __import__("pyarrow").table({
+        "image_id": [f"i{k}" for k in range(3)],
+        "bytes": [encode_png(im) for im in imgs],
+    })
+    out = featurize_images(rd.from_arrow(t), model_str="tinynet", depth=1,
+                           concurrency=1, loaded_weights=path).to_pandas()
+    local = build_featurizer("tinynet", depth=1, loaded_weights=path)
+    th, tw = local.target_size
+    stack = np.stack([resize_nearest(im, (th, tw)) for im in imgs]).astype(np.float32)
+    want = local(NORMALIZERS[local.preprocessing](stack))
+    got = np.stack([np.asarray(f) for f in
+                    out.sort_values("image_id").features])
+    assert np.allclose(got, want, atol=1e-6)
+
+
 def test_distributed_ingest_relative_directory(ray_session, tmp_path, monkeypatch):
     """image_id must be the directory-relative name even when the input
     directory is given as a relative path (Ray echoes absolutized
