@@ -21,11 +21,21 @@ pic2vec                             pic2vec_ray
 =================================== ======================================
 
 Differences by design: no 5-D stacked tensor (featurization is
-streaming per-batch, never whole-corpus in RAM — the reference's
-batched path with the memory-unsafe non-batch variant removed), and
-row identity is keyed, not positional (the output frame is sorted by
-image_id; the original CSV order can be restored by merging on the
-path column).
+streaming per-batch — the reference's batched path with the
+memory-unsafe non-batch variant removed), and row identity is keyed,
+not positional (the output frame is sorted by image_id; the original
+CSV order can be restored by merging on the path column).
+
+MEMORY BOUND (honest contract): the ENGINE streams, but ``featurize``
+/ ``featurize_preloaded_data`` RETURN a full pandas DataFrame for
+reference API parity — that return value materializes the whole
+featurized corpus on the driver (rows × num_features × 4 bytes, plus
+pandas overhead). A ``max_rows`` guard (constructor knob) refuses
+corpora past the bound instead of OOM-ing mid-collect. For anything
+bigger use the streaming sinks, which never materialize:
+``featurize_to_parquet`` (partitioned parquet, the 100 TB path) or
+``featurize_to_csv`` (distributed sort → batch-streamed conformance
+CSV, byte-identical to ``save_csv`` output).
 """
 
 from __future__ import annotations
@@ -39,12 +49,16 @@ from .pipelines.conformance import explode_features, save_conformance_csv
 
 class ImageFeaturizer:
     def __init__(self, depth: int = 1, autosample: bool = False,
-                 downsample_size: int = 0, model: str = "squeezenet"):
+                 downsample_size: int = 0, model: str = "squeezenet",
+                 max_rows: int = 200_000):
         self.num_features = validate_config(model, depth, autosample, downsample_size)
         self.model_name = model
         self.depth = depth
         self.autosample = autosample
         self.downsample_size = downsample_size
+        # pandas-return guard (see module docstring): 200k × 512 float32
+        # ≈ 400 MB — comfortably inside one driver, far outside "oops"
+        self.max_rows = max_rows
         self.image_columns: list[str] = []
         self.data: "object" = None  # lazy Dataset after load_data
         self.features: pd.DataFrame | None = None
@@ -80,6 +94,7 @@ class ImageFeaturizer:
     def featurize_preloaded_data(self, batch_size: int = 64) -> pd.DataFrame:
         if self.data is None:
             raise ValueError("must load data before featurizing (call load_data)")
+        self._check_max_rows()
         from .pipelines.featurize import featurize_images
 
         if len(self.image_columns) > 1:
@@ -118,6 +133,61 @@ class ImageFeaturizer:
         )
         self.full_dataframe = pd.concat([passthrough, self.features], axis=1)
         return self.full_dataframe
+
+    def _check_max_rows(self):
+        """Refuse to materialize a corpus past the pandas-return bound
+        (count() is metadata-cheap on the ingest table)."""
+        n = self.data.count()
+        if n > self.max_rows:
+            raise ValueError(
+                f"corpus has {n} rows > max_rows={self.max_rows}: the pandas "
+                "return would materialize it on the driver. Use "
+                "featurize_to_parquet()/featurize_to_csv() (streaming), or "
+                "raise max_rows if the driver really has the memory.")
+
+    def featurize_to_parquet(self, out_dir: str, batch_size: int = 64) -> str:
+        """STREAMING scale sink: featurize the loaded data and write
+        partitioned parquet — no driver-side materialization anywhere
+        (the 100 TB path; resume via ``state.checkpoint`` if needed)."""
+        if self.data is None:
+            raise ValueError("must load data before featurizing (call load_data)")
+        from .pipelines.featurize import featurize_images
+
+        featurize_images(
+            self.data, model_str=self.model_name, depth=self.depth,
+            downsample=self.autosample, num_pooled_features=self.downsample_size,
+            image_columns=self.image_columns if len(self.image_columns) > 1 else "bytes",
+            batch_size=batch_size,
+        ).write_parquet(out_dir)
+        return out_dir
+
+    def featurize_to_csv(self, new_csv_path: str = "featurized.csv",
+                         batch_size: int = 64, save_features: bool = False,
+                         **naming_kwargs) -> str:
+        """STREAMING conformance CSV: distributed sort by image_id, then
+        batch-streamed append — byte-identical to ``save_csv`` output
+        without ever holding the featurized corpus on the driver
+        (single-column sources; multi-column exports use save_csv)."""
+        if self.data is None:
+            raise ValueError("must load data before featurizing (call load_data)")
+        if len(self.image_columns) > 1:
+            raise ValueError("featurize_to_csv supports single-column sources; "
+                             "use featurize() + save_csv() for multi-column")
+        from .pipelines.conformance import stream_conformance_csv
+        from .pipelines.featurize import featurize_images
+
+        ds = featurize_images(
+            self.data, model_str=self.model_name, depth=self.depth,
+            downsample=self.autosample, num_pooled_features=self.downsample_size,
+            batch_size=batch_size,
+        )
+        col = self.image_columns[0] if self.image_columns else "images"
+        return stream_conformance_csv(
+            ds, new_csv_path, image_column_header=col,
+            model_str=self.model_name, depth=self.depth,
+            save_features=save_features,
+            original_cols=["image_id", "caption"],  # the save_csv layout
+            **naming_kwargs)
 
     def featurize(self, image_columns: str | list[str] = "images",
                   image_path: str = "", csv_path: str = "",

@@ -11,9 +11,15 @@ writer sorts by ``image_id`` — SURVEY.md §7.4 hard part 2), and the
 omit switches as ``ImageFeaturizer.save_csv``
 (``image_featurizer.py:804-857``).
 
-This is a conformance/export path for SMALL results (golden diffs,
-sampled exports): it materializes to pandas. The scale sink is
-``Dataset.write_parquet`` partitioned per shard.
+``save_conformance_csv`` is the conformance/export path for SMALL
+results (golden diffs, sampled exports): it materializes to pandas.
+``stream_conformance_csv`` is the same contract WITHOUT driver
+materialization: distributed sort by ``image_id``, then the sorted
+Dataset streams through ``iter_batches`` into an append-only CSV —
+the driver holds one batch at a time (a single CSV file forces a
+single writer; the bound is one batch, not the corpus). The scale
+sink for features themselves remains ``Dataset.write_parquet``
+partitioned per shard.
 """
 
 from __future__ import annotations
@@ -83,4 +89,51 @@ def save_conformance_csv(featurized_df: pd.DataFrame, csv_path: str, *,
     if save_features:
         feat_path = path.replace(".csv", "_features_only.csv")
         pd.concat([df[[id_col]], feats], axis=1).to_csv(feat_path, index=False)
+    return path
+
+
+def stream_conformance_csv(featurized_ds, csv_path: str, *,
+                           image_column_header: str = "images",
+                           model_str: str, depth: int,
+                           id_col: str = "image_id",
+                           save_features: bool = False,
+                           original_cols: list[str] | None = None,
+                           batch_size: int = 1024,
+                           **naming_kwargs) -> str:
+    """``save_conformance_csv`` without the full ``to_pandas()``:
+    ``featurized_ds`` (a lazy featurized Dataset) is SORTED DISTRIBUTED
+    by ``id_col`` and streamed batch-by-batch into the CSV — byte-
+    identical output (pandas formats values per-cell, so appending
+    header-less batches of the same sorted rows writes the same bytes),
+    driver memory bounded by one batch. Returns the written path.
+    """
+    ds = featurized_ds.sort(id_col)
+    writer = feat_writer = None
+    path = None
+    try:
+        for pdf in ds.iter_batches(batch_size=batch_size, batch_format="pandas"):
+            pdf = pdf.reset_index(drop=True)
+            feats = explode_features(pdf, image_column_header)
+            keep = original_cols or [c for c in pdf.columns
+                                     if c not in ("features", "missing")]
+            full = pd.concat([pdf[keep], feats], axis=1)
+            if writer is None:
+                num_features = sum(1 for c in feats.columns if "_feat_" in c)
+                path = robust_name(csv_path, model_str=model_str, depth=depth,
+                                   num_features=num_features, **naming_kwargs)
+                os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+                writer = open(path, "w", newline="")
+                if save_features:
+                    feat_writer = open(
+                        path.replace(".csv", "_features_only.csv"), "w", newline="")
+            full.to_csv(writer, index=False, header=writer.tell() == 0)
+            if feat_writer is not None:
+                pd.concat([pdf[[id_col]], feats], axis=1).to_csv(
+                    feat_writer, index=False, header=feat_writer.tell() == 0)
+    finally:
+        for f in (writer, feat_writer):
+            if f is not None:
+                f.close()
+    if path is None:
+        raise ValueError("cannot write a conformance CSV from an empty dataset")
     return path

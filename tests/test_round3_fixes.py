@@ -102,6 +102,69 @@ def test_lsh_planes_cached_per_process():
     assert not np.array_equal(a, c)
 
 
+# --------------------------------- streaming conformance sink + max_rows
+
+
+@pytest.fixture()
+def image_dir(tmp_path):
+    from pic2vec_ray.codecs.png import encode_png
+
+    rng = np.random.default_rng(12)
+    d = tmp_path / "imgs"
+    d.mkdir()
+    for i in range(6):
+        img = rng.integers(0, 256, (10 + i, 12, 3), dtype=np.uint8)
+        (d / f"im{i}.png").write_bytes(encode_png(img))
+    return str(d)
+
+
+def test_streaming_csv_byte_identical_to_facade(ray_session, image_dir, tmp_path):
+    """featurize_to_csv (distributed sort → batch-streamed append) must
+    write byte-identical output to the materializing save_csv path."""
+    from pic2vec_ray.featurizer import ImageFeaturizer
+
+    kw = dict(omit_time=False, timestamp="T0")  # pin the robust name
+    f1 = ImageFeaturizer(depth=1, model="tinynet")
+    f1.featurize("images", image_path=image_dir)
+    p1 = f1.save_csv(str(tmp_path / "a" / "out.csv"), save_features=True, **kw)
+
+    f2 = ImageFeaturizer(depth=1, model="tinynet")
+    f2.load_data("images", image_path=image_dir)
+    p2 = f2.featurize_to_csv(str(tmp_path / "b" / "out.csv"),
+                             batch_size=2, save_features=True, **kw)
+
+    with open(p1, "rb") as a, open(p2, "rb") as b:
+        assert a.read() == b.read()
+    fa = p1.replace(".csv", "_features_only.csv")
+    fb = p2.replace(".csv", "_features_only.csv")
+    with open(fa, "rb") as a, open(fb, "rb") as b:
+        assert a.read() == b.read()
+
+
+def test_featurize_to_parquet_streams(ray_session, image_dir, tmp_path):
+    import pyarrow.parquet as pq
+
+    from pic2vec_ray.featurizer import ImageFeaturizer
+
+    f = ImageFeaturizer(depth=1, model="tinynet")
+    f.load_data("images", image_path=image_dir)
+    out = f.featurize_to_parquet(str(tmp_path / "feats"))
+    t = pq.read_table(out)
+    assert t.num_rows == 6
+    assert "features" in t.column_names and "missing" in t.column_names
+
+
+def test_max_rows_guard_refuses_materialization(ray_session, image_dir):
+    from pic2vec_ray.featurizer import ImageFeaturizer
+
+    f = ImageFeaturizer(depth=1, model="tinynet", max_rows=3)
+    f.load_data("images", image_path=image_dir)
+    with pytest.raises(ValueError, match="max_rows"):
+        f.featurize_preloaded_data()
+    # the streaming sinks are NOT bounded by max_rows
+    f.featurize_to_parquet("/tmp/maxrows_guard_feats")
+
+
 # ------------------------------------------- custom-weight injection (T1)
 
 
