@@ -161,6 +161,35 @@ def run_headline(sf_dir: str) -> dict:
     return times
 
 
+def run_checkpointed_featurize(sf_dir: str) -> dict:
+    """The featurize stage through state.checkpoint.run_partitioned —
+    measures what per-partition atomic commits + lineage manifests COST
+    vs the direct streaming run (VERDICT r02 #7), plus what a resume
+    scan costs when everything is already done. Results land in
+    BENCH_r{N}.json (featurize_ckpt / ckpt_resume_scan) and the delta
+    is recorded in BASELINE.md."""
+    from pic2vec_ray.fixtures.synth import images_table_path
+    from pic2vec_ray.pipelines.featurize import featurize_images
+    from pic2vec_ray.state.checkpoint import run_partitioned
+
+    images_dir = images_table_path(sf_dir)
+    ck_dir = f"{OUT_ROOT}/features_ckpt"
+    shutil.rmtree(ck_dir, ignore_errors=True)
+
+    def pipeline(ds):
+        return featurize_images(ds, model_str="tinynet", depth=1)
+
+    t0 = time.perf_counter()
+    summary = run_partitioned(images_dir, ck_dir, pipeline, num_partitions=4)
+    cold = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    resumed = run_partitioned(images_dir, ck_dir, pipeline, num_partitions=4)
+    resume_scan = time.perf_counter() - t0
+    assert resumed["ran"] == [] and len(resumed["skipped"]) == summary["num_partitions"]
+    return {"featurize_ckpt": round(cold, 3),
+            "ckpt_resume_scan": round(resume_scan, 3)}
+
+
 def run_secondary(sf_dir: str) -> dict:
     """Per-operator wall times over the standard tables."""
 
@@ -193,7 +222,13 @@ def main_single():
     DataContext.get_current().enable_progress_bars = False
 
     headline = run_headline(SF_DIR)
-    secondary = {} if os.environ.get("GRAFT_HEADLINE_ONLY") else run_secondary(SF_DIR)
+    if os.environ.get("GRAFT_HEADLINE_ONLY"):
+        secondary = {}
+    else:
+        # checkpointed featurize LAST: its 4 sequential actor-pool
+        # spin-ups churn the worker pool and would inflate whatever
+        # runs after it (measured +60% on minhash when it ran first)
+        secondary = {**run_secondary(SF_DIR), **run_checkpointed_featurize(SF_DIR)}
     result = {
         "metric": "featurize+asof end-to-end seconds (headline); images/sec in queries.images_per_sec",
         "value": round(headline["total"], 3),
