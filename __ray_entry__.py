@@ -32,12 +32,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-equivalent SQL for every SQL-expressible query (26 of 31
-    as of round 2, incl. the full audio decode→FFT pipeline). The 5 rows-only residue is genuinely
-    non-SQL-expressible: minhash/simhash pairs + minhash groups (the
-    sketch hash has no SQL equivalent), IVF search (k-means training),
-    and featurize_flagship's CNN feature norms (its structural contract
-    IS oracle-checked via featurize_dims)."""
+    """DuckDB-equivalent SQL for every SQL-expressible query (27 of 32
+    as of round 3, incl. the full audio decode→FFT pipeline and the
+    video demux→frame-sample→JPEG-decode pipeline). The 5 rows-only
+    residue is genuinely non-SQL-expressible: minhash/simhash pairs +
+    minhash groups (the sketch hash has no SQL equivalent), IVF search
+    (k-means training), and featurize_flagship's CNN feature norms
+    (its structural contract IS oracle-checked via featurize_dims)."""
     from pic2vec_ray.pipelines.queries import ORACLE_SQL
 
     return dict(ORACLE_SQL)

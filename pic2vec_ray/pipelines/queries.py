@@ -958,6 +958,40 @@ FROM g
 """
 
 
+def fingerprint_docs(sf_dir: str):
+    """Document fingerprinting: polynomial rolling hash (Horner,
+    mod 2^64) over the whitespace-normalized lowercased text —
+    reproduced in SQL with list_reduce over the codepoint list."""
+    from ..stages.text import fingerprint64
+
+    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def project(df: pd.DataFrame) -> pd.DataFrame:
+        return df[["doc_id", "fingerprint"]]
+
+    return ds.map_batches(fingerprint64, batch_format="pandas") \
+             .map_batches(project, batch_format="pandas")
+
+
+SQL_FINGERPRINT = r"""
+WITH n AS (
+  SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+  FROM documents
+), h AS (
+  SELECT doc_id,
+    CASE WHEN length(t) = 0 THEN CAST(0 AS HUGEINT) ELSE list_reduce(
+      list_transform(string_split(t, ''), c -> CAST(unicode(c) AS HUGEINT)),
+      (a, b) -> (a * 1099511628211 + b) % 18446744073709551616
+    ) END AS v
+  FROM n
+)
+SELECT doc_id,
+  CAST(CASE WHEN v >= 9223372036854775808 THEN v - 18446744073709551616
+            ELSE v END AS BIGINT) AS fingerprint
+FROM h
+"""
+
+
 def ivf_search_embeddings(sf_dir: str):
     """IVF with TRUE partition pruning: the index is bucket-partitioned
     parquet (built once per sf_dir, cached) and search reads only the
@@ -1014,6 +1048,7 @@ QUERIES = {
     "ngram_jaccard_pairs": ngram_jaccard_pairs_docs,
     "audio_dominant_band": audio_dominant_band,
     "video_frame_stats": video_frame_stats,
+    "fingerprint_docs": fingerprint_docs,
     # rows-only (not SQL-expressible; see module docstring)
     "featurize_flagship": featurize_flagship,
     "minhash_neardup_docs": minhash_neardup_docs,
@@ -1051,4 +1086,5 @@ ORACLE_SQL = {
     "langid_docs": _langid_sql(),
     "audio_dominant_band": SQL_AUDIO_BAND,
     "video_frame_stats": SQL_VIDEO_STATS,
+    "fingerprint_docs": SQL_FINGERPRINT,
 }

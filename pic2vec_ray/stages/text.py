@@ -110,11 +110,42 @@ class LangId:
         return batch
 
 
+_FP_PRIME = np.uint64(1099511628211)  # FNV-1 prime: odd → bijective step mod 2^64
+
+
 def fingerprint64(batch: pd.DataFrame) -> pd.DataFrame:
-    """Deterministic 64-bit document fingerprint: polynomial rolling
-    hash of the whitespace-normalized lowercased text."""
+    """Deterministic 64-bit document fingerprint: a TRUE polynomial
+    rolling hash over the codepoints of the whitespace-normalized
+    lowercased text — ``h = fold(h·P + c) mod 2^64`` (Horner), which a
+    SQL oracle can reproduce with ``list_reduce`` (query
+    ``fingerprint_docs``).
+
+    Vectorized across the batch: all normalized texts are concatenated
+    once, decoded to codepoints via utf-32, each position multiplied by
+    the precomputed power ``P^(doc_end-1-pos)`` (the sum form of
+    Horner), and one ``add.reduceat`` per batch folds them per document
+    — no per-document Python loop. uint64 arithmetic wraps mod 2^64 by
+    construction.
+    """
     norm = batch["text"].str.lower().str.split().str.join(" ")
-    batch["fingerprint"] = (
-        pd.util.hash_pandas_object(norm, index=False).astype("uint64").astype("int64")
-    )
+    lens = norm.str.len().to_numpy(dtype=np.int64)
+    out = np.zeros(len(batch), dtype=np.uint64)
+    nonempty = lens > 0
+    if nonempty.any():
+        cat = "".join(norm[nonempty])
+        cps = np.frombuffer(cat.encode("utf-32-le"), dtype="<u4").astype(np.uint64)
+        ne_lens = lens[nonempty]
+        ends = np.cumsum(ne_lens)
+        starts = ends - ne_lens
+        # P^k table up to the longest doc (uint64 wraparound)
+        ppow = np.empty(int(ne_lens.max()), dtype=np.uint64)
+        ppow[0] = 1
+        for k in range(1, len(ppow)):
+            ppow[k] = ppow[k - 1] * _FP_PRIME
+        # exponent of position i in doc d = (end_d - 1) - i
+        pos = np.arange(len(cps), dtype=np.int64)
+        exp = np.repeat(ends - 1, ne_lens) - pos
+        contrib = cps * ppow[exp]
+        out[nonempty] = np.add.reduceat(contrib, starts)
+    batch["fingerprint"] = out.astype(np.int64)  # two's-complement view
     return batch

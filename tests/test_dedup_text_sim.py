@@ -106,6 +106,24 @@ def test_bpe_ish_and_fingerprint(docs):
     assert (merged.fingerprint == merged.fingerprint_sp).all()
 
 
+def test_fingerprint_matches_scalar_horner():
+    """The vectorized power-scan fingerprint equals a per-char scalar
+    Horner fold (h = h*P + codepoint, mod 2^64) — the definition the
+    SQL oracle reproduces."""
+    import pandas as pd
+
+    texts = ["", "   ", "a", "Hello  World", "ünïcode ÇHARS", "x" * 500]
+
+    def scalar(t):
+        h = 0
+        for c in " ".join(t.lower().split()):
+            h = (h * 1099511628211 + ord(c)) % (1 << 64)
+        return h - (1 << 64) if h >= (1 << 63) else h
+
+    out = fingerprint64(pd.DataFrame({"text": texts}))
+    assert out.fingerprint.tolist() == [scalar(t) for t in texts]
+
+
 def test_langid_on_documents(docs, docs_pdf):
     out = docs.map_batches(LangId, batch_format="pandas", concurrency=2).to_pandas()
     # documents are english word-salad; predictions must be en or und,
