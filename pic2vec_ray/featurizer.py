@@ -145,20 +145,25 @@ class ImageFeaturizer:
                 "featurize_to_parquet()/featurize_to_csv() (streaming), or "
                 "raise max_rows if the driver really has the memory.")
 
-    def featurize_to_parquet(self, out_dir: str, batch_size: int = 64) -> str:
-        """STREAMING scale sink: featurize the loaded data and write
-        partitioned parquet — no driver-side materialization anywhere
-        (the 100 TB path; resume via ``state.checkpoint`` if needed)."""
+    def featurize_to_parquet(self, out_dir: str, batch_size: int = 64,
+                             format: str = "parquet") -> str:
+        """STREAMING scale sink: featurize the loaded data and write a
+        table — no driver-side materialization anywhere (the 100 TB
+        path; resume via ``state.checkpoint`` if needed). ``format``
+        dispatches through ``sources.sinks`` (parquet always; lance
+        when the pylance wheel is installed)."""
         if self.data is None:
             raise ValueError("must load data before featurizing (call load_data)")
         from .pipelines.featurize import featurize_images
+        from .sources.sinks import write_table
 
-        featurize_images(
+        ds = featurize_images(
             self.data, model_str=self.model_name, depth=self.depth,
             downsample=self.autosample, num_pooled_features=self.downsample_size,
             image_columns=self.image_columns if len(self.image_columns) > 1 else "bytes",
             batch_size=batch_size,
-        ).write_parquet(out_dir)
+        )
+        write_table(ds, out_dir, format=format)
         return out_dir
 
     def featurize_to_csv(self, new_csv_path: str = "featurized.csv",

@@ -165,6 +165,27 @@ def test_max_rows_guard_refuses_materialization(ray_session, image_dir):
     f.featurize_to_parquet("/tmp/maxrows_guard_feats")
 
 
+def test_sink_registry_format_agnostic(ray_session, tmp_path):
+    """write_table/read_table round-trip through the registry; lance is
+    advertised only when its wheel exists; unknown formats fail loudly."""
+    import pandas as pd
+    import ray.data as rd
+
+    from pic2vec_ray.sources.sinks import (available_formats, detect_format,
+                                           read_table, write_table)
+
+    assert "parquet" in available_formats()
+    df = pd.DataFrame({"a": [1, 2, 3], "b": ["x", "y", "z"]})
+    out = str(tmp_path / "t")
+    write_table(rd.from_pandas(df), out)
+    assert detect_format(out) == "parquet"
+    back = read_table(out).to_pandas().sort_values("a").reset_index(drop=True)
+    assert back.equals(df)
+    with pytest.raises(ValueError, match="unknown sink format"):
+        write_table(rd.from_pandas(df), out, format="orc")
+    assert detect_format("/data/corpus.lance") == "lance"
+
+
 # ------------------------------------------- custom-weight injection (T1)
 
 
