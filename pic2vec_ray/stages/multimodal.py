@@ -50,6 +50,13 @@ class AudioFeatureActor:
         self.bytes_col = bytes_col
         self.decoder = decoder
         self.window = np.hanning(frame).astype(np.float32)
+        # band edges over the rfft bins, precomputed once per actor —
+        # equals np.array_split's partition of the bin axis
+        bins = frame // 2 + 1
+        edges = [b * (bins // n_bands) + min(b, bins % n_bands)
+                 for b in range(n_bands + 1)]
+        self._band_starts = np.array(edges[:-1], dtype=np.int64)
+        self._band_sizes = np.diff(np.array(edges, dtype=np.int64))
 
     def _decode(self, data: bytes, n_samples: int) -> np.ndarray | None:
         """``decoder="wav"`` (default): REAL RIFF/WAVE parse → mono mix
@@ -88,12 +95,15 @@ class AudioFeatureActor:
             if pcm is None:
                 missing[i] = True
                 continue
-            # windowed frames → FFT band energies, averaged over frames
+            # windowed frames → FFT band energies, averaged over frames:
+            # mean over frames first, then one reduceat over the
+            # precomputed band edges (replaces the per-clip
+            # array_split + Python list comprehension)
             usable = (len(pcm) // self.frame) * self.frame
             frames = pcm[:usable].reshape(-1, self.frame) * self.window
-            spec = np.abs(np.fft.rfft(frames, axis=1))
-            bands = np.array_split(spec, self.n_bands, axis=1)
-            feats[i] = np.array([b.mean() for b in bands], dtype=np.float32)
+            spec = np.abs(np.fft.rfft(frames, axis=1)).mean(axis=0)
+            feats[i] = (np.add.reduceat(spec, self._band_starts)
+                        / self._band_sizes).astype(np.float32)
         out = batch.drop_columns([self.bytes_col])
         out = out.append_column("missing", pa.array(missing))
         flat = pa.array(feats.ravel(), type=pa.float32())
