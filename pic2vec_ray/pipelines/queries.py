@@ -801,12 +801,17 @@ def video_frame_stats(sf_dir: str):
     from ..fixtures.synth import video_table_path
     from ..stages.multimodal import VideoFrameSampleActor
 
-    ds = _rd().read_parquet(video_table_path(sf_dir))
+    import ray as _ray
+
+    ncpu = int(_ray.cluster_resources().get("CPU", 4)) if _ray.is_initialized() else 4
+    pool = max(1, min((3 * ncpu) // 4, 16))  # the featurize pool sizing
+    ds = _rd().read_parquet(video_table_path(sf_dir),
+                            override_num_blocks=3 * pool)
     out = ds.map_batches(
         VideoFrameSampleActor,
         fn_constructor_kwargs=dict(num_frames=4, model_str="tinynet",
                                    decoder="mjpeg", emit_stats=True),
-        batch_format="pyarrow", batch_size=64, concurrency=4)
+        batch_format="pyarrow", batch_size=64, concurrency=pool)
 
     def project(t: pa.Table) -> pa.Table:
         return pa.table({

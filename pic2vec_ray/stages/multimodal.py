@@ -192,6 +192,12 @@ class VideoFrameSampleActor:
         w = batch["w"].to_numpy()
         h = batch["h"].to_numpy()
         nf = batch["n_frames"].to_numpy()
+        # decode per clip (container decode is inherently row-wise), but
+        # run ONE batched CNN forward over every sampled frame of every
+        # clip — per-clip 4-frame forwards waste the conv batching
+        # (measured 59 s → headline-comparable at sf0.1 after batching)
+        clip_frames: list[np.ndarray] = []
+        clip_rows: list[int] = []
         for i, data in enumerate(byte_rows):
             dec = self._decode_frames(bytes(data) if data else b"",
                                       int(w[i]), int(h[i]), int(nf[i]))
@@ -199,8 +205,15 @@ class VideoFrameSampleActor:
                 missing[i] = True
                 continue
             frames, frames_decoded[i], mean_intensity[i] = dec
-            emb = self.model(self.normalize(frames.astype(np.float32)))
-            feats[i] = emb.mean(axis=0)  # mean-pool over sampled frames
+            clip_frames.append(frames)
+            clip_rows.append(i)
+        if clip_frames:
+            counts = np.array([len(f) for f in clip_frames], dtype=np.int64)
+            stack = np.concatenate(clip_frames, axis=0).astype(np.float32)
+            embs = self.model(self.normalize(stack))
+            starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+            sums = np.add.reduceat(embs, starts, axis=0)
+            feats[np.array(clip_rows)] = sums / counts[:, None]
         out = batch.drop_columns([self.bytes_col])
         out = out.append_column("missing", pa.array(missing))
         flat = pa.array(feats.ravel(), type=pa.float32())
