@@ -32,9 +32,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-equivalent SQL for every SQL-expressible query (27 of 32
-    as of round 3, incl. the full audio decode→FFT pipeline and the
-    video demux→frame-sample→JPEG-decode pipeline). The 5 rows-only
+    """DuckDB-equivalent SQL for every SQL-expressible query (28 of 33
+    as of round 3, incl. the full audio decode→FFT pipeline, the video
+    demux→frame-sample→JPEG-decode pipeline, and the rolling-hash
+    document fingerprint). The 5 rows-only
     residue is genuinely non-SQL-expressible: minhash/simhash pairs +
     minhash groups (the sketch hash has no SQL equivalent), IVF search
     (k-means training), and featurize_flagship's CNN feature norms
