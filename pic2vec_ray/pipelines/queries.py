@@ -997,6 +997,89 @@ FROM h
 """
 
 
+def split_train_test(sf_dir: str):
+    """Deterministic hash-based train/valid/test assignment (8/1/1)
+    over documents — zero-shuffle, reproducible under any partitioning
+    (stages/split.hash_split)."""
+    from ..stages.split import hash_split
+
+    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "n_chars"])
+    return hash_split(ds, id_col="doc_id")
+
+
+SQL_SPLIT = """
+WITH b AS (
+  SELECT doc_id, n_chars,
+         CAST(((doc_id::HUGEINT * 2654435761) % 4294967296) % 10 AS BIGINT) AS bkt
+  FROM documents
+)
+SELECT doc_id, n_chars,
+       CASE WHEN bkt < 8 THEN 'train' WHEN bkt < 9 THEN 'valid'
+            ELSE 'test' END AS split
+FROM b
+"""
+
+
+def sample_docs(sf_dir: str):
+    """Deterministic ~20% subsample of documents by id hash
+    (stages/split.hash_sample) — same rows every run, no RNG state,
+    no shuffle."""
+    from ..stages.split import hash_sample
+
+    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "source", "n_chars"])
+    return hash_sample(ds, id_col="doc_id", rate=0.2)
+
+
+SQL_SAMPLE = """
+SELECT doc_id, source, n_chars
+FROM documents
+WHERE ((doc_id::HUGEINT * 2654435761) % 4294967296) % 10000 < 2000
+"""
+
+
+def decontaminate_docs(sf_dir: str):
+    """Benchmark decontamination: treat source 'src0' as the eval set
+    and drop every other document sharing ANY word 8-gram with it
+    (stages/decontam). Eval grams are broadcast once via ray.put; the
+    train side is a zero-shuffle map_batches filter."""
+    from ..stages.decontam import decontaminate, eval_ngram_set
+
+    rd = _rd()
+    cols = ["doc_id", "source", "text", "n_chars"]
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=cols)
+    eval_ds = docs.filter(expr="source == 'src0'")
+    grams = eval_ngram_set(eval_ds, n=8)
+    train = docs.filter(expr="source != 'src0'")
+    clean = decontaminate(train, grams, n=8)
+    return clean.select_columns(["doc_id", "source", "n_chars"])
+
+
+SQL_DECONTAMINATE = """
+WITH toks AS (
+  SELECT doc_id, source,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     t -> t <> '') AS w
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, source,
+         unnest([array_to_string(w[i:i+7], ' ')
+                 FOR i IN range(1, len(w) - 8 + 2)]) AS g
+  FROM toks WHERE len(w) >= 8
+),
+eval_g AS (SELECT DISTINCT g FROM grams WHERE source = 'src0'),
+cont AS (
+  SELECT DISTINCT gr.doc_id FROM grams gr JOIN eval_g USING (g)
+  WHERE gr.source <> 'src0'
+)
+SELECT doc_id, source, n_chars
+FROM documents
+WHERE source <> 'src0' AND doc_id NOT IN (SELECT doc_id FROM cont)
+"""
+
+
 def ivf_search_embeddings(sf_dir: str):
     """IVF with TRUE partition pruning: the index is bucket-partitioned
     parquet (built once per sf_dir, cached) and search reads only the
@@ -1054,6 +1137,9 @@ QUERIES = {
     "audio_dominant_band": audio_dominant_band,
     "video_frame_stats": video_frame_stats,
     "fingerprint_docs": fingerprint_docs,
+    "split_train_test": split_train_test,
+    "sample_docs": sample_docs,
+    "decontaminate_docs": decontaminate_docs,
     # rows-only (not SQL-expressible; see module docstring)
     "featurize_flagship": featurize_flagship,
     "minhash_neardup_docs": minhash_neardup_docs,
@@ -1092,4 +1178,7 @@ ORACLE_SQL = {
     "audio_dominant_band": SQL_AUDIO_BAND,
     "video_frame_stats": SQL_VIDEO_STATS,
     "fingerprint_docs": SQL_FINGERPRINT,
+    "split_train_test": SQL_SPLIT,
+    "sample_docs": SQL_SAMPLE,
+    "decontaminate_docs": SQL_DECONTAMINATE,
 }

@@ -1,0 +1,112 @@
+"""Benchmark decontamination: drop training documents that share any
+word n-gram with an evaluation set.
+
+This is the standard exact-overlap decontamination step of large-scale
+training-data pipelines (the same shape used by public corpus builds
+such as Dolma/RedPajama): the EVAL side is small by definition (a
+benchmark suite), so its distinct n-grams are collected once and
+broadcast via ``ray.put``; the TRAIN side then streams through a
+``map_batches`` membership filter with **zero shuffles** — the only
+all-to-all-free plan that works at 100 TB of train data.
+
+Tokenization contract (mirrored exactly by the SQL oracle in
+``pipelines/queries.py::SQL_DECONTAMINATE``): lowercase, split on
+``[^a-z0-9]+``, drop empties, join windows of ``n`` tokens with a
+single space.
+
+Scale notes
+-----------
+* The broadcast set holds the eval side's distinct n-gram *strings*
+  (exact, collision-free). For an eval corpus beyond driver memory,
+  swap the set for a Bloom filter of 64-bit gram hashes — the filter
+  stage below only needs a ``__contains__``; false positives then
+  over-remove slightly, which is the accepted trade in public corpus
+  builds.
+* N-gram assembly is vectorized: ``n-1`` ``np.char.add`` passes over
+  the batch's flat token array, never a per-row Python loop.
+
+No counterpart in the reference (pic2vec has no text pipeline); the
+operator family is motivated by SURVEY.md §2's training-data additions.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import ray
+
+
+def word_ngrams_batch(texts: pd.Series, n: int) -> tuple[np.ndarray, np.ndarray]:
+    """All word ``n``-grams of a batch of texts in one vectorized pass.
+
+    Returns ``(grams, doc_idx)``: flat arrays where ``grams[i]`` is a
+    space-joined n-gram belonging to row ``doc_idx[i]`` of the batch.
+    Documents with fewer than ``n`` tokens contribute nothing.
+    """
+    toks = texts.str.lower().str.findall(r"[a-z0-9]+")
+    counts = toks.str.len().to_numpy(dtype=np.int64)
+    if counts.sum() == 0:
+        return np.array([], dtype=object), np.array([], dtype=np.int64)
+    flat = np.concatenate([np.array(t, dtype=object) if t else
+                           np.array([], dtype=object) for t in toks])
+    # window start positions: valid iff the whole window stays inside
+    # the source document
+    ends = np.cumsum(counts)           # exclusive end of each doc
+    starts = ends - counts
+    m = len(flat)
+    if m < n:
+        return np.array([], dtype=object), np.array([], dtype=np.int64)
+    doc_of = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
+    win_start = np.arange(m - n + 1, dtype=np.int64)
+    valid = win_start + n <= ends[doc_of[win_start]]
+    # n-1 vectorized concat passes over the whole batch
+    grams = flat[: m - n + 1].astype(object)
+    for j in range(1, n):
+        grams = grams + " "
+        grams = grams + flat[j : m - n + 1 + j]
+    return grams[valid], doc_of[win_start[valid]]
+
+
+def eval_ngram_set(eval_ds, *, col: str = "text", n: int = 8) -> frozenset:
+    """Distinct word n-grams of the (small) eval dataset.
+
+    Per-batch dedup happens inside ``map_batches``; the driver unions
+    only already-deduped string batches. Bounded by the eval side's
+    distinct-gram count — fine for benchmark-sized eval corpora, see
+    module docstring for the Bloom-filter swap beyond that.
+    """
+    def to_grams(batch: pd.DataFrame) -> pd.DataFrame:
+        grams, _ = word_ngrams_batch(batch[col], n)
+        return pd.DataFrame({"g": pd.unique(grams)})
+
+    out: set = set()
+    for b in eval_ds.map_batches(to_grams, batch_format="pandas").iter_batches(
+            batch_format="pandas"):
+        out.update(b["g"])
+    return frozenset(out)
+
+
+def decontaminate(train_ds, eval_grams, *, col: str = "text", n: int = 8):
+    """Filter ``train_ds`` down to rows sharing NO word n-gram with the
+    eval set.
+
+    ``eval_grams`` is a ``frozenset`` (or anything with ``__contains__``
+    over strings) or an ``ObjectRef`` to one; it is ``ray.put`` once and
+    read zero-copy by every filter task — never re-shipped per batch.
+    """
+    ref = eval_grams if isinstance(eval_grams, ray.ObjectRef) \
+        else ray.put(eval_grams)
+
+    def keep_clean(batch: pd.DataFrame) -> pd.DataFrame:
+        grams_set = ray.get(ref)
+        grams, doc_idx = word_ngrams_batch(batch[col], n)
+        if len(grams) == 0:
+            return batch
+        hit = np.fromiter((g in grams_set for g in grams),
+                          dtype=bool, count=len(grams))
+        bad_rows = np.unique(doc_idx[hit])
+        mask = np.ones(len(batch), dtype=bool)
+        mask[bad_rows] = False
+        return batch.iloc[mask]
+
+    return train_ds.map_batches(keep_clean, batch_format="pandas")
