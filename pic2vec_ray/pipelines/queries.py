@@ -1039,6 +1039,56 @@ WHERE ((doc_id::HUGEINT * 2654435761) % 4294967296) % 10000 < 2000
 """
 
 
+def mixture_sample_docs(sf_dir: str):
+    """Domain-mixture sampling: per-source keep rates (the corpus-mixing
+    step of training-data builds) as one deterministic zero-shuffle
+    filter (stages/split.hash_sample_mixture)."""
+    from ..stages.split import hash_sample_mixture
+
+    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "source", "n_chars"])
+    return hash_sample_mixture(
+        ds, id_col="doc_id", key_col="source",
+        rates={"src0": 1.0, "src1": 0.5, "src2": 0.25, "src3": 0.0},
+        default_rate=0.1)
+
+
+SQL_MIXTURE = """
+WITH b AS (
+  SELECT doc_id, source, n_chars,
+         CAST(((doc_id::HUGEINT * 2654435761) % 4294967296) % 10000
+              AS BIGINT) AS bkt
+  FROM documents
+)
+SELECT doc_id, source, n_chars FROM b
+WHERE bkt < CASE source WHEN 'src0' THEN 10000 WHEN 'src1' THEN 5000
+                        WHEN 'src2' THEN 2500 WHEN 'src3' THEN 0
+                        ELSE 1000 END
+"""
+
+
+def top_tokens_docs(sf_dir: str):
+    """Global token heavy hitters over documents: per-batch partial
+    counts → one small token groupby → top-20 with deterministic
+    tie-break (stages/text.token_topk)."""
+    from ..stages.text import token_topk
+
+    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["text"])
+    return token_topk(ds, k=20)
+
+
+SQL_TOP_TOKENS = """
+WITH tok AS (
+  SELECT unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                t -> t <> '')) AS token
+  FROM documents
+)
+SELECT token, count(*) AS cnt FROM tok
+GROUP BY token ORDER BY cnt DESC, token LIMIT 20
+"""
+
+
 def decontaminate_docs(sf_dir: str):
     """Benchmark decontamination: treat source 'src0' as the eval set
     and drop every other document sharing ANY word 8-gram with it
@@ -1139,6 +1189,8 @@ QUERIES = {
     "fingerprint_docs": fingerprint_docs,
     "split_train_test": split_train_test,
     "sample_docs": sample_docs,
+    "mixture_sample_docs": mixture_sample_docs,
+    "top_tokens_docs": top_tokens_docs,
     "decontaminate_docs": decontaminate_docs,
     # rows-only (not SQL-expressible; see module docstring)
     "featurize_flagship": featurize_flagship,
@@ -1180,5 +1232,7 @@ ORACLE_SQL = {
     "fingerprint_docs": SQL_FINGERPRINT,
     "split_train_test": SQL_SPLIT,
     "sample_docs": SQL_SAMPLE,
+    "mixture_sample_docs": SQL_MIXTURE,
+    "top_tokens_docs": SQL_TOP_TOKENS,
     "decontaminate_docs": SQL_DECONTAMINATE,
 }

@@ -59,6 +59,34 @@ def hash_split(ds, *, id_col: str, weights: dict[str, int] | None = None,
     return ds.map_batches(assign, batch_format="pandas")
 
 
+def hash_sample_mixture(ds, *, id_col: str, key_col: str,
+                        rates: dict[str, float], default_rate: float = 1.0,
+                        buckets: int = 10_000):
+    """Domain-mixture sampling: keep each row with a per-``key_col``
+    rate (e.g. downweight a crawl source, keep curated sources whole).
+
+    The standard corpus-mixing step of training-data builds, as a
+    zero-shuffle deterministic filter: row kept iff
+    ``hash_bucket(id) < rate[key] * buckets``. Upsampling (rate > 1)
+    is out of scope here — at scale that is repetition at the data
+    loader, not materialized copies.
+    """
+    for k, r in rates.items():
+        if not 0.0 <= r <= 1.0:
+            raise ValueError(f"rate for {k!r} must be in [0, 1], got {r}")
+    if not 0.0 <= default_rate <= 1.0:
+        raise ValueError(f"default_rate must be in [0, 1], got {default_rate}")
+    cuts = {k: int(round(r * buckets)) for k, r in rates.items()}
+    default_cut = int(round(default_rate * buckets))
+
+    def keep(batch: pd.DataFrame) -> pd.DataFrame:
+        b = hash_bucket(batch[id_col].to_numpy(), buckets)
+        cut = batch[key_col].map(cuts).fillna(default_cut).to_numpy()
+        return batch.iloc[b < cut]
+
+    return ds.map_batches(keep, batch_format="pandas")
+
+
 def hash_sample(ds, *, id_col: str, rate: float, buckets: int = 10_000):
     """Deterministic ~``rate`` subsample: keep ids whose hash bucket
     falls below ``rate * buckets``. Same rows every run, any partition

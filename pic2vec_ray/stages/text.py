@@ -149,3 +149,32 @@ def fingerprint64(batch: pd.DataFrame) -> pd.DataFrame:
         out[nonempty] = np.add.reduceat(contrib, starts)
     batch["fingerprint"] = out.astype(np.int64)  # two's-complement view
     return batch
+
+
+def token_topk(ds, *, col: str = "text", k: int = 20):
+    """Global token frequency heavy hitters: the corpus-stats pass every
+    training-data build runs (vocabulary coverage, boilerplate
+    detection).
+
+    Scale shape: tokens are counted INSIDE each batch first (one
+    value_counts per batch), so the groupby shuffle moves one row per
+    (batch, distinct token) — bounded by vocabulary size × blocks, not
+    corpus token count. The final sort runs on the already-tiny
+    aggregate. Ties at the k boundary break on the token string so the
+    result set is deterministic (mirrored by the SQL oracle's ORDER BY).
+    """
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        toks = batch[col].str.lower().str.findall(r"[a-z0-9]+")
+        vc = toks.explode().dropna().value_counts()
+        return pd.DataFrame({"token": vc.index.to_numpy(dtype=object),
+                             "cnt": vc.to_numpy(dtype=np.int64)})
+
+    agg = (ds.map_batches(partial, batch_format="pandas")
+             .groupby("token").sum("cnt"))
+
+    def finish(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.rename(columns={"sum(cnt)": "cnt"})
+
+    return (agg.map_batches(finish, batch_format="pandas")
+               .sort(["cnt", "token"], descending=[True, False])
+               .limit(k))

@@ -117,3 +117,33 @@ def test_decontaminate_empty_eval_keeps_all(docs_ds):
     train_ds = ds.filter(expr="grp == 'train'")
     clean = decontaminate(train_ds, frozenset(), n=6).to_pandas()
     assert len(clean) == 50
+
+
+def test_hash_sample_mixture_rates(docs_ds):
+    from pic2vec_ray.stages.split import hash_sample_mixture
+
+    ds, df = docs_ds
+    out = hash_sample_mixture(ds, id_col="doc_id", key_col="grp",
+                              rates={"eval": 0.0}, default_rate=1.0) \
+        .to_pandas()
+    assert set(out["grp"]) == {"train"} and len(out) == 50
+    half = hash_sample_mixture(ds, id_col="doc_id", key_col="grp",
+                               rates={"train": 0.5}, default_rate=1.0) \
+        .to_pandas()
+    assert (half["grp"] == "eval").sum() == 10          # untouched
+    assert 0 < (half["grp"] == "train").sum() < 50      # thinned
+    with pytest.raises(ValueError):
+        hash_sample_mixture(ds, id_col="doc_id", key_col="grp",
+                            rates={"train": 2.0})
+
+
+def test_token_topk_matches_counter(docs_ds):
+    from collections import Counter
+
+    from pic2vec_ray.stages.text import token_topk
+
+    ds, df = docs_ds
+    out = token_topk(ds.repartition(5), k=5).to_pandas()
+    c = Counter(t for text in df["text"] for t in text.lower().split())
+    expect = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+    assert list(zip(out["token"], out["cnt"])) == expect
