@@ -170,35 +170,38 @@ def _canonical_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, i
     return codes
 
 
-_LUT_CACHE: dict[tuple, tuple[list[int], list[int]]] = {}
+_LUT_CACHE: dict[tuple, list[int]] = {}
 
 
-def _decode_lut(bits: list[int], vals: list[int]) -> tuple[list[int], list[int]]:
-    """16-bit-lookahead LUT: index by the next 16 bits → (symbol, length).
+def _decode_lut(bits: list[int], vals: list[int]) -> list[int]:
+    """16-bit-lookahead LUT: index by the next 16 bits → one PACKED int
+    ``(code_length << 8) | symbol`` (0 = invalid prefix) — a single list
+    index per decoded symbol instead of separate (symbol, length)
+    tables.
 
-    Cached by table content — building the 65536-entry tables costs
+    Cached by table content — building the 65536-entry table costs
     ~10 ms, and real corpora reuse the Annex-K tables for every image
     (a decode actor pays it once per distinct table, not per image)."""
     key = (tuple(bits), tuple(vals))
     hit = _LUT_CACHE.get(key)
     if hit is not None:
         return hit
-    sym = [-1] * 65536
-    ln = [0] * 65536
+    packed = [0] * 65536
     code = 0
     k = 0
     for length in range(1, 17):
+        tag = length << 8
         for _ in range(bits[length - 1]):
             base = code << (16 - length)
+            entry = tag | (vals[k] & 0xFF)
             for idx in range(base, base + (1 << (16 - length))):
-                sym[idx] = vals[k]
-                ln[idx] = length
+                packed[idx] = entry
             code += 1
             k += 1
         code <<= 1
     if len(_LUT_CACHE) < 64:  # bound actor memory on adversarial inputs
-        _LUT_CACHE[key] = (sym, ln)
-    return sym, ln
+        _LUT_CACHE[key] = packed
+    return packed
 
 
 class _BitWriter:
@@ -798,16 +801,15 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     acc = 0
     nbits = 0
     preds = {c["id"]: 0 for c in comps}
-    # per-component flat plan: (pred_key, dsym, dlen, asym, alen, coef,
-    # per-mcu block index offsets) — precomputed once
+    # per-component flat plan: (pred_key, packed DC LUT, packed AC LUT,
+    # coef position/value sinks, sampling geometry) — precomputed once
     plan = []
     for c in comps:
         cv, ch = c["v"], c["h"]
         row_blocks = mcux * ch
         c["pos"] = []  # flat coefficient positions, filled by the scan
         c["val"] = []
-        plan.append((c["id"], c["dc_lut"][0], c["dc_lut"][1],
-                     c["ac_lut"][0], c["ac_lut"][1], c["pos"], c["val"],
+        plan.append((c["id"], c["dc_lut"], c["ac_lut"], c["pos"], c["val"],
                      cv, ch, row_blocks))
     from_bytes = int.from_bytes
     # 64-bit refills via a prebound Struct halve the refill count and skip
@@ -826,7 +828,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             acc = 0
             nbits = 0
             preds = {c["id"]: 0 for c in comps}
-        for cid, dsym, dlen, asym, alen, pos, val, cv, ch, row_blocks in plan:
+        for cid, dtab, atab, pos, val, cv, ch, row_blocks in plan:
             for v in range(cv):
                 base = (my * cv + v) * row_blocks + mx * ch
                 for u in range(ch):
@@ -843,11 +845,11 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                             spos = slen
                         nbits += 64
                     look = (acc >> (nbits - 16)) & 0xFFFF
-                    s = dsym[look]
-                    ln = dlen[look]
-                    if ln == 0:
+                    e = dtab[look]
+                    if e < 256:
                         raise JpegError("bad DC Huffman code")
-                    nbits -= ln
+                    nbits -= e >> 8
+                    s = e & 0xFF
                     if s:
                         nbits -= s  # post-refill nbits >= 16 ≥ ln+s? no: ln+s ≤ 27
                         if nbits < 0:
@@ -875,11 +877,11 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                                 spos = slen
                             nbits += 64
                         look = (acc >> (nbits - 16)) & 0xFFFF
-                        rs = asym[look]
-                        ln = alen[look]
-                        if ln == 0:
+                        e = atab[look]
+                        if e < 256:
                             raise JpegError("bad AC Huffman code")
-                        nbits -= ln
+                        nbits -= e >> 8
+                        rs = e & 0xFF
                         if rs == 0x00:  # EOB
                             break
                         if rs == 0xF0:  # ZRL
@@ -979,11 +981,11 @@ class _Bits:
         if self.nbits < 16:
             self._fill()
         look = (self.acc >> (self.nbits - 16)) & 0xFFFF
-        sym, ln = lut[0][look], lut[1][look]
-        if ln == 0:
+        e = lut[look]
+        if e < 256:  # length 0 → invalid prefix
             raise JpegError("bad Huffman code")
-        self.nbits -= ln
-        return sym
+        self.nbits -= e >> 8
+        return e & 0xFF
 
     def receive(self, n: int) -> int:
         if n == 0:
@@ -1118,12 +1120,19 @@ def _scan_ac_first(c, lut, segs, restart, ss, se, al):
 
 
 def _scan_ac_refine(c, lut, segs, restart, ss, se, al):
+    # Hot path of progressive decode: per-block work runs on a plain
+    # Python list (scalar numpy indexing is ~4× slower), and the EOB
+    # region reads ALL its correction bits in ONE receive(n) — the
+    # stream holds exactly one bit per surviving nonzero, in order.
     coef = c["coef"]
     p1 = 1 << al
+    m1 = -p1
     seg_iter = iter(segs)
     rdr = _Bits(next(seg_iter))
     eobrun = 0
-    n_blocks = c["bw"] * c["bh"]
+    bw = c["bw"]
+    row_blocks = c["row_blocks"]
+    n_blocks = bw * c["bh"]
     for b in range(n_blocks):
         if restart and b and b % restart == 0:
             try:
@@ -1131,9 +1140,10 @@ def _scan_ac_refine(c, lut, segs, restart, ss, se, al):
             except StopIteration as exc:
                 raise JpegError("missing restart segment") from exc
             eobrun = 0
-        bidx = _comp_block_index(c, b)
-        row = coef[bidx]
+        bidx = (b // bw) * row_blocks + (b % bw)
+        rl = coef[bidx].tolist()
         k = ss
+        changed = False
         if eobrun == 0:
             while k <= se:
                 rs = rdr.huff(lut)
@@ -1149,28 +1159,39 @@ def _scan_ac_refine(c, lut, segs, restart, ss, se, al):
                 else:
                     if s != 1:
                         raise JpegError("invalid refinement magnitude")
-                    newval = p1 if rdr.receive(1) else -p1
+                    newval = p1 if rdr.receive(1) else m1
                 # advance over the band: correction bits on nonzero
                 # history, count down r zero-history positions
                 while k <= se:
-                    cur = row[k]
-                    if cur != 0:
+                    cur = rl[k]
+                    if cur:
                         if rdr.receive(1) and (cur & p1) == 0:
-                            row[k] = cur + (p1 if cur > 0 else -p1)
+                            rl[k] = cur + (p1 if cur > 0 else m1)
+                            changed = True
                     else:
                         if r == 0:
                             if newval:
-                                row[k] = newval
+                                rl[k] = newval
+                                changed = True
                             k += 1
                             break
                         r -= 1
                     k += 1
         if eobrun > 0:
-            # EOB region: correction bits for every nonzero coeff left
-            while k <= se:
-                cur = row[k]
-                if cur != 0:
-                    if rdr.receive(1) and (cur & p1) == 0:
-                        row[k] = cur + (p1 if cur > 0 else -p1)
-                k += 1
+            # EOB region: one correction bit per nonzero coeff left,
+            # MSB-first in stream order — fetched in a single receive
+            nz = [i for i in range(k, se + 1) if rl[i]]
+            n = len(nz)
+            if n:
+                bits = rdr.receive(n)
+                j = n - 1
+                for kk in nz:
+                    if (bits >> j) & 1:
+                        cur = rl[kk]
+                        if (cur & p1) == 0:
+                            rl[kk] = cur + (p1 if cur > 0 else m1)
+                            changed = True
+                    j -= 1
             eobrun -= 1
+        if changed:
+            coef[bidx] = rl
