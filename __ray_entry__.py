@@ -32,7 +32,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-equivalent SQL for every SQL-expressible query (28 of 33
+    """DuckDB-equivalent SQL for every SQL-expressible query (37 of 42
     as of round 3, incl. the full audio decode→FFT pipeline, the video
     demux→frame-sample→JPEG-decode pipeline, and the rolling-hash
     document fingerprint). The 5 rows-only

@@ -1159,6 +1159,140 @@ def ivf_search_embeddings(sf_dir: str):
     return idx.search(path, q0, k=10, nprobe=4)
 
 
+def attribution_6h(sf_dir: str):
+    """Range (interval) join: every purchase landing within 6 hours
+    AFTER a click by the same user — the conversion-attribution shape.
+    One bucketed co-shuffle on user_id (temporal/join.range_join); the
+    equality key bounds per-bucket work, the half-open window is
+    applied vectorized inside each bucket."""
+    from ..temporal.join import range_join
+
+    rd = _rd()
+    nparts = _nparts(sf_dir, "events")
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "ts", "user_id", "event_type", "value"])
+
+    def side(evtype: str, prefix: str, with_value: bool):
+        def fn(t: pa.Table) -> pa.Table:
+            t = t.filter(pc.equal(t["event_type"], evtype))
+            cols = {"user_id": t["user_id"], f"{prefix}_id": t["event_id"],
+                    f"{prefix}_ts": t["ts"]}
+            if with_value:
+                cols[f"{prefix}_value"] = t["value"]
+            return pa.table(cols)
+
+        return fn
+
+    clicks = ev.map_batches(side("click", "click", False), batch_format="pyarrow")
+    purchases = ev.map_batches(side("purchase", "purchase", True), batch_format="pyarrow")
+    return range_join(
+        clicks, purchases, on="user_id",
+        left_ts="click_ts", right_ts="purchase_ts",
+        min_delta=pd.Timedelta(0), max_delta=pd.Timedelta(hours=6),
+        num_partitions=nparts,
+    )
+
+
+SQL_ATTRIBUTION = """
+SELECT c.user_id, c.event_id AS click_id, c.ts AS click_ts,
+       p.event_id AS purchase_id, p.ts AS purchase_ts,
+       p.value AS purchase_value
+FROM events c JOIN events p
+  ON c.user_id = p.user_id
+ AND c.event_type = 'click' AND p.event_type = 'purchase'
+ AND p.ts >= c.ts AND p.ts < c.ts + INTERVAL 6 HOUR
+"""
+
+
+def quantiles_by_flag(sf_dir: str):
+    """Distributed EXACT grouped quantiles (stages/quantiles): the
+    shuffle moves one row per distinct (flag, status, quantity) — the
+    value-count two-phase shape — never raw lineitem rows."""
+    from ..stages.quantiles import grouped_quantiles_exact
+
+    ds = _rd().read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity"],
+    )
+    return grouped_quantiles_exact(
+        ds, keys=["l_returnflag", "l_linestatus"], value="l_quantity",
+        qs=(0.25, 0.5, 0.75, 0.9),
+    )
+
+
+SQL_QUANTILES = """
+SELECT l_returnflag, l_linestatus,
+       quantile_disc(l_quantity, 0.25) AS q25,
+       quantile_disc(l_quantity, 0.50) AS q50,
+       quantile_disc(l_quantity, 0.75) AS q75,
+       quantile_disc(l_quantity, 0.90) AS q90,
+       COUNT(*) AS n_rows
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def tfidf_topk_docs(sf_dir: str):
+    """Top-3 TF-IDF terms per document (stages/text.tfidf_topk): tf
+    shuffle-free, df vocabulary-bounded, distributed token join, top-k
+    per doc on the ROUNDED score with token tie-break (mirrored by the
+    oracle's ROW_NUMBER ordering)."""
+    from ..stages.text import tfidf_topk
+
+    rd = _rd()
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    n_docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                             columns=["doc_id"]).count()
+    return tfidf_topk(docs, n_docs, id_col="doc_id", col="text", k=3)
+
+
+SQL_TFIDF = """
+WITH tok AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                t -> t <> '')) AS token
+  FROM documents
+),
+tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+df AS (SELECT token, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+scored AS (
+  SELECT tf.doc_id, tf.token, tf.tf,
+         ROUND(tf.tf * LN((SELECT COUNT(*) FROM documents)::DOUBLE / df.df), 6) AS tfidf
+  FROM tf JOIN df USING (token)
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                               ORDER BY tfidf DESC, token) AS rn
+  FROM scored
+)
+SELECT doc_id, token, tf, tfidf FROM ranked WHERE rn <= 3
+"""
+
+
+def redact_docs(sf_dir: str):
+    """Vectorized regex redaction over documents (stages/text.Redactor
+    actor pool): scrub entity mentions, count removals."""
+    from ..stages.text import Redactor
+
+    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+    return ds.map_batches(
+        Redactor([(r"\b(customer|spark)\b", "[ENTITY]")]),
+        batch_format="pandas", concurrency=4,
+    ).select_columns(["doc_id", "text_redacted", "n_redactions"])
+
+
+SQL_REDACT = r"""
+SELECT doc_id,
+       regexp_replace(text, '\b(customer|spark)\b', '[ENTITY]', 'g')
+         AS text_redacted,
+       len(regexp_extract_all(text, '\b(customer|spark)\b'))::BIGINT
+         AS n_redactions
+FROM documents
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q2_top_customers": q2_top_customers,
@@ -1192,6 +1326,10 @@ QUERIES = {
     "mixture_sample_docs": mixture_sample_docs,
     "top_tokens_docs": top_tokens_docs,
     "decontaminate_docs": decontaminate_docs,
+    "attribution_6h": attribution_6h,
+    "quantiles_by_flag": quantiles_by_flag,
+    "tfidf_topk_docs": tfidf_topk_docs,
+    "redact_docs": redact_docs,
     # rows-only (not SQL-expressible; see module docstring)
     "featurize_flagship": featurize_flagship,
     "minhash_neardup_docs": minhash_neardup_docs,
@@ -1235,4 +1373,8 @@ ORACLE_SQL = {
     "mixture_sample_docs": SQL_MIXTURE,
     "top_tokens_docs": SQL_TOP_TOKENS,
     "decontaminate_docs": SQL_DECONTAMINATE,
+    "attribution_6h": SQL_ATTRIBUTION,
+    "quantiles_by_flag": SQL_QUANTILES,
+    "tfidf_topk_docs": SQL_TFIDF,
+    "redact_docs": SQL_REDACT,
 }

@@ -151,6 +151,94 @@ def fingerprint64(batch: pd.DataFrame) -> pd.DataFrame:
     return batch
 
 
+def tfidf_topk(ds, n_docs: int, *, id_col: str = "doc_id", col: str = "text",
+               k: int = 3, num_partitions: int | None = None):
+    """Top-k TF-IDF terms per document — the corpus-keyword pass of a
+    training-data build (boilerplate/topic surfacing), composed from
+    the engine's own primitives so every stage keeps its scale shape:
+
+    - tf: docs are rows, so term frequencies need NO shuffle — one
+      explode + groupby inside each batch;
+    - df: per-batch partial doc-counts per token (tf rows are already
+      unique per (doc, token)), then one vocabulary-bounded groupby;
+    - tf ⋈ df: distributed ``hash_join`` on token (the df side scales
+      with vocabulary — too big to assume broadcastable);
+    - top-k per doc: ``top_n_per_group`` with (score desc, token asc)
+      tie-break, mirrored by the oracle's ROW_NUMBER ordering.
+
+    ``n_docs`` comes from the caller (a metadata-only count on the
+    source read), keeping this function lazy end-to-end. Scores are
+    ``tf · ln(n_docs / df)`` rounded to 6 decimals on both sides.
+    """
+    from ..temporal.join import hash_join
+    from ..temporal.windows import top_n_per_group
+
+    def tf_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        toks = batch[[id_col, col]].copy()
+        toks["token"] = toks[col].str.lower().str.findall(r"[a-z0-9]+")
+        ex = toks[[id_col, "token"]].explode("token").dropna(subset=["token"])
+        g = ex.groupby([id_col, "token"], as_index=False).size()
+        return g.rename(columns={"size": "tf"})
+
+    tf = ds.map_batches(tf_partial, batch_format="pandas")
+
+    def df_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        vc = batch["token"].value_counts()
+        return pd.DataFrame({"token": vc.index.to_numpy(dtype=object),
+                             "pdc": vc.to_numpy(dtype=np.int64)})
+
+    df = (tf.map_batches(df_partial, batch_format="pandas")
+            .groupby("token").sum("pdc"))
+
+    def df_finish(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.rename(columns={"sum(pdc)": "df"})
+
+    # groupby outputs are lazy: materialize before hash_join resolves
+    # schemas, else the upstream re-executes once per schema probe
+    df = df.map_batches(df_finish, batch_format="pandas").materialize()
+    tf = tf.materialize()
+
+    kw = {"num_partitions": num_partitions} if num_partitions else {}
+    scored = hash_join(tf, df, on="token", **kw)
+
+    def score(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["tfidf"] = (batch["tf"] * np.log(n_docs / batch["df"].to_numpy(dtype=np.float64))).round(6)
+        return batch[[id_col, "token", "tf", "tfidf"]]
+
+    return top_n_per_group(
+        scored.map_batches(score, batch_format="pandas"),
+        by=id_col, order_cols=["tfidf", "token"], ascending=[False, True],
+        n=k, **kw,
+    )
+
+
+class Redactor:
+    """Vectorized regex redaction (PII-scrub shape): each (pattern →
+    replacement) pair is compiled ONCE per actor in ``__init__`` and
+    applied with pandas' C-backed ``str.replace`` — no per-row Python.
+    Emits ``text_redacted`` and ``n_redactions`` (total matches
+    removed), names shared with the ``regexp_replace`` SQL oracle.
+
+    Patterns must stay in the RE2-compatible subset (no backrefs/
+    lookaround) so the same pattern string means the same language in
+    Python ``re`` and the oracle engine.
+    """
+
+    def __init__(self, rules: list[tuple[str, str]], *, col: str = "text"):
+        self.rules = [(re.compile(p), rep) for p, rep in rules]
+        self.col = col
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        s = batch[self.col]
+        n = np.zeros(len(batch), dtype=np.int64)
+        for pat, rep in self.rules:
+            n += s.str.count(pat).to_numpy(dtype=np.int64)
+            s = s.str.replace(pat, rep, regex=True)
+        batch["text_redacted"] = s
+        batch["n_redactions"] = n
+        return batch
+
+
 def token_topk(ds, *, col: str = "text", k: int = 20):
     """Global token frequency heavy hitters: the corpus-stats pass every
     training-data build runs (vocabulary coverage, boilerplate

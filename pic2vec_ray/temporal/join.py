@@ -22,33 +22,15 @@ from .core import DEFAULT_PARTITIONS, PART_COL, hash_partition_ids
 _SIDE = "__side"
 
 
-def hash_join(
-    left,
-    right,
-    *,
-    on: str | list[str],
-    right_on: str | list[str] | None = None,
-    how: str = "inner",
-    suffix: str = "_r",
-    num_partitions: int = DEFAULT_PARTITIONS,
-):
-    """Join two Datasets on equality keys. ``how``: inner/left/semi/anti.
-
-    inner/left output: left columns + right's non-key columns (clashes
-    suffixed). semi/anti output: left columns only — left rows with at
-    least one / no key match on the right (the reference's CSV⋉directory
-    membership shape, §2.4, as a true distributed join instead of a
-    broadcast membership set).
-    """
-    if how not in ("inner", "left", "semi", "anti"):
-        raise ValueError("how must be 'inner', 'left', 'semi' or 'anti'")
-    keys = [on] if isinstance(on, str) else list(on)
-    rkeys = [right_on] if isinstance(right_on, str) else list(right_on or keys)
-    if len(keys) != len(rkeys):
-        raise ValueError("on/right_on arity mismatch")
-    if rkeys != keys:
-        right = _rename(right, dict(zip(rkeys, keys)))
-
+def _union_tagged(left, right, keys: list[str], suffix: str, num_partitions: int):
+    """Shared co-shuffle front half of the bucketed joins: suffix right
+    value columns that clash with left names, align both sides to one
+    Arrow schema (typed nulls for the other side's columns), tag the
+    side, union, and hash-tag ``__part`` from the keys. Returns the
+    partition-tagged union, the left schema, the right value column
+    names (post-suffix), and the int-typed columns of BOTH sides (the
+    typed-null alignment turns every column float64 in pandas once the
+    other side's rows are present — the merge must cast back)."""
     left_schema = _arrow_schema(left)
     right_schema = _arrow_schema(right)
     value_cols = [n for n in right_schema.names if n not in keys]
@@ -76,16 +58,49 @@ def hash_join(
 
         return fn
 
-    both = left.map_batches(align(0), batch_format="pyarrow").union(
-        right.map_batches(align(1), batch_format="pyarrow")
-    )
-
     def tag(batch: pd.DataFrame) -> pd.DataFrame:
         batch[PART_COL] = hash_partition_ids(batch, keys, num_partitions)
         return batch
 
+    both = (
+        left.map_batches(align(0), batch_format="pyarrow")
+        .union(right.map_batches(align(1), batch_format="pyarrow"))
+        .map_batches(tag, batch_format="pandas")
+    )
+    int_like = {f.name: str(f.type) for f in unified if pa.types.is_integer(f.type)}
+    return both, left_schema, value_cols, int_like
+
+
+def hash_join(
+    left,
+    right,
+    *,
+    on: str | list[str],
+    right_on: str | list[str] | None = None,
+    how: str = "inner",
+    suffix: str = "_r",
+    num_partitions: int = DEFAULT_PARTITIONS,
+):
+    """Join two Datasets on equality keys. ``how``: inner/left/semi/anti.
+
+    inner/left output: left columns + right's non-key columns (clashes
+    suffixed). semi/anti output: left columns only — left rows with at
+    least one / no key match on the right (the reference's CSV⋉directory
+    membership shape, §2.4, as a true distributed join instead of a
+    broadcast membership set).
+    """
+    if how not in ("inner", "left", "semi", "anti"):
+        raise ValueError("how must be 'inner', 'left', 'semi' or 'anti'")
+    keys = [on] if isinstance(on, str) else list(on)
+    rkeys = [right_on] if isinstance(right_on, str) else list(right_on or keys)
+    if len(keys) != len(rkeys):
+        raise ValueError("on/right_on arity mismatch")
+    if rkeys != keys:
+        right = _rename(right, dict(zip(rkeys, keys)))
+
+    both, left_schema, value_cols, int_like = _union_tagged(
+        left, right, keys, suffix, num_partitions)
     left_names = list(left_schema.names)
-    int_like = {f.name: str(f.type) for f in left_schema if pa.types.is_integer(f.type)}
 
     def merge(group: pd.DataFrame) -> pd.DataFrame:
         l = group[group[_SIDE] == 0][left_names]
@@ -105,8 +120,56 @@ def hash_join(
 
         return restore_int_dtypes(out, int_like)
 
-    return (
-        both.map_batches(tag, batch_format="pandas")
-        .groupby(PART_COL)
-        .map_groups(merge, batch_format="pandas")
-    )
+    return both.groupby(PART_COL).map_groups(merge, batch_format="pandas")
+
+
+def range_join(
+    left,
+    right,
+    *,
+    on: str | list[str],
+    left_ts: str,
+    right_ts: str,
+    min_delta,
+    max_delta,
+    suffix: str = "_r",
+    num_partitions: int = DEFAULT_PARTITIONS,
+):
+    """Interval (range) join: inner-join rows with equal ``on`` keys
+    where ``left_ts + min_delta <= right_ts < left_ts + max_delta``
+    (half-open, the event-attribution shape: every right event landing
+    in a window anchored at the left row).
+
+    Partitioning assumption (document per SURVEY §2.4): the equality
+    key bounds the local work — all rows of one key meet in one bucket,
+    so per-bucket cost is Σ |L_k|·|R_k| over that bucket's keys, NOT
+    |L|·|R|. A range join with no equality key would need a band/
+    interval partitioning scheme instead and is intentionally not
+    offered. Hot keys salt the same way as ``temporal.asof``.
+
+    ``min_delta``/``max_delta``: anything comparable after
+    ``pd.to_timedelta`` for datetimes, or plain numbers for numeric
+    axes. ``right_ts`` is suffixed if it clashes with a left column.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    both, left_schema, value_cols, int_like = _union_tagged(
+        left, right, keys, suffix, num_partitions)
+    left_names = list(left_schema.names)
+    rts = right_ts if right_ts in value_cols else right_ts + suffix
+    if rts not in value_cols:
+        raise ValueError(f"right_ts column {right_ts!r} not found on the right side")
+    if left_ts not in left_names:
+        raise ValueError(f"left_ts column {left_ts!r} not found on the left side")
+
+    def merge(group: pd.DataFrame) -> pd.DataFrame:
+        l = group[group[_SIDE] == 0][left_names]
+        r = group[group[_SIDE] == 1][keys + value_cols].dropna(subset=keys)
+        out = l.merge(r, on=keys, how="inner")
+        lo = out[left_ts] + min_delta
+        hi = out[left_ts] + max_delta
+        out = out[(out[rts] >= lo) & (out[rts] < hi)]
+        from .core import restore_int_dtypes
+
+        return restore_int_dtypes(out, int_like)
+
+    return both.groupby(PART_COL).map_groups(merge, batch_format="pandas")

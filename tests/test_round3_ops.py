@@ -1,0 +1,186 @@
+"""Round-3 operators: range join, exact grouped quantiles, TF-IDF
+top-k, regex redaction — each against a brute-force pandas/DuckDB
+oracle (SURVEY.md §5 strategy (c))."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from pic2vec_ray.stages.quantiles import grouped_quantiles_exact
+from pic2vec_ray.stages.text import Redactor, tfidf_topk
+from pic2vec_ray.temporal.join import range_join
+
+
+def _ds(ray_session, df: pd.DataFrame, blocks: int = 4):
+    import ray.data as rd
+
+    return rd.from_pandas(df).repartition(blocks)
+
+
+# --------------------------------------------------------------- range join
+
+
+def _range_oracle(l, r, key, lts, rts, lo, hi):
+    out = l.merge(r, on=key, how="inner")
+    return out[(out[rts] >= out[lts] + lo) & (out[rts] < out[lts] + hi)]
+
+
+def test_range_join_matches_pandas_oracle(ray_session):
+    rng = np.random.default_rng(7)
+    n_l, n_r = 400, 600
+    base = pd.Timestamp("2024-01-01")
+    l = pd.DataFrame({
+        "k": rng.integers(0, 25, n_l),
+        "lid": np.arange(n_l),
+        "lts": base + pd.to_timedelta(rng.integers(0, 10_000, n_l), unit="min"),
+    })
+    r = pd.DataFrame({
+        "k": rng.integers(0, 25, n_r),
+        "rid": np.arange(n_r),
+        "rts": base + pd.to_timedelta(rng.integers(0, 10_000, n_r), unit="min"),
+        "val": rng.normal(size=n_r),
+    })
+    lo, hi = pd.Timedelta(0), pd.Timedelta(hours=3)
+    got = range_join(
+        _ds(ray_session, l), _ds(ray_session, r), on="k",
+        left_ts="lts", right_ts="rts", min_delta=lo, max_delta=hi,
+        num_partitions=8,
+    ).to_pandas()
+    want = _range_oracle(l, r, "k", "lts", "rts", lo, hi)
+    key = ["lid", "rid"]
+    got_s = got.sort_values(key).reset_index(drop=True)
+    want_s = want.sort_values(key).reset_index(drop=True)[got_s.columns]
+    pd.testing.assert_frame_equal(got_s, want_s, check_dtype=True)
+    assert got_s["rid"].dtype == np.int64  # right ints restored post-union
+
+
+def test_range_join_negative_window_and_clash(ray_session):
+    """Window reaching BACK in time; right ts column name clashes with
+    the left and must be suffixed."""
+    l = pd.DataFrame({
+        "k": [1, 1, 2],
+        "lid": [0, 1, 2],
+        "ts": pd.to_datetime(["2024-01-01 10:00", "2024-01-01 12:00",
+                              "2024-01-01 10:00"]),
+    })
+    r = pd.DataFrame({
+        "k": [1, 1, 2],
+        "rid": [10, 11, 12],
+        "ts": pd.to_datetime(["2024-01-01 09:30", "2024-01-01 11:59",
+                              "2024-01-02 10:00"]),
+    })
+    got = range_join(
+        _ds(ray_session, l, 2), _ds(ray_session, r, 2), on="k",
+        left_ts="ts", right_ts="ts",
+        min_delta=pd.Timedelta(hours=-1), max_delta=pd.Timedelta(0),
+        num_partitions=4,
+    ).to_pandas().sort_values(["lid", "rid"])
+    # lid0 ← rid10 (09:30 ∈ [09:00,10:00)); lid1 ← rid11; lid2: rid12 next day → no
+    assert list(zip(got.lid, got.rid)) == [(0, 10), (1, 11)]
+    assert "ts_r" in got.columns
+
+
+def test_range_join_null_keys_never_match(ray_session):
+    l = pd.DataFrame({"k": pd.array([1, None], dtype="Int64"),
+                      "lid": [0, 1],
+                      "lts": pd.to_datetime(["2024-01-01", "2024-01-01"])})
+    r = pd.DataFrame({"k": pd.array([1, None], dtype="Int64"),
+                      "rid": [10, 11],
+                      "rts": pd.to_datetime(["2024-01-01", "2024-01-01"])})
+    got = range_join(
+        _ds(ray_session, l, 1), _ds(ray_session, r, 1), on="k",
+        left_ts="lts", right_ts="rts",
+        min_delta=pd.Timedelta(days=-1), max_delta=pd.Timedelta(days=1),
+        num_partitions=2,
+    ).to_pandas()
+    assert list(zip(got.lid, got.rid)) == [(0, 10)]
+
+
+# ---------------------------------------------------------------- quantiles
+
+
+def test_grouped_quantiles_match_duckdb(ray_session):
+    import duckdb
+
+    rng = np.random.default_rng(11)
+    df = pd.DataFrame({
+        "g": rng.choice(list("abc"), 5000),
+        "h": rng.integers(0, 2, 5000),
+        "v": rng.integers(1, 51, 5000).astype(float),
+    })
+    got = grouped_quantiles_exact(
+        _ds(ray_session, df, 8), keys=["g", "h"], value="v",
+        qs=(0.25, 0.5, 0.75, 0.9),
+    ).to_pandas().sort_values(["g", "h"]).reset_index(drop=True)
+    con = duckdb.connect()
+    con.register("t", df)
+    want = con.execute("""
+        SELECT g, h, quantile_disc(v, 0.25) q25, quantile_disc(v, 0.5) q50,
+               quantile_disc(v, 0.75) q75, quantile_disc(v, 0.9) q90,
+               COUNT(*) n_rows
+        FROM t GROUP BY g, h ORDER BY g, h
+    """).df()
+    pd.testing.assert_frame_equal(got[want.columns], want, check_dtype=False)
+
+
+def test_grouped_quantiles_skewed_counts(ray_session):
+    """Heavily repeated values (the value-count path's whole point):
+    rank selection must honor multiplicities, not distinct positions."""
+    df = pd.DataFrame({"g": ["x"] * 100, "v": [1.0] * 97 + [50.0] * 3})
+    got = grouped_quantiles_exact(
+        _ds(ray_session, df, 3), keys="g", value="v", qs=(0.5, 0.97, 0.98),
+    ).to_pandas().iloc[0]
+    assert got["q50"] == 1.0 and got["q97"] == 1.0 and got["q98"] == 50.0
+    assert got["n_rows"] == 100
+
+
+# ------------------------------------------------------------------- tf-idf
+
+
+def test_tfidf_topk_matches_bruteforce(ray_session):
+    docs = pd.DataFrame({
+        "doc_id": [0, 1, 2, 3],
+        "text": [
+            "apple banana apple cherry",
+            "banana banana date",
+            "apple date date date egg",
+            "fig fig fig fig",
+        ],
+    })
+    n = len(docs)
+    got = tfidf_topk(_ds(ray_session, docs, 2), n, k=2,
+                     num_partitions=4).to_pandas()
+    # brute force
+    rows = []
+    tok_docs = docs.text.str.lower().str.findall(r"[a-z0-9]+")
+    df_counts = {}
+    for toks in tok_docs:
+        for t in set(toks):
+            df_counts[t] = df_counts.get(t, 0) + 1
+    for did, toks in zip(docs.doc_id, tok_docs):
+        tf = pd.Series(toks).value_counts()
+        scored = sorted(
+            ((round(c * math.log(n / df_counts[t]), 6), t, c) for t, c in tf.items()),
+            key=lambda x: (-x[0], x[1]),
+        )[:2]
+        rows += [(did, t, c, s) for s, t, c in scored]
+    want = pd.DataFrame(rows, columns=["doc_id", "token", "tf", "tfidf"])
+    got_s = got.sort_values(["doc_id", "token"]).reset_index(drop=True)
+    want_s = want.sort_values(["doc_id", "token"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got_s[want_s.columns], want_s, check_dtype=False)
+
+
+# ---------------------------------------------------------------- redaction
+
+
+def test_redactor_sequential_rules_and_counts():
+    batch = pd.DataFrame({"text": ["call me maybe", "abc abc", "none here"]})
+    red = Redactor([(r"abc", "x"), (r"x+", "[X]")])
+    out = red(batch.copy())
+    # rule 2 sees rule 1's output: "abc abc" -> "x x" -> "[X] [X]"
+    assert out.text_redacted.tolist() == ["call me maybe", "[X] [X]", "none here"]
+    assert out.n_redactions.tolist() == [0, 4, 0]  # 2 abc + 2 x-runs
