@@ -162,14 +162,66 @@ def range_join(
         raise ValueError(f"left_ts column {left_ts!r} not found on the left side")
 
     def merge(group: pd.DataFrame) -> pd.DataFrame:
-        l = group[group[_SIDE] == 0][left_names]
-        r = group[group[_SIDE] == 1][keys + value_cols].dropna(subset=keys)
-        out = l.merge(r, on=keys, how="inner")
-        lo = out[left_ts] + min_delta
-        hi = out[left_ts] + max_delta
-        out = out[(out[rts] >= lo) & (out[rts] < hi)]
         from .core import restore_int_dtypes
 
-        return restore_int_dtypes(out, int_like)
+        # Null semantics = SQL: a null key or null timestamp never
+        # matches (inner join ⇒ dropping such rows on either side is
+        # exact).
+        l = group[group[_SIDE] == 0][left_names].dropna(subset=keys + [left_ts])
+        r = group[group[_SIDE] == 1][keys + value_cols].dropna(subset=keys + [rts])
+
+        def pairs(lidx: np.ndarray, ridx: np.ndarray) -> pd.DataFrame:
+            out = pd.concat(
+                [l.iloc[lidx].reset_index(drop=True),
+                 r[value_cols].iloc[ridx].reset_index(drop=True)],
+                axis=1,
+            )
+            return restore_int_dtypes(out, int_like)
+
+        if len(l) == 0 or len(r) == 0:
+            return pairs(np.array([], dtype=np.int64), np.array([], dtype=np.int64))
+
+        # Never materialize the key-equijoin before the window filter
+        # (a hot key × wide-span sides would blow per-bucket memory to
+        # |L_k|·|R_k| rows): sort the right side by (key, ts) once,
+        # binary-search each left row's half-open window bounds, and
+        # gather exactly the surviving pairs. Peak memory = OUTPUT
+        # size + the sorted index arrays.
+        kcodes = pd.concat([l[keys], r[keys]]).groupby(keys, sort=False).ngroup().to_numpy()
+        lc, rc = kcodes[: len(l)], kcodes[len(l):]
+
+        def as_i8(s: pd.Series) -> np.ndarray:
+            v = s.to_numpy()
+            if v.dtype.kind == "M":
+                # normalize to ONE unit before comparing as ints:
+                # parquet columns are typically datetime64[us] while
+                # ``ts + Timedelta`` promotes to [ns] — mixed units
+                # viewed as i8 silently compare across scales. ns
+                # bounds the representable range to years 1677-2262,
+                # plenty for event data and lossless for coarser units.
+                return v.astype("datetime64[ns]").view("i8")
+            return v
+
+        lo = as_i8(l[left_ts] + min_delta)
+        hi = as_i8(l[left_ts] + max_delta)
+        rts_v = as_i8(r[rts])
+
+        order = np.lexsort((rts_v, rc))
+        rc_s, rts_s = rc[order], rts_v[order]
+        # rank-encode timestamps so (key, ts) packs into ONE sortable
+        # int64 — ranks are order-isomorphic and every bound value is a
+        # member of the rank domain, so >=lo / <hi translate exactly
+        uniq = np.unique(np.concatenate([rts_s, lo, hi]))
+        span = np.int64(len(uniq) + 1)
+        comb = rc_s.astype(np.int64) * span + np.searchsorted(uniq, rts_s)
+        starts = np.searchsorted(comb, lc.astype(np.int64) * span + np.searchsorted(uniq, lo))
+        ends = np.searchsorted(comb, lc.astype(np.int64) * span + np.searchsorted(uniq, hi))
+        counts = ends - starts
+        total = int(counts.sum())
+        lidx = np.repeat(np.arange(len(l)), counts)
+        offsets = np.concatenate(([0], np.cumsum(counts)))[:-1]
+        within = np.arange(total) - np.repeat(offsets, counts)
+        ridx = order[np.repeat(starts, counts) + within]
+        return pairs(lidx, ridx)
 
     return both.groupby(PART_COL).map_groups(merge, batch_format="pandas")

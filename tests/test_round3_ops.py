@@ -58,6 +58,35 @@ def test_range_join_matches_pandas_oracle(ray_session):
     assert got_s["rid"].dtype == np.int64  # right ints restored post-union
 
 
+def test_range_join_microsecond_unit_columns(ray_session):
+    """Parquet timestamps arrive as datetime64[us] while Timedelta
+    arithmetic promotes to [ns]; the window comparison must normalize
+    units (regression: mixed units viewed as i8 matched nothing)."""
+    rng = np.random.default_rng(3)
+    base = pd.Timestamp("2024-01-01")
+    l = pd.DataFrame({
+        "k": rng.integers(0, 5, 100),
+        "lid": np.arange(100),
+        "lts": (base + pd.to_timedelta(rng.integers(0, 5000, 100), unit="min")
+                ).astype("datetime64[us]"),
+    })
+    r = pd.DataFrame({
+        "k": rng.integers(0, 5, 150),
+        "rid": np.arange(150),
+        "rts": (base + pd.to_timedelta(rng.integers(0, 5000, 150), unit="min")
+                ).astype("datetime64[us]"),
+    })
+    lo, hi = pd.Timedelta(0), pd.Timedelta(hours=8)
+    got = range_join(
+        _ds(ray_session, l, 3), _ds(ray_session, r, 3), on="k",
+        left_ts="lts", right_ts="rts", min_delta=lo, max_delta=hi,
+        num_partitions=4,
+    ).to_pandas()
+    want = _range_oracle(l, r, "k", "lts", "rts", lo, hi)
+    assert len(want) > 0
+    assert sorted(zip(got.lid, got.rid)) == sorted(zip(want.lid, want.rid))
+
+
 def test_range_join_negative_window_and_clash(ray_session):
     """Window reaching BACK in time; right ts column name clashes with
     the left and must be suffixed."""
