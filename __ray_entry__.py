@@ -32,10 +32,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-equivalent SQL for every SQL-expressible query (37 of 42
+    """DuckDB-equivalent SQL for every SQL-expressible query (39 of 44
     as of round 3, incl. the full audio decode→FFT pipeline, the video
-    demux→frame-sample→JPEG-decode pipeline, and the rolling-hash
-    document fingerprint). The 5 rows-only
+    demux→frame-sample→JPEG-decode pipeline, the rolling-hash document
+    fingerprint, an end-to-end pixel-exactness check (phash_verify),
+    and a HyperLogLog sketch whose registers the SQL reproduces
+    bit-for-bit (hll_distinct_tokens)). The 5 rows-only
     residue is genuinely non-SQL-expressible: minhash/simhash pairs +
     minhash groups (the sketch hash has no SQL equivalent), IVF search
     (k-means training), and featurize_flagship's CNN feature norms

@@ -1293,6 +1293,114 @@ FROM documents
 """
 
 
+def phash_verify(sf_dir: str):
+    """End-to-end pixel-exactness proof at the query surface: re-decode
+    every losslessly-encoded image and recompute its 8×8 average hash
+    against the table's stored ``phash`` (computed by the generator
+    from the ORIGINAL pre-encoding pixels).  The oracle predicts the
+    surviving row set closed-form from ``part`` and expects phash_ok =
+    TRUE on every row — any pixel deviation anywhere in the decode path
+    fails the value-hash check.  Lossy (jpeg) rows are covered by the
+    PSNR≥40dB pytest goldens instead; deliberate garbage/empty rows
+    must be dropped by the decoder, and the oracle checks that too."""
+    from ..stages.decode import make_phash_verify_fn
+
+    ds = _rd().read_parquet(
+        _images(sf_dir), columns=["image_id", "bytes", "fmt", "phash"],
+        filter=(pc.field("fmt") == "png") | (pc.field("fmt") == "bmp"))
+    return ds.map_batches(make_phash_verify_fn(), batch_format="pyarrow")
+
+
+SQL_PHASH_VERIFY = """
+WITH r AS (
+  SELECT p_partkey, p_partkey % 20 AS role,
+         CASE WHEN p_partkey % 20 = 13 THEN p_partkey - 1 ELSE p_partkey END AS cs
+  FROM part
+)
+SELECT printf('img_%08d', p_partkey) AS image_id, TRUE AS phash_ok
+FROM r
+WHERE role <= 16 AND (role = 15 OR cs % 3 IN (0, 1))
+"""
+
+
+def hll_distinct_tokens(sf_dir: str):
+    """Grouped HyperLogLog distinct-token estimate per document source
+    (stages/sketch.py).  The registers derive from the same polynomial
+    token hash the fingerprint oracle reproduces in SQL, so DuckDB
+    recomputes the sketch EXACTLY — estimate included — making an
+    approximate operator hash-checkable."""
+    from ..stages.sketch import hll_distinct
+
+    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["source", "text"])
+    return hll_distinct(ds, group_col="source", col="text",
+                        out_col="est_distinct_tokens")
+
+
+SQL_HLL = r"""
+WITH n AS (
+  SELECT source, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+  FROM documents
+), tok AS (
+  SELECT DISTINCT source, unnest(string_split(t, ' ')) AS tok
+  FROM n
+), h AS (
+  SELECT source,
+    list_reduce(
+      list_transform(string_split(tok, ''), c -> CAST(unicode(c) AS HUGEINT)),
+      (a, b) -> (a * 1099511628211 + b) % 18446744073709551616
+    ) AS hv
+  FROM tok WHERE tok <> ''
+), m0 AS (  -- splitmix64 finalizer, bit-for-bit the numpy kernel
+  SELECT source, (hv + 11400714819323198485) % 18446744073709551616 AS z
+  FROM h
+), x1 AS (
+  SELECT source, xor(z, z // 1073741824) AS y FROM m0
+), m1 AS (
+  -- (y * 13787848793156543929) mod 2^64 via 32-bit halves: the direct
+  -- product would overflow INT128
+  SELECT source,
+         ((y % 4294967296) * 484763065
+          + (((y % 4294967296) * 3210233709
+              + (y // 4294967296) * 484763065) % 4294967296) * 4294967296)
+           % 18446744073709551616 AS z
+  FROM x1
+), x2 AS (
+  SELECT source, xor(z, z // 134217728) AS y FROM m1
+), m2 AS (
+  SELECT source,
+         ((y % 4294967296) * 321982955
+          + (((y % 4294967296) * 2496678331
+              + (y // 4294967296) * 321982955) % 4294967296) * 4294967296)
+           % 18446744073709551616 AS z
+  FROM x2
+), m3 AS (
+  SELECT source, xor(z, z // 2147483648) AS hv FROM m2
+), rb AS (
+  SELECT source,
+         CAST(hv // 72057594037927936 AS BIGINT) AS bucket,
+         CAST(hv % 72057594037927936 AS BIGINT) AS x
+  FROM m3
+), rho AS (
+  SELECT source, bucket,
+         MAX(CASE WHEN x = 0 THEN 57 ELSE 57 - length(bin(x)) END) AS r
+  FROM rb GROUP BY source, bucket
+), agg AS (
+  SELECT source,
+         SUM(power(2.0, -r)) + (256 - COUNT(*)) AS s,
+         256 - COUNT(*) AS v
+  FROM rho GROUP BY source
+)
+SELECT source,
+  ROUND(CASE WHEN (0.7213 / (1 + 1.079 / 256)) * 256 * 256 / s <= 640
+                  AND v > 0
+             THEN 256 * ln(256.0 / v)
+             ELSE (0.7213 / (1 + 1.079 / 256)) * 256 * 256 / s END,
+        2) AS est_distinct_tokens
+FROM agg
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q2_top_customers": q2_top_customers,
@@ -1330,6 +1438,8 @@ QUERIES = {
     "quantiles_by_flag": quantiles_by_flag,
     "tfidf_topk_docs": tfidf_topk_docs,
     "redact_docs": redact_docs,
+    "phash_verify": phash_verify,
+    "hll_distinct_tokens": hll_distinct_tokens,
     # rows-only (not SQL-expressible; see module docstring)
     "featurize_flagship": featurize_flagship,
     "minhash_neardup_docs": minhash_neardup_docs,
@@ -1377,4 +1487,6 @@ ORACLE_SQL = {
     "quantiles_by_flag": SQL_QUANTILES,
     "tfidf_topk_docs": SQL_TFIDF,
     "redact_docs": SQL_REDACT,
+    "phash_verify": SQL_PHASH_VERIFY,
+    "hll_distinct_tokens": SQL_HLL,
 }

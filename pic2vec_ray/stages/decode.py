@@ -108,6 +108,42 @@ def preprocess_data(byte_rows: list, model_str: str = "squeezenet",
     return tensor, missing
 
 
+def make_phash_verify_fn(bytes_col: str = "bytes"):
+    """Factory for a map_batches fn proving end-to-end PIXEL equality.
+
+    For every losslessly-encoded row (png/bmp) it re-decodes the bytes
+    and recomputes the 8×8 average hash, emitting ``(image_id,
+    phash_ok)`` where ``phash_ok`` compares against the table's stored
+    ``phash`` (computed by the generator from the ORIGINAL pre-encoding
+    pixels).  A single flipped pixel anywhere flips the check, so the
+    driver oracle (``phash_verify`` — closed-form row set from ``part``,
+    all-TRUE expected) certifies the decode path bit-exactly at the
+    query surface, not just in unit tests.  Rows whose bytes fail to
+    decode (the corpus's deliberate garbage/empty rows) are dropped —
+    the oracle predicts exactly which rows survive.
+    """
+    from ..functions.image_ops import average_hash
+
+    def verify(batch: pa.Table) -> pa.Table:
+        ids: list[str] = []
+        oks: list[bool] = []
+        for image_id, data, fmt, ph in zip(batch["image_id"].to_pylist(),
+                                           batch[bytes_col].to_pylist(),
+                                           batch["fmt"].to_pylist(),
+                                           batch["phash"].to_pylist()):
+            if fmt not in ("png", "bmp"):
+                continue
+            img = decode_rgb(bytes(data) if data is not None else b"")
+            if img is None:
+                continue
+            ids.append(image_id)
+            oks.append(average_hash(img) == ph)
+        return pa.table({"image_id": pa.array(ids, pa.string()),
+                         "phash_ok": pa.array(oks, pa.bool_())})
+
+    return verify
+
+
 def make_decode_stats_fn(bytes_col: str = "bytes"):
     """Factory for a map_batches fn emitting per-row decode metadata.
 

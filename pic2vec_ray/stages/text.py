@@ -138,10 +138,11 @@ def fingerprint64(batch: pd.DataFrame) -> pd.DataFrame:
         ends = np.cumsum(ne_lens)
         starts = ends - ne_lens
         # P^k table up to the longest doc (uint64 wraparound)
-        ppow = np.empty(int(ne_lens.max()), dtype=np.uint64)
-        ppow[0] = 1
-        for k in range(1, len(ppow)):
-            ppow[k] = ppow[k - 1] * _FP_PRIME
+        with np.errstate(over="ignore"):  # uint64 wraparound IS the mod 2^64
+            ppow = np.empty(int(ne_lens.max()), dtype=np.uint64)
+            ppow[0] = 1
+            for k in range(1, len(ppow)):
+                ppow[k] = ppow[k - 1] * _FP_PRIME
         # exponent of position i in doc d = (end_d - 1) - i
         pos = np.arange(len(cps), dtype=np.int64)
         exp = np.repeat(ends - 1, ne_lens) - pos
