@@ -1401,6 +1401,142 @@ FROM agg
 """
 
 
+def window_ranks_events(sf_dir: str):
+    """SQL rank-function family (RANK / DENSE_RANK / ROW_NUMBER /
+    CUME_DIST / PERCENT_RANK) per user ordered by value — one entity
+    hash shuffle, vectorized pandas ranks inside the partition
+    (temporal/windows.window_ranks)."""
+    from ..temporal.windows import window_ranks
+
+    ds = _events(sf_dir, columns=["event_id", "user_id", "value"])
+    out = window_ranks(ds, by="user_id", order="value", tiebreak="event_id",
+                       num_partitions=_nparts(sf_dir, "events"))
+
+    def project(df: pd.DataFrame) -> pd.DataFrame:
+        return df[["event_id", "user_id", "rnk", "drnk", "rn", "cd", "pr"]]
+
+    return out.map_batches(project, batch_format="pandas")
+
+
+SQL_WINDOW_RANKS = """
+SELECT event_id, user_id,
+       RANK() OVER w AS rnk,
+       DENSE_RANK() OVER w AS drnk,
+       ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY value, event_id) AS rn,
+       CUME_DIST() OVER w AS cd,
+       PERCENT_RANK() OVER w AS pr
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY value)
+"""
+
+
+PIVOT_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def pivot_value_by_type(sf_dir: str):
+    """Long→wide pivot: per-user sum of value by event type over the
+    DECLARED category set (stages/relational.pivot_sum — per-batch
+    partial pivot, bounded shuffle, one small merge groupby)."""
+    from ..stages.relational import pivot_sum
+
+    ds = _events(sf_dir, columns=["user_id", "event_type", "value"])
+    out = pivot_sum(ds, key="user_id", pivot_col="event_type",
+                    value="value", categories=PIVOT_EVENT_TYPES)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        for c in PIVOT_EVENT_TYPES:
+            df[c + "_sum"] = df[c + "_sum"].round(6)
+        return df
+
+    return out.map_batches(finish, batch_format="pandas")
+
+
+SQL_PIVOT = """
+SELECT user_id,
+  ROUND(COALESCE(SUM(CASE WHEN event_type = 'click' THEN value END), 0), 6) AS click_sum,
+  ROUND(COALESCE(SUM(CASE WHEN event_type = 'error' THEN value END), 0), 6) AS error_sum,
+  ROUND(COALESCE(SUM(CASE WHEN event_type = 'purchase' THEN value END), 0), 6) AS purchase_sum,
+  ROUND(COALESCE(SUM(CASE WHEN event_type = 'signup' THEN value END), 0), 6) AS signup_sum,
+  ROUND(COALESCE(SUM(CASE WHEN event_type = 'view' THEN value END), 0), 6) AS view_sum
+FROM events
+GROUP BY user_id
+"""
+
+
+def hll_users_daily(sf_dir: str):
+    """Sketch × window composition: approximate distinct users per
+    1-day event-time window — the window key is assigned in a
+    stateless map_batches, then the int-keyed HLL
+    (stages/sketch.hll_distinct_int, splitmix64 of the user id) runs
+    grouped on it. SQL rebuilds the registers exactly, as with
+    hll_distinct_tokens."""
+    from ..stages.sketch import hll_distinct_int
+
+    ds = _events(sf_dir, columns=["ts", "user_id"])
+
+    def assign_day(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"day": df["ts"].dt.floor("D"),
+                             "user_id": df["user_id"]})
+
+    keyed = ds.map_batches(assign_day, batch_format="pandas")
+    return hll_distinct_int(keyed, group_col="day", col="user_id",
+                            out_col="est_distinct_users")
+
+
+SQL_HLL_USERS = """
+WITH dd AS (
+  SELECT DISTINCT date_trunc('day', ts) AS day, user_id FROM events
+), m0 AS (
+  SELECT day,
+         (CAST(user_id AS HUGEINT) + 11400714819323198485)
+           % 18446744073709551616 AS z
+  FROM dd
+), x1 AS (
+  SELECT day, xor(z, z // 1073741824) AS y FROM m0
+), m1 AS (
+  SELECT day,
+         ((y % 4294967296) * 484763065
+          + (((y % 4294967296) * 3210233709
+              + (y // 4294967296) * 484763065) % 4294967296) * 4294967296)
+           % 18446744073709551616 AS z
+  FROM x1
+), x2 AS (
+  SELECT day, xor(z, z // 134217728) AS y FROM m1
+), m2 AS (
+  SELECT day,
+         ((y % 4294967296) * 321982955
+          + (((y % 4294967296) * 2496678331
+              + (y // 4294967296) * 321982955) % 4294967296) * 4294967296)
+           % 18446744073709551616 AS z
+  FROM x2
+), m3 AS (
+  SELECT day, xor(z, z // 2147483648) AS hv FROM m2
+), rb AS (
+  SELECT day,
+         CAST(hv // 72057594037927936 AS BIGINT) AS bucket,
+         CAST(hv % 72057594037927936 AS BIGINT) AS x
+  FROM m3
+), rho AS (
+  SELECT day, bucket,
+         MAX(CASE WHEN x = 0 THEN 57 ELSE 57 - length(bin(x)) END) AS r
+  FROM rb GROUP BY day, bucket
+), agg AS (
+  SELECT day,
+         SUM(power(2.0, -r)) + (256 - COUNT(*)) AS s,
+         256 - COUNT(*) AS v
+  FROM rho GROUP BY day
+)
+SELECT day,
+  ROUND(CASE WHEN (0.7213 / (1 + 1.079 / 256)) * 256 * 256 / s <= 640
+                  AND v > 0
+             THEN 256 * ln(256.0 / v)
+             ELSE (0.7213 / (1 + 1.079 / 256)) * 256 * 256 / s END,
+        2) AS est_distinct_users
+FROM agg
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q2_top_customers": q2_top_customers,
@@ -1440,6 +1576,9 @@ QUERIES = {
     "redact_docs": redact_docs,
     "phash_verify": phash_verify,
     "hll_distinct_tokens": hll_distinct_tokens,
+    "window_ranks_events": window_ranks_events,
+    "pivot_value_by_type": pivot_value_by_type,
+    "hll_users_daily": hll_users_daily,
     # rows-only (not SQL-expressible; see module docstring)
     "featurize_flagship": featurize_flagship,
     "minhash_neardup_docs": minhash_neardup_docs,
@@ -1489,4 +1628,7 @@ ORACLE_SQL = {
     "redact_docs": SQL_REDACT,
     "phash_verify": SQL_PHASH_VERIFY,
     "hll_distinct_tokens": SQL_HLL,
+    "window_ranks_events": SQL_WINDOW_RANKS,
+    "pivot_value_by_type": SQL_PIVOT,
+    "hll_users_daily": SQL_HLL_USERS,
 }

@@ -145,6 +145,40 @@ def hll_finalize(group_col: str, p: int = DEFAULT_P, *,
     return finalize
 
 
+def hll_int_registers_partial(group_col: str, col: str, p: int = DEFAULT_P):
+    """map_batches UDF factory for INTEGER identities (user ids, doc
+    ids): splitmix64 of the int64 value is the hash — no tokenizer.
+    Same partial-register output contract as the token variant, so the
+    merge/finalize stages are shared."""
+    w = 64 - p
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        df = batch[[group_col, col]].drop_duplicates()
+        h = _splitmix64(df[col].to_numpy().astype(np.uint64))
+        bucket = (h >> np.uint64(w)).astype(np.int64)
+        x = h & np.uint64((1 << w) - 1)
+        rho = (w + 1) - _bit_length_u64(x)
+        out = pd.DataFrame({group_col: df[group_col].to_numpy(),
+                            "bucket": bucket, "rho": rho})
+        return (out.groupby([group_col, "bucket"], as_index=False)["rho"]
+                   .max())
+
+    return partial
+
+
+def hll_distinct_int(ds, *, group_col: str, col: str, p: int = DEFAULT_P,
+                     out_col: str = "est_distinct"):
+    """Grouped approximate-distinct-count of an int64 column — e.g.
+    distinct users per event-time window, composing the sketch with the
+    windowing layer (assign the window key upstream, group on it here).
+    Same three-stage shape as ``hll_distinct``."""
+    partial = hll_int_registers_partial(group_col, col, p)
+    merged = (ds.map_batches(partial, batch_format="pandas")
+                .groupby([group_col, "bucket"]).max("rho"))
+    return merged.groupby(group_col).map_groups(
+        hll_finalize(group_col, p, out_col=out_col), batch_format="pandas")
+
+
 def hll_distinct(ds, *, group_col: str, col: str, p: int = DEFAULT_P,
                  out_col: str = "est_distinct"):
     """Grouped approximate-distinct-count of whitespace tokens in

@@ -207,6 +207,33 @@ def hopping_window_agg(ds, *, by: str, order: str, value: str, width: pd.Timedel
     return partitioned_apply(ds, by, fn, num_partitions)
 
 
+def window_ranks(ds, *, by: str, order: str, tiebreak: str,
+                 num_partitions: int = DEFAULT_PARTITIONS):
+    """The SQL rank-function family per entity partition: RANK,
+    DENSE_RANK, ROW_NUMBER, CUME_DIST, PERCENT_RANK ordered by
+    ``order`` (ROW_NUMBER additionally tie-broken by ``tiebreak`` so it
+    is total-order deterministic).  One hash shuffle on the entity key;
+    inside a partition everything is vectorized ``groupby.rank`` /
+    ``cumcount`` — ties share RANK/DENSE_RANK exactly like the SQL
+    window semantics the oracle runs.  PERCENT_RANK of a single-row
+    partition is 0 (the SQL definition's 0/0 case)."""
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([by, order, tiebreak], kind="mergesort")
+        g = df.groupby(by, sort=False)[order]
+        rnk = g.rank(method="min").astype("int64")
+        n = g.transform("size").astype("int64")
+        df = df.copy()
+        df["rnk"] = rnk
+        df["drnk"] = g.rank(method="dense").astype("int64")
+        df["rn"] = df.groupby(by, sort=False).cumcount() + 1
+        df["cd"] = g.rank(method="max") / n
+        df["pr"] = np.where(n > 1, (rnk - 1) / np.maximum(n - 1, 1), 0.0)
+        return df
+
+    return partitioned_apply(ds, by, fn, num_partitions)
+
+
 def top_n_per_group(ds, *, by: str, order_cols: list[str], ascending: list[bool],
                     n: int, num_partitions: int = DEFAULT_PARTITIONS):
     """Deterministic top-n rows per entity (SQL ROW_NUMBER ≤ n): one
