@@ -32,16 +32,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-equivalent SQL for every SQL-expressible query (42 of 47
+    """DuckDB-equivalent SQL for every SQL-expressible query (45 of 47
     as of round 3, incl. the full audio decode→FFT pipeline, the video
     demux→frame-sample→JPEG-decode pipeline, the rolling-hash document
     fingerprint, an end-to-end pixel-exactness check (phash_verify),
-    and a HyperLogLog sketch whose registers the SQL reproduces
-    bit-for-bit (hll_distinct_tokens)). The 5 rows-only
-    residue is genuinely non-SQL-expressible: minhash/simhash pairs +
-    minhash groups (the sketch hash has no SQL equivalent), IVF search
-    (k-means training), and featurize_flagship's CNN feature norms
-    (its structural contract IS oracle-checked via featurize_dims)."""
+    a HyperLogLog sketch whose registers the SQL reproduces bit-for-bit
+    (hll_distinct_tokens), and — new in round 3 — the ENTIRE
+    minhash/simhash near-dup family: the shingle hash is the SQL-pinned
+    splitmix64(Horner) kernel, so DuckDB replays signatures, LSH band
+    collisions and even the connected-components grouping (recursive
+    CTE) exactly (pipelines/sketch_sql.py). The 2 rows-only residue is
+    genuinely non-SQL-expressible: IVF search (k-means training) and
+    featurize_flagship's CNN feature norms (its structural contract IS
+    oracle-checked via featurize_dims)."""
     from pic2vec_ray.pipelines.queries import ORACLE_SQL
 
     return dict(ORACLE_SQL)

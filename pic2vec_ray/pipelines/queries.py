@@ -502,7 +502,9 @@ SQL_DISTINCT = "SELECT DISTINCT source FROM documents"
 
 def minhash_dedup_groups(sf_dir: str):
     """Near-dup clustering end-to-end: MinHash-LSH pairs → distributed
-    connected components → (id, group_id). Rows-only (sketch-based)."""
+    connected components → (id, group_id). Oracle-checked since round 3:
+    the SQL replays the full sketch chain plus a recursive-CTE
+    connected components (pipelines/sketch_sql.py)."""
     from ..stages.dedup import minhash_lsh_pairs, neardup_groups
 
     ds = _rd().read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
@@ -867,6 +869,10 @@ def featurize_flagship(sf_dir: str):
 
 
 def minhash_neardup_docs(sf_dir: str):
+    """MinHash-LSH near-dup pairs. Oracle-checked since round 3: the
+    shingle hash is the SQL-pinned splitmix64(Horner) kernel, so DuckDB
+    replays signatures, band collisions, the agreement prefilter and
+    the exact-Jaccard verify bit-for-bit (pipelines/sketch_sql.py)."""
     from ..stages.dedup import minhash_lsh_pairs
 
     ds = _rd().read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
@@ -875,6 +881,10 @@ def minhash_neardup_docs(sf_dir: str):
 
 
 def simhash_neardup_docs(sf_dir: str):
+    """SimHash near-dup pairs (banded, pigeonhole-lossless at
+    hamming ≤ 3). Oracle-checked since round 3: DuckDB recomputes the
+    64-bit simhash per doc from the same shingle hashes and takes exact
+    all-pairs hamming (pipelines/sketch_sql.py)."""
     from ..stages.dedup import simhash_pairs
 
     ds = _rd().read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
@@ -1588,6 +1598,17 @@ QUERIES = {
     "ivf_search_embeddings": ivf_search_embeddings,
 }
 
+# Sketch-family oracles are GENERATED from the implementation's own
+# constants (seeded minhash permutation params embedded as literals) —
+# same precedent as the langid/quality oracles above. The shingle hash
+# they replay is the SQL-pinned splitmix64(Horner) kernel; see
+# pipelines/sketch_sql.py for the full exactness argument.
+from . import sketch_sql as _sketch_sql  # noqa: E402
+
+from ..stages.dedup import _minhash_params as _mh_params_fn  # noqa: E402
+
+_mh_params = _mh_params_fn(64)
+
 ORACLE_SQL = {
     "q1_pricing_summary": SQL_Q1,
     "q2_top_customers": SQL_Q2,
@@ -1631,4 +1652,7 @@ ORACLE_SQL = {
     "window_ranks_events": SQL_WINDOW_RANKS,
     "pivot_value_by_type": SQL_PIVOT,
     "hll_users_daily": SQL_HLL_USERS,
+    "simhash_neardup_docs": _sketch_sql.simhash_pairs_sql(),
+    "minhash_neardup_docs": _sketch_sql.minhash_pairs_sql(*_mh_params),
+    "minhash_dedup_groups": _sketch_sql.minhash_groups_sql(*_mh_params),
 }

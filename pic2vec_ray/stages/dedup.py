@@ -80,52 +80,66 @@ def dedup_exact(ds, *, col: str = "text", id_col: str = "doc_id", num_partitions
 
 
 def _shingle_hashes(text: str, k: int) -> np.ndarray:
-    """Character k-shingle 64-bit hashes (vector per doc)."""
-    if len(text) < k:
-        # zlib.crc32 (not builtin hash(): that is salted per process)
-        import zlib
+    """Character k-shingle 64-bit hashes (vector per doc).
 
-        return np.array([zlib.crc32(text.encode())], dtype=np.uint64)
-    views = [text[i : i + k] for i in range(len(text) - k + 1)]
-    return pd.util.hash_pandas_object(pd.Series(views), index=False).to_numpy()
+    Hash = splitmix64(Horner polynomial over the shingle's codepoints,
+    mod 2^64) — the same SQL-pinned kernel as ``text.fingerprint64`` /
+    ``sketch._token_hash64``, so the minhash/simhash pipelines built on
+    these hashes are reproducible bit-for-bit by a DuckDB oracle
+    (queries ``minhash_neardup_docs`` / ``simhash_neardup_docs``).
+    A doc shorter than ``k`` contributes ONE hash of the whole text
+    (empty text → splitmix64(0)).
+    """
+    h, _ = _shingle_hashes_batch([text], k)
+    return h
 
 
 def _shingle_hashes_batch(texts: list[str], k: int) -> tuple[np.ndarray, np.ndarray]:
-    """All shingle hashes of a BATCH in one vectorized hash pass.
+    """All shingle hashes of a BATCH in one vectorized pass.
 
     Returns ``(hashes, offsets)`` with doc ``i``'s shingles at
     ``hashes[offsets[i]:offsets[i+1]]`` — elementwise identical to
     per-doc :func:`_shingle_hashes` (the hash is value-based).
-    """
-    import zlib
 
-    views: list[list[str] | None] = []
-    counts = np.empty(len(texts), dtype=np.int64)
-    for i, t in enumerate(texts):
-        if len(t) < k:
-            views.append(None)
-            counts[i] = 1
-        else:
-            v = [t[j : j + k] for j in range(len(t) - k + 1)]
-            views.append(v)
-            counts[i] = len(v)
-    flat = [s for v in views if v is not None for s in v]
-    hashed = (
-        pd.util.hash_pandas_object(pd.Series(flat), index=False).to_numpy()
-        if flat else np.empty(0, dtype=np.uint64)
-    )
-    out = np.empty(int(counts.sum()), dtype=np.uint64)
-    pos = hpos = 0
-    for v, c, t in zip(views, counts, texts):
-        if v is None:
-            out[pos] = np.uint64(zlib.crc32(t.encode()))
-        else:
-            out[pos : pos + c] = hashed[hpos : hpos + c]
-            hpos += c
-        pos += c
-    offsets = np.zeros(len(texts) + 1, dtype=np.int64)
+    One utf-32 decode of the concatenated batch, then k shifted
+    multiply-adds build every sliding-window Horner value at once
+    (uint64 wraparound IS the mod 2^64); windows that straddle doc
+    boundaries exist in the global accumulator but are never selected.
+    """
+    from .sketch import _splitmix64
+    from .text import _FP_PRIME
+
+    n = len(texts)
+    lens = np.fromiter((len(t) for t in texts), count=n, dtype=np.int64)
+    counts = np.maximum(lens - k + 1, 1)
+    offsets = np.zeros(n + 1, dtype=np.int64)
     np.cumsum(counts, out=offsets[1:])
-    return out, offsets
+    out = np.zeros(int(offsets[-1]), dtype=np.uint64)
+    if n == 0:
+        return out, offsets
+    cat = "".join(texts)
+    cps = np.frombuffer(cat.encode("utf-32-le"), dtype="<u4").astype(np.uint64)
+    text_starts = np.zeros(n, dtype=np.int64)
+    np.cumsum(lens[:-1], out=text_starts[1:])
+    with np.errstate(over="ignore"):
+        pows = np.empty(k, dtype=np.uint64)
+        pows[k - 1] = 1
+        for j in range(k - 2, -1, -1):
+            pows[j] = pows[j + 1] * _FP_PRIME
+        nwin = len(cps) - k + 1
+        acc = np.zeros(max(nwin, 0), dtype=np.uint64)
+        for j in range(k):
+            acc += cps[j : j + nwin] * pows[j]
+        for i in range(n):
+            if lens[i] >= k:
+                s = text_starts[i]
+                out[offsets[i] : offsets[i + 1]] = acc[s : s + lens[i] - k + 1]
+            elif lens[i] > 0:  # whole-text Horner for short docs
+                h = np.uint64(0)
+                for c in cps[text_starts[i] : text_starts[i] + lens[i]]:
+                    h = h * _FP_PRIME + c
+                out[offsets[i]] = h
+    return _splitmix64(out), offsets
 
 
 def _doc_chunks(offsets: np.ndarray, max_items: int = 1 << 16):

@@ -407,3 +407,82 @@ def test_textstats_langid_vectorized_equal_scalar(docs_pdf):
         exp_pred = best if best_r > 0.01 else "und"
         assert lid.lang_pred[i] == exp_pred
         assert abs(lid.lang_conf[i] - best_r) < 1e-12
+
+
+# ------------------------------------------------ sketch SQL oracles
+
+
+def _duck_with_docs(pdf):
+    import duckdb
+
+    con = duckdb.connect()
+    con.register("documents", pdf[["doc_id", "text"]])
+    return con
+
+
+def test_simhash_sql_oracle_matches_ray(ray_session, docs_pdf):
+    """The generated DuckDB oracle replays simhash bit-for-bit: same
+    pairs AND same hamming values as the banded Ray pipeline."""
+    import ray.data as rd
+
+    from pic2vec_ray.pipelines.sketch_sql import simhash_pairs_sql
+
+    base = docs_pdf.head(80).copy()
+    nd = base.head(8).copy()
+    nd["doc_id"] = nd["doc_id"] + 500_000
+    nd["text"] = nd["text"].str.replace("a", "e", n=1)
+    pdf = pd.concat([base, nd], ignore_index=True)
+    got = simhash_pairs(rd.from_pandas(pdf), max_hamming=3,
+                        num_partitions=8).to_pandas()
+    oracle = _duck_with_docs(pdf).execute(simhash_pairs_sql()).df()
+    key = ["id_a", "id_b", "hamming"]
+    pd.testing.assert_frame_equal(
+        got[key].sort_values(key).reset_index(drop=True),
+        oracle[key].astype("int64").sort_values(key).reset_index(drop=True),
+    )
+
+
+def test_minhash_sql_oracles_match_ray(ray_session, docs_pdf):
+    """The generated DuckDB oracle replays the FULL minhash chain —
+    signatures, band collisions, agreement prefilter, exact-Jaccard
+    verify — and the recursive-CTE connected components."""
+    import ray.data as rd
+
+    from pic2vec_ray.pipelines.sketch_sql import (
+        minhash_groups_sql,
+        minhash_pairs_sql,
+    )
+    from pic2vec_ray.stages.dedup import _minhash_params, neardup_groups
+
+    base = docs_pdf.head(80).copy()
+    nd = base.head(8).copy()
+    nd["doc_id"] = nd["doc_id"] + 500_000
+    nd["text"] = nd["text"] + " tail"
+    # a 3-chain so connected components must actually propagate
+    nd2 = base.head(4).copy()
+    nd2["doc_id"] = nd2["doc_id"] + 900_000
+    nd2["text"] = nd2["text"] + " tail x"
+    pdf = pd.concat([base, nd, nd2], ignore_index=True)
+    a, b = _minhash_params(64)
+
+    pairs = minhash_lsh_pairs(rd.from_pandas(pdf), threshold=0.5,
+                              num_perm=64, bands=16, num_partitions=8)
+    pairs = pairs.materialize()
+    got_pairs = pairs.to_pandas()
+    con = _duck_with_docs(pdf)
+    oracle_pairs = con.execute(minhash_pairs_sql(a, b)).df()
+    key = ["id_a", "id_b"]
+    got_sorted = got_pairs.sort_values(key).reset_index(drop=True)
+    ora_sorted = oracle_pairs.sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got_sorted[key + ["jaccard"]],
+        ora_sorted[key + ["jaccard"]].astype({"id_a": "int64", "id_b": "int64"}),
+    )
+    assert len(got_pairs) >= 8  # planted pairs actually found
+
+    got_groups = neardup_groups(pairs, num_partitions=8).to_pandas()
+    oracle_groups = con.execute(minhash_groups_sql(a, b)).df()
+    pd.testing.assert_frame_equal(
+        got_groups.sort_values("id").reset_index(drop=True),
+        oracle_groups.astype("int64").sort_values("id").reset_index(drop=True),
+    )
