@@ -190,6 +190,55 @@ GROUP BY o_orderpriority
 """
 
 
+def bucketed_join_revenue(sf_dir: str):
+    """The SAME join+aggregate as ``q3_priority_revenue``, but through
+    the bucketed-storage path (sources/bucketed.py): both tables are
+    hash-clustered into co-partitioned parquet buckets ONCE (cached),
+    then joined bucket-by-bucket with ZERO shuffle — each task reads
+    one bucket directory per side and joins locally. Shares q3's SQL
+    oracle: the shuffle plan and the bucketed plan must produce
+    identical bytes."""
+    import hashlib
+
+    from ray.data.aggregate import Sum
+
+    from ..sources.bucketed import bucketed_join, is_bucketed, write_bucketed
+
+    rd = _rd()
+    tag = hashlib.sha1(f"bucketed:{sf_dir}:v1".encode()).hexdigest()[:12]
+    root = f"/tmp/pic2vec_ray_cache/bucketed_{tag}"
+    lp, op = f"{root}/lineitem", f"{root}/orders"
+    if not (is_bucketed(lp) and is_bucketed(op)):
+        nb = max(4, _nparts(sf_dir, "lineitem", "orders") // 4)
+        line = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                               columns=["l_orderkey", "l_extendedprice", "l_discount"])
+        orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                                 columns=["o_orderkey", "o_orderpriority"])
+        write_bucketed(line, lp, key="l_orderkey", num_buckets=nb)
+        write_bucketed(orders, op, key="o_orderkey", num_buckets=nb)
+    joined = bucketed_join(lp, op, on="l_orderkey", right_on="o_orderkey",
+                           how="inner")
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df["revenue_item"] = df.l_extendedprice * (1.0 - df.l_discount)
+        g = df.groupby("o_orderpriority", as_index=False).agg(
+            revenue=("revenue_item", "sum"), n_items=("revenue_item", "size"))
+        g["n_items"] = g.n_items.astype("int64")
+        return g
+
+    agg = joined.map_batches(partial, batch_format="pandas").groupby(
+        "o_orderpriority"
+    ).aggregate(Sum("revenue", alias_name="revenue"),
+                Sum("n_items", alias_name="n_items"))
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df["revenue"] = df.revenue.round(2)
+        df["n_items"] = df.n_items.astype("int64")
+        return df[["o_orderpriority", "revenue", "n_items"]]
+
+    return agg.map_batches(finish, batch_format="pandas")
+
+
 def _custkeys_joined(sf_dir: str, how: str):
     from ..temporal.join import hash_join
 
@@ -1551,6 +1600,7 @@ QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q2_top_customers": q2_top_customers,
     "q3_priority_revenue": q3_priority_revenue,
+    "bucketed_join_revenue": bucketed_join_revenue,
     "customers_without_orders": customers_without_orders,
     "customers_with_orders": customers_with_orders,
     "embedding_neardup": embedding_neardup,
@@ -1613,6 +1663,7 @@ ORACLE_SQL = {
     "q1_pricing_summary": SQL_Q1,
     "q2_top_customers": SQL_Q2,
     "q3_priority_revenue": SQL_Q3,
+    "bucketed_join_revenue": SQL_Q3,
     "customers_without_orders": SQL_ANTI_JOIN,
     "customers_with_orders": SQL_SEMI_JOIN,
     "asof_purchase": SQL_ASOF,
