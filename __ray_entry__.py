@@ -32,7 +32,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-equivalent SQL for every SQL-expressible query (46 of 48
+    """DuckDB-equivalent SQL for every SQL-expressible query (48 of 50
     as of round 3, incl. the full audio decode→FFT pipeline, the video
     demux→frame-sample→JPEG-decode pipeline, the rolling-hash document
     fingerprint, an end-to-end pixel-exactness check (phash_verify),

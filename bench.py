@@ -200,7 +200,8 @@ def run_secondary(sf_dir: str) -> dict:
                  "rolling_1h", "dedup_exact_docs", "text_stats_docs",
                  "ann_topk_embeddings", "minhash_neardup_docs",
                  "audio_dominant_band", "video_frame_stats",
-                 "fingerprint_docs", "decontaminate_docs"):
+                 "fingerprint_docs", "decontaminate_docs",
+                 "bucketed_join_revenue"):
         t0 = time.perf_counter()
         res = Q.QUERIES[name](sf_dir)
         # consume: small results to pandas, large to count

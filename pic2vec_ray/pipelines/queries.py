@@ -190,6 +190,72 @@ GROUP BY o_orderpriority
 """
 
 
+def stratified_sample_docs(sf_dir: str):
+    """EXACTLY-n-per-group deterministic sample (splitmix64(doc_id)
+    rank within source) — the reservoir-sampling stand-in that is
+    reproducible under any partitioning (stages/pack.py). The SQL
+    oracle replays the splitmix chain + ROW_NUMBER."""
+    from ..stages.pack import stratified_sample
+
+    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "source"])
+    return stratified_sample(ds, group_col="source", id_col="doc_id", n=10,
+                             num_partitions=_nparts(sf_dir, "documents"))
+
+
+def _stratified_sql(n: int = 10) -> str:
+    from .sketch_sql import _splitmix_ctes
+
+    return f"""WITH h0 AS (
+  SELECT doc_id, source, CAST(doc_id AS HUGEINT) AS hv FROM documents
+),{_splitmix_ctes('h0', 'doc_id, source')},
+r AS (SELECT doc_id, source,
+             ROW_NUMBER() OVER (PARTITION BY source ORDER BY hv, doc_id) AS rn
+      FROM smx)
+SELECT doc_id, source FROM r WHERE rn <= {n}"""
+
+
+def pack_sequences_docs(sf_dir: str):
+    """Greedy token-budget sequence packing per source (budget 120
+    whitespace tokens, docs taken in doc_id order) — the LLM-training
+    "pack documents into dense sequences" step (stages/pack.py). The
+    SQL oracle replays the greedy scan with a recursive CTE."""
+    from ..stages.pack import pack_sequences
+
+    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "source", "text"])
+
+    def tok(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["n_tokens"] = df.text.str.count(r"\S+").astype("int64")
+        return df[["doc_id", "source", "n_tokens"]]
+
+    return pack_sequences(ds.map_batches(tok, batch_format="pandas"),
+                          group_col="source", id_col="doc_id",
+                          token_col="n_tokens", budget=120,
+                          num_partitions=_nparts(sf_dir, "documents"))
+
+
+SQL_PACK = r"""
+WITH RECURSIVE t AS (
+  SELECT doc_id, source, LEN(regexp_extract_all(text, '\S+')) AS n_tokens,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+  FROM documents
+),
+rec(source, rn, doc_id, n_tokens, acc, pack_id) AS (
+  SELECT source, rn, doc_id, n_tokens, n_tokens, 0 FROM t WHERE rn = 1
+  UNION ALL
+  SELECT t.source, t.rn, t.doc_id, t.n_tokens,
+         CASE WHEN rec.acc + t.n_tokens > 120 AND rec.acc > 0
+              THEN t.n_tokens ELSE rec.acc + t.n_tokens END,
+         CASE WHEN rec.acc + t.n_tokens > 120 AND rec.acc > 0
+              THEN rec.pack_id + 1 ELSE rec.pack_id END
+  FROM rec JOIN t ON t.source = rec.source AND t.rn = rec.rn + 1
+)
+SELECT doc_id, source, n_tokens, CAST(pack_id AS BIGINT) AS pack_id FROM rec
+"""
+
+
 def bucketed_join_revenue(sf_dir: str):
     """The SAME join+aggregate as ``q3_priority_revenue``, but through
     the bucketed-storage path (sources/bucketed.py): both tables are
@@ -1601,6 +1667,8 @@ QUERIES = {
     "q2_top_customers": q2_top_customers,
     "q3_priority_revenue": q3_priority_revenue,
     "bucketed_join_revenue": bucketed_join_revenue,
+    "stratified_sample_docs": stratified_sample_docs,
+    "pack_sequences_docs": pack_sequences_docs,
     "customers_without_orders": customers_without_orders,
     "customers_with_orders": customers_with_orders,
     "embedding_neardup": embedding_neardup,
@@ -1664,6 +1732,8 @@ ORACLE_SQL = {
     "q2_top_customers": SQL_Q2,
     "q3_priority_revenue": SQL_Q3,
     "bucketed_join_revenue": SQL_Q3,
+    "stratified_sample_docs": _stratified_sql(),
+    "pack_sequences_docs": SQL_PACK,
     "customers_without_orders": SQL_ANTI_JOIN,
     "customers_with_orders": SQL_SEMI_JOIN,
     "asof_purchase": SQL_ASOF,

@@ -213,3 +213,70 @@ def test_redactor_sequential_rules_and_counts():
     # rule 2 sees rule 1's output: "abc abc" -> "x x" -> "[X] [X]"
     assert out.text_redacted.tolist() == ["call me maybe", "[X] [X]", "none here"]
     assert out.n_redactions.tolist() == [0, 4, 0]  # 2 abc + 2 x-runs
+
+
+# ------------------------------------------------- pack / stratified sample
+
+
+def _brute_pack(tokens, budget):
+    pack, acc, p = [], 0, 0
+    for t in tokens:
+        if acc + t > budget and acc > 0:
+            p, acc = p + 1, 0
+        acc += t
+        pack.append(p)
+    return pack
+
+
+def test_pack_sequences_matches_bruteforce(ray_session):
+    from pic2vec_ray.stages.pack import pack_sequences
+
+    rng = np.random.default_rng(3)
+    df = pd.DataFrame({
+        "doc_id": np.arange(400),
+        "grp": rng.integers(0, 5, 400),
+        "nt": rng.integers(1, 90, 400).astype("int64"),
+    })
+    # one oversized doc per group: must sit in a pack of its own
+    df.loc[df.groupby("grp").head(1).index, "nt"] = 500
+    got = pack_sequences(_ds(ray_session, df), group_col="grp",
+                         id_col="doc_id", token_col="nt", budget=120,
+                         num_partitions=8).to_pandas()
+    got = got.sort_values(["grp", "doc_id"]).reset_index(drop=True)
+    for g, sub in got.groupby("grp"):
+        want = _brute_pack(sub.sort_values("doc_id").nt.tolist(), 120)
+        assert sub.sort_values("doc_id").pack_id.tolist() == want
+        # every pack except possibly singletons respects the budget
+        sums = sub.groupby("pack_id").nt.sum()
+        counts = sub.groupby("pack_id").nt.size()
+        assert ((sums <= 120) | (counts == 1)).all()
+
+
+def test_stratified_sample_partition_invariant(ray_session):
+    from pic2vec_ray.stages.pack import stratified_sample
+
+    rng = np.random.default_rng(4)
+    df = pd.DataFrame({
+        "doc_id": rng.permutation(300),
+        "grp": np.repeat(np.arange(6), 50),
+    })
+    a = stratified_sample(_ds(ray_session, df, 2), group_col="grp",
+                          id_col="doc_id", n=7, num_partitions=4).to_pandas()
+    b = stratified_sample(_ds(ray_session, df.sample(frac=1, random_state=1), 9),
+                          group_col="grp", id_col="doc_id", n=7,
+                          num_partitions=16).to_pandas()
+    key = ["grp", "doc_id"]
+    pd.testing.assert_frame_equal(
+        a.sort_values(key).reset_index(drop=True)[key],
+        b.sort_values(key).reset_index(drop=True)[key],
+    )
+    assert (a.groupby("grp").size() == 7).all()
+
+
+def test_stratified_sample_small_group_keeps_all(ray_session):
+    from pic2vec_ray.stages.pack import stratified_sample
+
+    df = pd.DataFrame({"doc_id": np.arange(10), "grp": [0] * 3 + [1] * 7})
+    out = stratified_sample(_ds(ray_session, df, 2), group_col="grp",
+                            id_col="doc_id", n=5, num_partitions=4).to_pandas()
+    assert out.groupby("grp").size().to_dict() == {0: 3, 1: 5}
