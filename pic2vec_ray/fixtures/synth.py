@@ -361,3 +361,40 @@ def video_table_path(sf_dir: str, cache_root: str = "/tmp/pic2vec_ray_cache") ->
     with open(done, "w") as f:
         f.write("ok\n")
     return out_dir
+
+
+def tar_shards_path(sf_dir: str, cache_root: str = "/tmp/pic2vec_ray_cache") -> str:
+    """Build (or reuse) the images corpus as webdataset-style tar shards.
+
+    Repackages the synthetic images table through
+    ``sources.tarshard.write_tar_shards`` (image bytes under the row's
+    own ``fmt`` extension, caption as ``.txt``) so the tar source can be
+    driven against the SAME closed-form part-table oracles as the
+    parquet path.
+    """
+    import ray.data as rd
+
+    from ..sources.tarshard import write_tar_shards
+
+    rows_per_shard = 64  # sf0.001 (~200 imgs) → ~4 shards; sf0.1 → ~300
+    tag = hashlib.sha1(
+        f"tar:{sf_dir}:{GENERATOR_VERSION}:{rows_per_shard}".encode()
+    ).hexdigest()[:12]
+    out_dir = os.path.join(cache_root, f"tar_{tag}")
+    done = os.path.join(out_dir, "_SUCCESS")
+    if os.path.exists(done):
+        return out_dir
+    images = rd.read_parquet(images_table_path(sf_dir, cache_root),
+                             columns=["image_id", "bytes", "fmt", "caption"])
+    tmp = out_dir + ".tmp"
+    import shutil
+
+    shutil.rmtree(tmp, ignore_errors=True)
+    shutil.rmtree(out_dir, ignore_errors=True)
+    write_tar_shards(images, tmp, key_col="image_id",
+                     columns={"bytes": None, "caption": "txt"},
+                     rows_per_shard=rows_per_shard)
+    os.rename(tmp, out_dir)
+    with open(done, "w") as f:
+        f.write("ok\n")
+    return out_dir

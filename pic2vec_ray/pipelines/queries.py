@@ -798,6 +798,60 @@ FROM r
 """
 
 
+def tar_ingest_dims(sf_dir: str):
+    """Ingest the corpus from webdataset-style tar shards and decode.
+
+    The images table repackaged as tar shards (``fixtures.synth.
+    tar_shards_path``) → ``sources.tarshard.read_tar_shards`` (one read
+    task per shard, modality-by-extension) → decode stats.  Proves the
+    sharded-tar source end-to-end against the SAME closed-form
+    part-table rules as the parquet path: key, format (recovered from
+    the member extension), caption byte-equality, decoded dimensions,
+    missing semantics."""
+    from ..fixtures.synth import tar_shards_path
+    from ..sources.tarshard import read_tar_shards
+    from ..stages.decode import make_decode_stats_fn
+
+    ds = read_tar_shards(
+        tar_shards_path(sf_dir),
+        {"png": "bytes", "bmp": "bytes", "jpeg": "bytes", "gif": "bytes",
+         "txt": "caption"},
+        key_col="image_id", text_cols={"caption"}, ext_col_for="bytes",
+    )
+    out = ds.map_batches(make_decode_stats_fn(), batch_format="pyarrow")
+
+    def cast(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "image_id": t["image_id"],
+            "fmt": t["fmt"],
+            "caption": t["caption"],
+            "decoded_w": t["decoded_w"].cast(pa.int64()),
+            "decoded_h": t["decoded_h"].cast(pa.int64()),
+            "missing": t["missing"],
+        })
+
+    return out.map_batches(cast, batch_format="pyarrow")
+
+
+SQL_TAR_INGEST = """
+WITH r AS (
+  SELECT p_partkey, p_name, p_partkey % 20 AS role,
+         CASE WHEN p_partkey % 20 = 13 THEN p_partkey - 1 ELSE p_partkey END AS cs
+  FROM part
+)
+SELECT printf('img_%08d', p_partkey) AS image_id,
+       CASE WHEN role = 17 THEN 'gif'
+            WHEN role IN (15, 18, 19) THEN 'png'
+            WHEN cs % 3 = 0 THEN 'png'
+            WHEN cs % 3 = 1 THEN 'bmp' ELSE 'jpeg' END AS fmt,
+       p_name AS caption,
+       CASE WHEN role >= 17 THEN 0 ELSE 64 + (cs % 4) * 16 END AS decoded_w,
+       CASE WHEN role >= 17 THEN 0 ELSE 64 + (cs % 3) * 32 END AS decoded_h,
+       role >= 17 AS missing
+FROM r
+"""
+
+
 def caption_roundtrip(sf_dir: str):
     """Full featurize pipeline, then project (image_id, caption,
     missing): proves caption byte-equality and missing semantics
@@ -1704,6 +1758,7 @@ QUERIES = {
     "quality_filter_docs": quality_filter_docs,
     "ann_topk_embeddings": ann_topk_embeddings,
     "image_decode_dims": image_decode_dims,
+    "tar_ingest_dims": tar_ingest_dims,
     "caption_roundtrip": caption_roundtrip,
     "featurize_dims": featurize_dims,
     "ngram_jaccard_pairs": ngram_jaccard_pairs_docs,
@@ -1769,6 +1824,7 @@ ORACLE_SQL = {
     "ann_topk_embeddings": SQL_ANN_TOPK,
     "embedding_neardup": SQL_EMB_NEARDUP,
     "image_decode_dims": SQL_IMAGE_DIMS,
+    "tar_ingest_dims": SQL_TAR_INGEST,
     "caption_roundtrip": SQL_CAPTION,
     "featurize_dims": SQL_FEATURIZE_DIMS,
     "ngram_jaccard_pairs": SQL_NGRAM_JACCARD,
