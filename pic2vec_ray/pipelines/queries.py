@@ -622,6 +622,31 @@ def dedup_exact_docs(sf_dir: str):
 SQL_DEDUP_EXACT = "SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text"
 
 
+def paragraph_dedup_docs(sf_dir: str):
+    """Sub-document exact dedup (the C4/RefinedWeb "drop duplicated
+    paragraphs from every page" step): explode → one global
+    groupby(seg).min(order_key) → winners decoded arithmetically →
+    ordered per-document reassembly. Docs whose every segment is a
+    duplicate drop out entirely."""
+    from ..stages.dedup import paragraph_dedup
+
+    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return paragraph_dedup(ds, col="text", id_col="doc_id")
+
+
+# Replays the keep rule exactly: 10-word segments (trailing short kept),
+# winner = global min of (doc_id << 20 | seg_idx), reassembly ordered by
+# the decoded segment index.
+SQL_PARA_DEDUP = """
+WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+segs AS (SELECT doc_id, i AS seg_idx, array_to_string(w[i*10+1 : (i+1)*10], ' ') AS seg
+         FROM words, UNNEST(range(CAST(ceil(len(w)/10.0) AS BIGINT))) AS t(i)),
+winners AS (SELECT seg, MIN((doc_id << 20) | seg_idx) AS okey FROM segs GROUP BY seg)
+SELECT okey >> 20 AS doc_id, string_agg(seg, ' ' ORDER BY okey & 1048575) AS clean_text
+FROM winners GROUP BY doc_id
+"""
+
+
 def distinct_sources(sf_dir: str):
     """Distinct values of one column (``Dataset.unique`` — a shuffle)."""
     ds = _rd().read_parquet(f"{sf_dir}/documents.parquet", columns=["source"])
@@ -1753,6 +1778,7 @@ QUERIES = {
     "top3_purchases_per_user": top3_purchases_per_user,
     "rolling_1h": rolling_1h,
     "dedup_exact_docs": dedup_exact_docs,
+    "paragraph_dedup_docs": paragraph_dedup_docs,
     "distinct_sources": distinct_sources,
     "text_stats_docs": text_stats_docs,
     "quality_filter_docs": quality_filter_docs,
@@ -1818,6 +1844,7 @@ ORACLE_SQL = {
     "top3_purchases_per_user": SQL_TOP3,
     "rolling_1h": SQL_ROLLING,
     "dedup_exact_docs": SQL_DEDUP_EXACT,
+    "paragraph_dedup_docs": SQL_PARA_DEDUP,
     "distinct_sources": SQL_DISTINCT,
     "text_stats_docs": SQL_TEXT_STATS,
     "quality_filter_docs": _quality_sql(),

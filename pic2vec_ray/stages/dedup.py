@@ -789,3 +789,79 @@ def _embedding_neardup_exact(ds, vec_col: str, id_col: str, threshold: float):
                              "cosine": sims[rows, cols][keep]})
 
     return ds.map_batches(block, batch_format="pandas")
+
+
+# --------------------------------------------- sub-document (segment) dedup
+
+
+def paragraph_dedup(ds, *, col: str = "text", id_col: str = "doc_id",
+                    words_per_segment: int = 10):
+    """Sub-document global exact dedup with document reconstruction —
+    the C4/RefinedWeb "drop duplicated paragraphs from every page" step
+    re-expressed Ray-Data-first.
+
+    A *segment* is ``words_per_segment`` consecutive whitespace tokens
+    (this corpus carries no newline paragraph marks, so the
+    segmentation rule is a parameter, not a semantic commitment; a
+    trailing short segment is kept as-is).  Keep rule: a segment
+    instance survives iff its ``(doc_id, seg_idx)`` is the global
+    minimum order key among all instances of that exact text; documents
+    whose every segment is a duplicate drop out entirely.
+
+    Shape (two shuffles, no join): vectorized explode (one ListArray
+    re-chunk + ``binary_join`` per batch — no per-word Python) → ONE
+    global ``groupby(seg).min(order_key)`` whose winners are decoded
+    *arithmetically* from the min key (doc = key >> 20, idx = key &
+    0xFFFFF), so no join-back ships the corpus a second time → ordered
+    per-document reassembly.  Only ``(seg, order_key)`` rows cross the
+    first exchange; group sizes in the second are bounded by document
+    length.  (No reference counterpart — the reference has no text
+    dedup at all; the within-batch image memo at
+    ``/root/reference/pic2vec/feature_preprocessing.py:434`` is its
+    closest idea.)
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Min
+
+    K = int(words_per_segment)
+    IDX_BITS = 20
+
+    def explode(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        words = pc.split_pattern(t[col].combine_chunks().cast(pa.string()), " ")
+        off = words.offsets.to_numpy().astype(np.int64)
+        counts = np.diff(off)
+        nseg = -(-counts // K)  # ceil; split() yields >=1 word, so >=1 seg
+        total = int(nseg.sum())
+        seg_doc = np.repeat(np.arange(len(ids)), nseg)
+        prefix = np.concatenate([[0], np.cumsum(nseg)[:-1]])
+        seg_idx = np.arange(total) - prefix[seg_doc]
+        if total and seg_idx.max() >= (1 << IDX_BITS):
+            raise ValueError("document exceeds 2^20 segments")
+        starts = off[seg_doc] + seg_idx * K
+        seg_lists = pa.ListArray.from_arrays(
+            pa.array(np.append(starts, off[-1]), pa.int32()), words.values)
+        seg_text = pc.binary_join(seg_lists, " ")
+        okey = (ids[seg_doc] << IDX_BITS) | seg_idx
+        return pa.table({"seg": seg_text, "okey": pa.array(okey, pa.int64())})
+
+    segs = ds.map_batches(explode, batch_format="pyarrow")
+    kept = segs.groupby("seg").aggregate(Min("okey"))
+
+    def decode_winner(t: pa.Table) -> pa.Table:
+        fk = t["min(okey)"].to_numpy()
+        return pa.table({
+            id_col: pa.array(fk >> IDX_BITS, pa.int64()),
+            "seg_idx": pa.array(fk & ((1 << IDX_BITS) - 1), pa.int64()),
+            "seg": t["seg"],
+        })
+
+    winners = kept.map_batches(decode_winner, batch_format="pyarrow")
+
+    def rebuild(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("seg_idx")
+        return pd.DataFrame({id_col: [g[id_col].iloc[0]],
+                             "clean_text": [" ".join(g["seg"])]})
+
+    return winners.groupby(id_col).map_groups(rebuild, batch_format="pandas")

@@ -486,3 +486,53 @@ def test_minhash_sql_oracles_match_ray(ray_session, docs_pdf):
         got_groups.sort_values("id").reset_index(drop=True),
         oracle_groups.astype("int64").sort_values("id").reset_index(drop=True),
     )
+
+
+def _para_dedup_bruteforce(pdf: pd.DataFrame, k: int = 10) -> pd.DataFrame:
+    """Scalar replay of the keep rule: a segment instance survives iff
+    its (doc_id, seg_idx) is the global minimum among instances of that
+    exact text; docs with no surviving segment vanish."""
+    first: dict[str, tuple[int, int]] = {}
+    segs = []
+    for _, row in pdf.sort_values("doc_id").iterrows():
+        words = row["text"].split(" ")
+        for idx in range(0, -(-len(words) // k)):
+            seg = " ".join(words[idx * k:(idx + 1) * k])
+            key = (row["doc_id"], idx)
+            if seg not in first or key < first[seg]:
+                first[seg] = key
+            segs.append((seg, key))
+    out: dict[int, list[tuple[int, str]]] = {}
+    for seg, key in segs:
+        if first[seg] == key:
+            out.setdefault(key[0], []).append((key[1], seg))
+    return pd.DataFrame(
+        {"doc_id": sorted(out),
+         "clean_text": [" ".join(s for _, s in sorted(out[d])) for d in sorted(out)]}
+    )
+
+
+def test_paragraph_dedup_bruteforce_and_partition_invariance(ray_session):
+    import ray.data as rd
+
+    from pic2vec_ray.stages.dedup import paragraph_dedup
+
+    w = lambda n, tag: " ".join(f"{tag}{i}" for i in range(n))
+    pdf = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4, 5],
+        "text": [
+            w(25, "a"),              # 3 segments, trailing short one
+            w(25, "a"),              # full duplicate of doc 1 → vanishes
+            w(10, "b") + " " + w(25, "a"),  # head unique, tail all dup
+            w(7, "c"),               # single short segment
+            " ".join([w(10, "d")] * 3),     # within-doc repeated segment
+        ],
+    })
+    exp = _para_dedup_bruteforce(pdf)
+    assert 2 not in set(exp.doc_id)          # fixture exercises vanishing
+    assert exp.loc[exp.doc_id == 5, "clean_text"].iloc[0] == w(10, "d")
+
+    for nparts in (1, 7):
+        got = (paragraph_dedup(rd.from_pandas(pdf).repartition(nparts))
+               .to_pandas().sort_values("doc_id").reset_index(drop=True))
+        pd.testing.assert_frame_equal(got, exp)
