@@ -622,6 +622,38 @@ def dedup_exact_docs(sf_dir: str):
 SQL_DEDUP_EXACT = "SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text"
 
 
+def repetition_stats_docs(sf_dir: str):
+    """Gopher-style within-document repetition quality filters: dup/top
+    n-gram fractions for n = 2, 3. One map_batches body, no shuffle —
+    each document is independent."""
+    from ..stages.text import repetition_stats
+
+    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return ds.map_batches(repetition_stats, batch_format="pyarrow")
+
+
+# n-gram string identity is injective (words cannot contain the space
+# separator); COALESCE covers docs too short to have any n-gram.
+SQL_REPETITION = """
+WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+g2 AS (SELECT doc_id, w[i+1] || ' ' || w[i+2] AS g
+       FROM words, UNNEST(range(len(w) - 1)) t(i)),
+c2 AS (SELECT doc_id, g, COUNT(*) AS c FROM g2 GROUP BY doc_id, g),
+s2 AS (SELECT doc_id, SUM(c) AS n, COUNT(*) AS d, MAX(c) AS m FROM c2 GROUP BY doc_id),
+g3 AS (SELECT doc_id, w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] AS g
+       FROM words, UNNEST(range(len(w) - 2)) t(i)),
+c3 AS (SELECT doc_id, g, COUNT(*) AS c FROM g3 GROUP BY doc_id, g),
+s3 AS (SELECT doc_id, SUM(c) AS n, COUNT(*) AS d, MAX(c) AS m FROM c3 GROUP BY doc_id)
+SELECT dd.doc_id,
+       COALESCE(ROUND(1 - s2.d / CAST(s2.n AS DOUBLE), 6), 0.0) AS dup_2gram_frac,
+       COALESCE(ROUND(s2.m / CAST(s2.n AS DOUBLE), 6), 0.0) AS top_2gram_frac,
+       COALESCE(ROUND(1 - s3.d / CAST(s3.n AS DOUBLE), 6), 0.0) AS dup_3gram_frac,
+       COALESCE(ROUND(s3.m / CAST(s3.n AS DOUBLE), 6), 0.0) AS top_3gram_frac
+FROM documents dd LEFT JOIN s2 ON dd.doc_id = s2.doc_id
+                  LEFT JOIN s3 ON dd.doc_id = s3.doc_id
+"""
+
+
 def paragraph_dedup_docs(sf_dir: str):
     """Sub-document exact dedup (the C4/RefinedWeb "drop duplicated
     paragraphs from every page" step): explode → one global
@@ -1779,6 +1811,7 @@ QUERIES = {
     "rolling_1h": rolling_1h,
     "dedup_exact_docs": dedup_exact_docs,
     "paragraph_dedup_docs": paragraph_dedup_docs,
+    "repetition_stats_docs": repetition_stats_docs,
     "distinct_sources": distinct_sources,
     "text_stats_docs": text_stats_docs,
     "quality_filter_docs": quality_filter_docs,
@@ -1845,6 +1878,7 @@ ORACLE_SQL = {
     "rolling_1h": SQL_ROLLING,
     "dedup_exact_docs": SQL_DEDUP_EXACT,
     "paragraph_dedup_docs": SQL_PARA_DEDUP,
+    "repetition_stats_docs": SQL_REPETITION,
     "distinct_sources": SQL_DISTINCT,
     "text_stats_docs": SQL_TEXT_STATS,
     "quality_filter_docs": _quality_sql(),

@@ -267,3 +267,79 @@ def token_topk(ds, *, col: str = "text", k: int = 20):
     return (agg.map_batches(finish, batch_format="pandas")
                .sort(["cnt", "token"], descending=[True, False])
                .limit(k))
+
+
+def repetition_stats(batch, *, id_col: str = "doc_id", col: str = "text"):
+    """Gopher-style within-document repetition filters (one map_batches
+    body — each doc is independent, so NO shuffle at any scale).
+
+    Per document, over word n-grams (split on single spaces, same rule
+    as the dedup family): ``dup_{n}gram_frac`` = fraction of n-gram
+    instances that are repeats of an earlier instance, and
+    ``top_{n}gram_frac`` = share held by the single most common n-gram,
+    for n = 2, 3.  These are the published repetition-quality rules
+    used to drop boilerplate/spam pages from LLM training corpora.
+
+    Fully vectorized and EXACT (no hash collisions): words are
+    ``pd.factorize``d to int32 codes once per batch, n-gram identity is
+    integer code packing (2-gram: two codes in an int64; 3-gram: the
+    factorized 2-gram code packed with the third word's code), and the
+    per-document distinct/top counts come from one ``np.lexsort`` over
+    (row, gram) + run-length counting. No Python loop over rows.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    words = pc.split_pattern(batch[col].combine_chunks().cast(pa.string()), " ")
+    off = words.offsets.to_numpy().astype(np.int64)
+    counts = np.diff(off)
+    nrows = len(counts)
+    codes, _ = pd.factorize(words.values.to_numpy(zero_copy_only=False))
+    codes = codes.astype(np.int64)
+    row_of_word = np.repeat(np.arange(nrows), counts)
+
+    def per_row_stats(gram: np.ndarray, rows: np.ndarray, n_grams: np.ndarray):
+        """(distinct, top-count) per row for exact gram ids."""
+        distinct = np.zeros(nrows, np.int64)
+        top = np.zeros(nrows, np.int64)
+        if len(gram):
+            order = np.lexsort((gram, rows))
+            g, r = gram[order], rows[order]
+            new = np.ones(len(g), bool)
+            new[1:] = (g[1:] != g[:-1]) | (r[1:] != r[:-1])
+            starts = np.flatnonzero(new)
+            runs = np.diff(np.append(starts, len(g)))
+            distinct = np.bincount(r[starts], minlength=nrows)
+            np.maximum.at(top, r[starts], runs)
+        denom = np.maximum(n_grams, 1).astype(np.float64)
+        dup = np.where(n_grams > 0, 1.0 - distinct / denom, 0.0)
+        topf = np.where(n_grams > 0, top / denom, 0.0)
+        return np.round(dup, 6), np.round(topf, 6)
+
+    # an n-gram starts at word position p iff p + n stays inside p's row
+    pos = np.arange(len(codes))
+    row_end = off[row_of_word + 1] if len(codes) else pos
+    pos2 = pos[pos + 2 <= row_end]
+    pos3 = pos[pos + 3 <= row_end]
+
+    # 2-grams: two int32 factor codes packed into one int64 (exact)
+    g2 = (codes[pos2] << 32) | codes[pos2 + 1]
+    n2 = np.maximum(counts - 1, 0)
+    dup2, top2 = per_row_stats(g2, row_of_word[pos2], n2)
+
+    # 3-grams: factorize the 2-gram ids, pack with the third word's code
+    # (pos3 ⊂ pos2 and both sorted, so searchsorted maps 3-gram starts
+    # to their leading 2-gram's factor code)
+    c2 = pd.factorize(g2)[0].astype(np.int64) if len(g2) else g2
+    idx2 = np.searchsorted(pos2, pos3)
+    g3 = (c2[idx2] << 32) | codes[pos3 + 2]
+    n3 = np.maximum(counts - 2, 0)
+    dup3, top3 = per_row_stats(g3, row_of_word[pos3], n3)
+
+    return pa.table({
+        id_col: batch[id_col],
+        "dup_2gram_frac": pa.array(dup2, pa.float64()),
+        "top_2gram_frac": pa.array(top2, pa.float64()),
+        "dup_3gram_frac": pa.array(dup3, pa.float64()),
+        "top_3gram_frac": pa.array(top3, pa.float64()),
+    })

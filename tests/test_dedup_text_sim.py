@@ -536,3 +536,42 @@ def test_paragraph_dedup_bruteforce_and_partition_invariance(ray_session):
         got = (paragraph_dedup(rd.from_pandas(pdf).repartition(nparts))
                .to_pandas().sort_values("doc_id").reset_index(drop=True))
         pd.testing.assert_frame_equal(got, exp)
+
+
+def test_repetition_stats_bruteforce():
+    from collections import Counter
+
+    import pyarrow as pa
+
+    from pic2vec_ray.stages.text import repetition_stats
+
+    rng = np.random.default_rng(7)
+    texts = ["a b a b a b a b",   # heavy 2-gram repetition
+             "x",                  # single word: no grams at all
+             "p q r",              # one of each
+             ""]                   # '' splits to [''] — one word
+    for _ in range(50):
+        n = rng.integers(1, 40)
+        texts.append(" ".join(rng.choice([f"w{i}" for i in range(8)], n)))
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts)})
+    got = repetition_stats(t).to_pandas()
+
+    def brute(text):
+        w = text.split(" ")
+        out = []
+        for n in (2, 3):
+            grams = [tuple(w[i:i + n]) for i in range(len(w) - n + 1)]
+            if not grams:
+                out += [0.0, 0.0]
+            else:
+                c = Counter(grams)
+                out += [round(1 - len(c) / len(grams), 6),
+                        round(max(c.values()) / len(grams), 6)]
+        return out
+
+    exp = pd.DataFrame([brute(x) for x in texts],
+                       columns=["dup_2gram_frac", "top_2gram_frac",
+                                "dup_3gram_frac", "top_3gram_frac"])
+    pd.testing.assert_frame_equal(got.drop(columns="doc_id"), exp)
+    assert got.loc[0, "dup_2gram_frac"] > 0.7  # the planted spam row
