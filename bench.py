@@ -27,6 +27,21 @@ OUT_ROOT = "/tmp/pic2vec_ray_bench"
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
+def _cpu_jiffies() -> tuple[int, int]:
+    """(total, steal) jiffies from the aggregate /proc/stat cpu line.
+
+    Used to flag benchmark legs contaminated by hypervisor steal — on
+    this shared host steal bursts past 20% of CPU time and halves a
+    leg's throughput (measured; see BASELINE.md scaling methodology).
+    """
+    try:
+        with open("/proc/stat") as f:
+            vals = [int(x) for x in f.readline().split()[1:]]
+        return sum(vals), (vals[7] if len(vals) > 7 else 0)
+    except (OSError, ValueError, IndexError):
+        return 0, 0
+
+
 def _observations(sf_dir: str, num_images: int):
     """Observation stream: events mapped onto image entities
     (deterministic image_id assignment), ts kept."""
@@ -106,6 +121,7 @@ def run_headline(sf_dir: str) -> dict:
     total_images = num_images * repeat
 
     # stage 1: featurize (decode + embed actor pool) → parquet sink
+    jif0 = _cpu_jiffies()
     t0 = time.perf_counter()
     ds = featurize_images(src, model_str="tinynet", depth=1)
     ds.write_parquet(feat_dir)
@@ -158,6 +174,9 @@ def run_headline(sf_dir: str) -> dict:
     times["total"] = times["featurize"] + times["asof"]
     times["images_per_sec"] = round(total_images / times["total"], 2)
     times["num_images"] = total_images
+    jif1 = _cpu_jiffies()
+    dtotal = jif1[0] - jif0[0]
+    times["steal_pct"] = round(100.0 * (jif1[1] - jif0[1]) / dtotal, 2) if dtotal else 0.0
     return times
 
 
@@ -245,6 +264,7 @@ def main_single():
         "sf": SF_DIR,
         "num_cpus": NUM_CPUS,
         "num_images": headline["num_images"],
+        "steal_pct": headline.get("steal_pct", 0.0),
     }
     print(json.dumps(result))
     ray.shutdown()
@@ -265,13 +285,37 @@ def main_scaling():
     hi = int(os.environ.get("GRAFT_SCALE_HI", "16"))
     tries = int(os.environ.get("GRAFT_SCALE_TRIES", "5"))
 
-    def one(n):
+    # A leg whose timed window saw hypervisor steal above this share of
+    # host CPU time is re-run (up to GRAFT_STEAL_RETRIES extra attempts,
+    # keeping the least-stolen attempt). This measures the ENGINE, not
+    # the shared host: steal bursts are environment noise with no analog
+    # on a dedicated cluster node, and they halve a leg's throughput
+    # (per-try pair efficiencies collapse 1.0 → ~0.56 exactly when
+    # /proc/stat steal spikes — see BASELINE.md). Threshold + retry
+    # count are fixed up front and every attempt's steal%% is reported.
+    max_steal = float(os.environ.get("GRAFT_STEAL_MAX", "2.0"))
+    steal_retries = int(os.environ.get("GRAFT_STEAL_RETRIES", "2"))
+    steal_log: list[dict] = []
+
+    def one_attempt(n):
         env = dict(os.environ, RAY_GRAFT_CPUS=str(n), GRAFT_SF_DIR=SF_DIR,
                    GRAFT_HEADLINE_ONLY="1",
                    GRAFT_BENCH_REPEAT=os.environ.get("GRAFT_BENCH_REPEAT", "4"))
         out = subprocess.run([sys.executable, os.path.abspath(__file__)], env=env,
                              capture_output=True, text=True, check=True).stdout
         return json.loads(out.strip().splitlines()[-1])
+
+    def one(n):
+        best = None
+        for attempt in range(1 + steal_retries):
+            r = one_attempt(n)
+            steal_log.append({"cpus": n, "steal_pct": r.get("steal_pct", 0.0),
+                              "images_per_sec": r["queries"]["images_per_sec"]})
+            if best is None or r.get("steal_pct", 0.0) < best.get("steal_pct", 0.0):
+                best = r
+            if best.get("steal_pct", 0.0) <= max_steal:
+                break
+        return best
 
     res = {lo: [], hi: []}
     # interleave hi/lo tries so shared-host noise (hypervisor steal,
@@ -297,6 +341,8 @@ def main_scaling():
         "scaling_efficiency_best": round(eff_best, 3),
         "per_try_pair_efficiency": pair_effs,
         "tries": tries,
+        "steal_max_pct": max_steal,
+        "attempts": steal_log,
         "sf": SF_DIR,
     }))
 
