@@ -654,6 +654,37 @@ FROM documents dd LEFT JOIN s2 ON dd.doc_id = s2.doc_id
 """
 
 
+def chunk_documents_docs(sf_dir: str):
+    """Context-window chunking: overlapping ≤32-token windows (stride
+    24) per document — the long-document half of sequence preparation
+    (``pack_sequences_docs`` is the short-document half). One stateless
+    map_batches, no shuffle; fully vectorized overlapping Arrow gather."""
+    from ..stages.text import chunk_documents
+
+    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return chunk_documents(ds, col="text", id_col="doc_id",
+                           max_tokens=32, overlap=8)
+
+
+# Replays the window rule exactly: step = 24, chunk k = 1-based token
+# slice [k*24+1, min(k*24+32, n)], K = max(1, ceil((n-8)/24)) chunks.
+SQL_CHUNK_DOCS = """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t,
+         len(string_split(text, ' ')) AS n
+  FROM documents
+), ks AS (
+  SELECT doc_id, t, n,
+         UNNEST(range(GREATEST(1, CAST(CEIL((n - 8) / 24.0) AS BIGINT)))) AS chunk_no
+  FROM toks
+)
+SELECT doc_id, chunk_no,
+       array_to_string(t[chunk_no * 24 + 1 : LEAST(chunk_no * 24 + 32, n)], ' ') AS chunk,
+       LEAST(chunk_no * 24 + 32, n) - chunk_no * 24 AS n_tokens
+FROM ks
+"""
+
+
 def paragraph_dedup_docs(sf_dir: str):
     """Sub-document exact dedup (the C4/RefinedWeb "drop duplicated
     paragraphs from every page" step): explode → one global
@@ -1811,6 +1842,7 @@ QUERIES = {
     "rolling_1h": rolling_1h,
     "dedup_exact_docs": dedup_exact_docs,
     "paragraph_dedup_docs": paragraph_dedup_docs,
+    "chunk_documents_docs": chunk_documents_docs,
     "repetition_stats_docs": repetition_stats_docs,
     "distinct_sources": distinct_sources,
     "text_stats_docs": text_stats_docs,
@@ -1878,6 +1910,7 @@ ORACLE_SQL = {
     "rolling_1h": SQL_ROLLING,
     "dedup_exact_docs": SQL_DEDUP_EXACT,
     "paragraph_dedup_docs": SQL_PARA_DEDUP,
+    "chunk_documents_docs": SQL_CHUNK_DOCS,
     "repetition_stats_docs": SQL_REPETITION,
     "distinct_sources": SQL_DISTINCT,
     "text_stats_docs": SQL_TEXT_STATS,

@@ -343,3 +343,73 @@ def repetition_stats(batch, *, id_col: str = "doc_id", col: str = "text"):
         "dup_3gram_frac": pa.array(dup3, pa.float64()),
         "top_3gram_frac": pa.array(top3, pa.float64()),
     })
+
+
+def chunk_documents(ds, *, col: str = "text", id_col: str = "doc_id",
+                    max_tokens: int = 32, overlap: int = 8):
+    """Context-window chunking: split each document into overlapping
+    windows of at most ``max_tokens`` whitespace tokens (HF-tokenizer
+    ``return_overflowing_tokens`` semantics) — the step that turns a
+    document corpus into fixed-budget training sequences, complementing
+    ``stages/pack.py`` (which packs SHORT docs up to a budget; this
+    splits LONG docs down to one).
+
+    Chunk ``k`` covers tokens ``[k*step, k*step + max_tokens)`` with
+    ``step = max_tokens - overlap``; a document with ``n`` tokens emits
+    ``K = max(1, ceil((n - overlap) / step))`` chunks, so every token
+    is covered and consecutive chunks share exactly ``overlap`` tokens
+    (except a shorter final window).  Tokens are single-space splits —
+    the same rule as the dedup/fingerprint family, and exactly
+    reproducible in SQL.
+
+    Scale shape: each document is independent, so this is ONE stateless
+    ``map_batches`` with NO shuffle at any corpus size.  The body is
+    fully vectorized: one Arrow ``split_pattern`` per batch, chunk
+    boundaries computed arithmetically from the list offsets, one
+    overlapping ``take`` gather over the flat token buffer, and one
+    ``binary_join`` re-chunk — no Python loop over rows or chunks.
+    Output rows are ~``1/step`` × token count regardless of skew; a
+    pathological single giant document only grows its own batch's
+    output linearly.  (No reference counterpart; SURVEY.md §2's
+    training-data additions.)
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    max_tokens = int(max_tokens)
+    overlap = int(overlap)
+    if max_tokens < 1:
+        raise ValueError(f"max_tokens must be >= 1, got {max_tokens}")
+    if not 0 <= overlap < max_tokens:
+        raise ValueError(
+            f"overlap must be in [0, max_tokens), got {overlap}")
+    step = max_tokens - overlap
+
+    def explode(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        words = pc.split_pattern(t[col].combine_chunks().cast(pa.string()), " ")
+        off = words.offsets.to_numpy().astype(np.int64)
+        counts = np.diff(off)
+        nchunk = np.maximum(1, -(-(counts - overlap) // step))  # ceil
+        total = int(nchunk.sum())
+        chunk_doc = np.repeat(np.arange(len(ids)), nchunk)
+        prefix = np.concatenate([[0], np.cumsum(nchunk)[:-1]])
+        chunk_no = np.arange(total) - prefix[chunk_doc]
+        starts = off[chunk_doc] + chunk_no * step
+        ends = np.minimum(starts + max_tokens, off[chunk_doc + 1])
+        lens = ends - starts
+        # overlapping gather: flat index list = concat(arange(s, e)) per chunk
+        out_off = np.concatenate([[0], np.cumsum(lens)])
+        flat = (np.arange(int(out_off[-1]))
+                - np.repeat(out_off[:-1], lens)
+                + np.repeat(starts, lens))
+        taken = words.values.take(pa.array(flat, pa.int64()))
+        lists = pa.ListArray.from_arrays(pa.array(out_off, pa.int32()), taken)
+        return pa.table({
+            id_col: pa.array(ids[chunk_doc], pa.int64()),
+            "chunk_no": pa.array(chunk_no, pa.int64()),
+            "chunk": pc.binary_join(lists, " "),
+            "n_tokens": pa.array(lens, pa.int64()),
+        })
+
+    return ds.map_batches(explode, batch_format="pyarrow")

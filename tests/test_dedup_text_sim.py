@@ -575,3 +575,55 @@ def test_repetition_stats_bruteforce():
                                 "dup_3gram_frac", "top_3gram_frac"])
     pd.testing.assert_frame_equal(got.drop(columns="doc_id"), exp)
     assert got.loc[0, "dup_2gram_frac"] > 0.7  # the planted spam row
+
+
+def test_chunk_documents_bruteforce_and_partition_invariance(ray_session):
+    import math
+
+    import ray.data as rd
+
+    from pic2vec_ray.stages.text import chunk_documents
+
+    rng = np.random.default_rng(11)
+    texts = ["a",                                      # single token
+             " ".join(f"w{i}" for i in range(32)),     # exactly max_tokens
+             " ".join(f"w{i}" for i in range(33)),     # one past the window
+             "x y"]
+    for _ in range(40):
+        n = rng.integers(1, 120)
+        texts.append(" ".join(rng.choice([f"t{i}" for i in range(9)], n)))
+    pdf = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+
+    MAX, OV = 32, 8
+    STEP = MAX - OV
+
+    def brute(doc_id, text):
+        toks = text.split(" ")
+        k_total = max(1, math.ceil((len(toks) - OV) / STEP))
+        for k in range(k_total):
+            c = toks[k * STEP:k * STEP + MAX]
+            yield (doc_id, k, " ".join(c), len(c))
+
+    exp = sorted(r for d, t in zip(pdf.doc_id, pdf.text) for r in brute(d, t))
+    # every token covered, consecutive chunks share exactly OV tokens
+    for d, t in zip(pdf.doc_id, pdf.text):
+        rows = [r for r in exp if r[0] == d]
+        toks = []
+        for _, k, chunk, _ in rows:
+            c = chunk.split(" ")
+            if k:
+                assert toks[-OV:] == c[:OV]
+            toks.extend(c[OV:] if k else c)
+        assert toks == t.split(" ")
+
+    for nparts in (1, 7):
+        ds = chunk_documents(rd.from_pandas(pdf).repartition(nparts),
+                             max_tokens=MAX, overlap=OV)
+        got = sorted((r["doc_id"], r["chunk_no"], r["chunk"], r["n_tokens"])
+                     for r in ds.take_all())
+        assert got == exp
+
+    with pytest.raises(ValueError):
+        chunk_documents(rd.from_pandas(pdf), max_tokens=8, overlap=8)
+    with pytest.raises(ValueError):
+        chunk_documents(rd.from_pandas(pdf), max_tokens=0, overlap=0)
