@@ -1516,6 +1516,37 @@ GROUP BY l_returnflag, l_linestatus
 """
 
 
+def price_decile_bins(sf_dir: str):
+    """Equal-frequency discretization (stages/quantiles.quantile_bin):
+    fit exact decile edges via two-phase value counting (the exchange
+    moves one row per DISTINCT price, never raw rows), then one
+    stateless map_batches assigns ``decile`` by a vectorized
+    searchsorted against the broadcast 9-element edge array."""
+    from ..stages.quantiles import quantile_bin
+
+    ds = _rd().read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_linenumber", "l_extendedprice"],
+    )
+    return quantile_bin(ds, value="l_extendedprice", n_bins=10,
+                        out_col="decile")
+
+
+# Same edge rule as the engine: edges are quantile_disc at k/10
+# (rank ceil(q*n), pinned by tests/test_quantiles.py), bin = number of
+# edges strictly below the value (ties land in the lower bin).
+SQL_PRICE_DECILES = """
+WITH e AS (
+  SELECT quantile_disc(l_extendedprice,
+                       [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS edges
+  FROM lineitem
+)
+SELECT l_orderkey, l_linenumber, l_extendedprice,
+       len(list_filter(e.edges, x -> l_extendedprice > x)) AS decile
+FROM lineitem, e
+"""
+
+
 def tfidf_topk_docs(sf_dir: str):
     """Top-3 TF-IDF terms per document (stages/text.tfidf_topk): tf
     shuffle-free, df vocabulary-bounded, distributed token join, top-k
@@ -1863,6 +1894,7 @@ QUERIES = {
     "decontaminate_docs": decontaminate_docs,
     "attribution_6h": attribution_6h,
     "quantiles_by_flag": quantiles_by_flag,
+    "price_decile_bins": price_decile_bins,
     "tfidf_topk_docs": tfidf_topk_docs,
     "redact_docs": redact_docs,
     "phash_verify": phash_verify,
@@ -1933,6 +1965,7 @@ ORACLE_SQL = {
     "decontaminate_docs": SQL_DECONTAMINATE,
     "attribution_6h": SQL_ATTRIBUTION,
     "quantiles_by_flag": SQL_QUANTILES,
+    "price_decile_bins": SQL_PRICE_DECILES,
     "tfidf_topk_docs": SQL_TFIDF,
     "redact_docs": SQL_REDACT,
     "phash_verify": SQL_PHASH_VERIFY,

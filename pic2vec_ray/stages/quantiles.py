@@ -69,3 +69,56 @@ def grouped_quantiles_exact(
         return pd.DataFrame([row])
 
     return counts.groupby(keys).map_groups(finish, batch_format="pandas")
+
+
+def quantile_bin(ds, *, value: str, n_bins: int, out_col: str = "bin"):
+    """Equal-frequency discretization (quantile binning) of ``value``
+    into ``n_bins`` buckets — the classic feature-engineering
+    transform, as a two-pass fit/transform:
+
+    *fit*: the bin edges are the exact discrete quantiles at
+    ``k/n_bins`` (k = 1..n_bins-1) computed with the same two-phase
+    value counting as :func:`grouped_quantiles_exact` — the exchange
+    and the driver-side finish both move one row per DISTINCT value
+    (bounded by the value domain, not the corpus; same domain
+    assumption as the module docstring).
+
+    *transform*: one stateless ``map_batches`` adds
+    ``out_col = #{edges strictly below the value}`` (ties land in the
+    lower bin), i.e. one vectorized ``searchsorted`` against the
+    broadcast ≤``n_bins-1``-element edge array.  Skewed data can
+    produce duplicate edges and therefore empty bins — deterministic,
+    and exactly what the SQL ``quantile_disc`` replay produces.
+
+    Returns the input rows with ``out_col`` appended (int64 in
+    ``[0, n_bins)``).
+    """
+    n_bins = int(n_bins)
+    if n_bins < 2:
+        raise ValueError(f"n_bins must be >= 2, got {n_bins}")
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        g = batch.groupby([value], as_index=False).size()
+        return g.rename(columns={"size": "cnt"})
+
+    cdf = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby(value)
+        .sum("cnt")
+        .to_pandas()  # ≤ |value domain| rows by construction
+        .sort_values(value, kind="mergesort")
+    )
+    if not len(cdf):
+        raise ValueError(f"cannot bin an empty dataset on {value!r}")
+    cum = cdf["sum(cnt)"].to_numpy().cumsum()
+    n = int(cum[-1])
+    vals = cdf[value].to_numpy()
+    ranks = [max(1, math.ceil(k / n_bins * n)) for k in range(1, n_bins)]
+    edges = vals[np.searchsorted(cum, ranks)]
+
+    def assign(batch: pd.DataFrame) -> pd.DataFrame:
+        batch[out_col] = np.searchsorted(
+            edges, batch[value].to_numpy(), side="left").astype(np.int64)
+        return batch
+
+    return ds.map_batches(assign, batch_format="pandas")

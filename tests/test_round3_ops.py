@@ -280,3 +280,50 @@ def test_stratified_sample_small_group_keeps_all(ray_session):
     out = stratified_sample(_ds(ray_session, df, 2), group_col="grp",
                             id_col="doc_id", n=5, num_partitions=4).to_pandas()
     assert out.groupby("grp").size().to_dict() == {0: 3, 1: 5}
+
+
+# ----------------------------------------------------------- quantile bins
+
+
+def test_quantile_bin_matches_duckdb(ray_session):
+    import duckdb
+
+    from pic2vec_ray.stages.quantiles import quantile_bin
+
+    rng = np.random.default_rng(23)
+    df = pd.DataFrame({
+        "id": np.arange(500),
+        "v": np.round(rng.lognormal(3.0, 1.0, 500), 2),
+    })
+    got = (quantile_bin(_ds(ray_session, df), value="v", n_bins=10)
+           .to_pandas().sort_values("id").reset_index(drop=True))
+
+    con = duckdb.connect()
+    con.register("t", df)
+    exp = con.execute("""
+        WITH e AS (SELECT quantile_disc(v, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS edges FROM t)
+        SELECT id, v, len(list_filter(e.edges, x -> v > x)) AS bin
+        FROM t, e ORDER BY id
+    """).df()
+    assert (got["bin"].to_numpy() == exp["bin"].to_numpy()).all()
+    # equal-frequency: every decile holds ~n/10 rows on a continuous-ish domain
+    sizes = got.groupby("bin").size()
+    assert sizes.min() >= 40 and sizes.max() <= 60
+
+
+def test_quantile_bin_skew_duplicate_edges_and_validation(ray_session):
+    from pic2vec_ray.stages.quantiles import quantile_bin
+
+    # 90% of mass on one value: most decile edges coincide -> empty bins,
+    # ties land in the LOWER bin, max bin still reachable
+    df = pd.DataFrame({"id": np.arange(200),
+                       "v": np.r_[np.full(180, 5.0), np.linspace(6, 10, 20)]})
+    for blocks in (1, 7):
+        got = (quantile_bin(_ds(ray_session, df, blocks), value="v", n_bins=10)
+               .to_pandas().sort_values("id").reset_index(drop=True))
+        assert (got.loc[got.v == 5.0, "bin"] == 0).all()
+        assert got["bin"].max() == 9
+        assert got["bin"].min() == 0
+
+    with pytest.raises(ValueError):
+        quantile_bin(_ds(ray_session, df), value="v", n_bins=1)
