@@ -1547,6 +1547,59 @@ FROM lineitem, e
 """
 
 
+def standardize_price(sf_dir: str):
+    """Z-score feature scaling (stages/encode.standardize): fit = one
+    aggregate pass (three partial-sum scalars reach the driver),
+    transform = one stateless map_batches. Mean/sd are rounded to 6dp
+    before use so the SQL replay is bit-identical."""
+    from ..stages.encode import standardize
+
+    ds = _rd().read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_linenumber", "l_extendedprice"],
+    )
+    return standardize(ds, value="l_extendedprice")
+
+
+SQL_STANDARDIZE = """
+WITH s AS (
+  SELECT ROUND(AVG(l_extendedprice), 6) AS m,
+         ROUND(STDDEV_POP(l_extendedprice), 6) AS sd
+  FROM lineitem
+)
+SELECT l_orderkey, l_linenumber, l_extendedprice,
+       ROUND((l_extendedprice - m) / sd, 6) AS l_extendedprice_z
+FROM lineitem, s
+"""
+
+
+def target_encode_priority(sf_dir: str):
+    """Target (mean) encoding of a categorical (stages/encode
+    .target_encode): per-batch partial (key, sum, count) rows → one
+    category-bounded groupby — the exchange moves one row per
+    (batch, category), never raw orders — then a broadcast dict lookup
+    in one stateless map_batches."""
+    from ..stages.encode import target_encode
+
+    ds = _rd().read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderpriority", "o_totalprice"],
+    )
+    return target_encode(ds, key="o_orderpriority", target="o_totalprice") \
+        .select_columns(["o_orderkey", "o_orderpriority", "o_orderpriority_te"])
+
+
+SQL_TARGET_ENCODE = """
+WITH m AS (
+  SELECT o_orderpriority,
+         ROUND(AVG(o_totalprice), 6) AS o_orderpriority_te
+  FROM orders GROUP BY o_orderpriority
+)
+SELECT o.o_orderkey, o.o_orderpriority, m.o_orderpriority_te
+FROM orders o JOIN m USING (o_orderpriority)
+"""
+
+
 def tfidf_topk_docs(sf_dir: str):
     """Top-3 TF-IDF terms per document (stages/text.tfidf_topk): tf
     shuffle-free, df vocabulary-bounded, distributed token join, top-k
@@ -1895,6 +1948,8 @@ QUERIES = {
     "attribution_6h": attribution_6h,
     "quantiles_by_flag": quantiles_by_flag,
     "price_decile_bins": price_decile_bins,
+    "standardize_price": standardize_price,
+    "target_encode_priority": target_encode_priority,
     "tfidf_topk_docs": tfidf_topk_docs,
     "redact_docs": redact_docs,
     "phash_verify": phash_verify,
@@ -1966,6 +2021,8 @@ ORACLE_SQL = {
     "attribution_6h": SQL_ATTRIBUTION,
     "quantiles_by_flag": SQL_QUANTILES,
     "price_decile_bins": SQL_PRICE_DECILES,
+    "standardize_price": SQL_STANDARDIZE,
+    "target_encode_priority": SQL_TARGET_ENCODE,
     "tfidf_topk_docs": SQL_TFIDF,
     "redact_docs": SQL_REDACT,
     "phash_verify": SQL_PHASH_VERIFY,

@@ -1,0 +1,88 @@
+"""Feature encoding / scaling transforms (classic tabular feature
+engineering, fit/transform shape): z-score standardization and
+target (mean) encoding.
+
+Both follow the same scale discipline as ``stages/quantiles.py``:
+the *fit* pass reduces the corpus to a tiny summary (global moment
+scalars; one row per category) with per-batch partials so no raw rows
+cross an exchange, the summary is broadcast into a stateless
+*transform* ``map_batches``, and the fitted parameters are rounded to
+a fixed precision BEFORE use so the SQL oracles reproduce the outputs
+bit-for-bit (identical rounded operands → identical doubles; see
+``pipelines/queries.py`` SQL_STANDARDIZE / SQL_TARGET_ENCODE).
+
+No reference counterpart (the reference has no tabular feature
+tooling); SURVEY.md §2's feature-engineering additions.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+
+
+def standardize(ds, *, value: str, out_col: str | None = None,
+                decimals: int = 6):
+    """Z-score scaling: ``out = round((v - m) / sd, decimals)`` with
+    ``m``/``sd`` the global mean and POPULATION standard deviation,
+    each rounded to ``decimals`` before use (the SQL-replayable
+    contract).  Fit is one aggregate pass (per-block partial sums —
+    three scalars reach the driver); transform is one stateless
+    ``map_batches``.  Raises on a constant column (sd = 0)."""
+    out_col = out_col or f"{value}_z"
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        v = b[value].to_numpy(dtype=np.float64)
+        return pd.DataFrame({"n": [len(v)], "s": [v.sum()],
+                             "ss": [(v * v).sum()]})
+
+    tot = ds.map_batches(partial, batch_format="pandas").sum(["n", "s", "ss"])
+    n = tot["sum(n)"]
+    if not n:
+        raise ValueError(f"cannot standardize an empty dataset on {value!r}")
+    mean = tot["sum(s)"] / n
+    var = tot["sum(ss)"] / n - mean * mean
+    sd = math.sqrt(max(var, 0.0))
+    m, sd = round(mean, decimals), round(sd, decimals)
+    if sd == 0:
+        raise ValueError(f"{value!r} is constant (sd = 0); cannot standardize")
+
+    def assign(b: pd.DataFrame) -> pd.DataFrame:
+        b[out_col] = np.round((b[value].to_numpy(np.float64) - m) / sd,
+                              decimals)
+        return b
+
+    return ds.map_batches(assign, batch_format="pandas")
+
+
+def target_encode(ds, *, key: str, target: str, out_col: str | None = None,
+                  decimals: int = 6):
+    """Target (mean) encoding: replace/annotate a categorical ``key``
+    with ``round(mean(target | key), decimals)``.  Fit: per-batch
+    partial (key, sum, count) rows → ONE category-bounded
+    ``groupby(key).sum`` — the exchange and the driver-side mapping
+    are bounded by the category domain, never the corpus.  Transform:
+    one stateless ``map_batches`` dict lookup (the mapping rides the
+    closure — broadcast once per task, pennies for any real category
+    count)."""
+    out_col = out_col or f"{key}_te"
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.groupby(key, as_index=False)[target].agg(["sum", "count"])
+        return g.rename(columns={"sum": "s", "count": "n"})
+
+    agg = (ds.map_batches(partial, batch_format="pandas")
+           .groupby(key).sum(["s", "n"])
+           .to_pandas())  # ≤ |category domain| rows by construction
+    mapping = {
+        k: round(s / n, decimals)
+        for k, s, n in zip(agg[key], agg["sum(s)"], agg["sum(n)"])
+    }
+
+    def assign(b: pd.DataFrame) -> pd.DataFrame:
+        b[out_col] = b[key].map(mapping).astype(np.float64)
+        return b
+
+    return ds.map_batches(assign, batch_format="pandas")

@@ -327,3 +327,41 @@ def test_quantile_bin_skew_duplicate_edges_and_validation(ray_session):
 
     with pytest.raises(ValueError):
         quantile_bin(_ds(ray_session, df), value="v", n_bins=1)
+
+
+# ------------------------------------------------------- encoding / scaling
+
+
+def test_standardize_matches_numpy_and_partition_invariance(ray_session):
+    from pic2vec_ray.stages.encode import standardize
+
+    rng = np.random.default_rng(31)
+    df = pd.DataFrame({"id": np.arange(400),
+                       "v": np.round(rng.normal(50, 12, 400), 2)})
+    m = round(df.v.to_numpy().mean(), 6)
+    sd = round(df.v.to_numpy().std(), 6)
+    exp = np.round((df.v.to_numpy() - m) / sd, 6)
+
+    for blocks in (1, 7):
+        got = (standardize(_ds(ray_session, df, blocks), value="v")
+               .to_pandas().sort_values("id"))
+        assert (got["v_z"].to_numpy() == exp).all()
+
+    with pytest.raises(ValueError):
+        standardize(_ds(ray_session, df.assign(v=1.0)), value="v").take_all()
+
+
+def test_target_encode_matches_pandas(ray_session):
+    from pic2vec_ray.stages.encode import target_encode
+
+    rng = np.random.default_rng(37)
+    df = pd.DataFrame({
+        "id": np.arange(300),
+        "cat": rng.choice(["a", "b", "c", "d"], 300),
+        "y": np.round(rng.uniform(0, 100, 300), 2),
+    })
+    exp = df.cat.map(df.groupby("cat")["y"].mean().round(6))
+    for blocks in (1, 5):
+        got = (target_encode(_ds(ray_session, df, blocks), key="cat", target="y")
+               .to_pandas().sort_values("id"))
+        assert (got["cat_te"].to_numpy() == exp.to_numpy()).all()
