@@ -352,6 +352,56 @@ def customers_with_orders(sf_dir: str):
     return _custkeys_joined(sf_dir, "semi")
 
 
+def rich_customers_urgent_outer(sf_dir: str):
+    """Distributed FULL OUTER join: high-balance customers vs urgent
+    orders — genuine unmatched rows on BOTH sides (rich customers with
+    no urgent order; urgent orders of non-rich customers, whose left
+    columns come back as typed nulls with the key filled from the right
+    side, SQL COALESCE style). Same one-exchange bucketed plan as every
+    hash_join mode."""
+    from ..temporal.join import hash_join
+
+    rd = _rd()
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_acctbal"])
+
+    def rich(t: pa.Table) -> pa.Table:
+        return t.filter(pc.greater(t["c_acctbal"], 5000.0))
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderkey", "o_totalprice", "o_orderpriority"])
+
+    def urgent(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["o_orderpriority"], "1-URGENT"))
+        return t.drop_columns(["o_orderpriority"])
+
+    joined = hash_join(cust.map_batches(rich, batch_format="pyarrow"),
+                       orders.map_batches(urgent, batch_format="pyarrow"),
+                       on="c_custkey", right_on="o_custkey", how="outer",
+                       num_partitions=_nparts(sf_dir, "customer", "orders"))
+
+    # nullable int columns can hold NAs here (unmatched left rows) —
+    # present them as float64/NaN like every other outer-ish query (the
+    # driver's canonicalizer hard-casts integer columns to int64, which
+    # raises on NA); the SQL mirrors with CAST AS DOUBLE.
+    def cast(df: pd.DataFrame) -> pd.DataFrame:
+        df["o_orderkey"] = df["o_orderkey"].astype("float64")
+        return df
+
+    return joined.map_batches(cast, batch_format="pandas")
+
+
+SQL_FULL_OUTER = """
+WITH c AS (SELECT c_custkey, c_acctbal FROM customer WHERE c_acctbal > 5000),
+     o AS (SELECT o_custkey, o_orderkey, o_totalprice FROM orders
+           WHERE o_orderpriority = '1-URGENT')
+SELECT COALESCE(c.c_custkey, o.o_custkey) AS c_custkey,
+       c.c_acctbal, CAST(o.o_orderkey AS DOUBLE) AS o_orderkey, o.o_totalprice
+FROM c FULL JOIN o ON c.c_custkey = o.o_custkey
+"""
+
+
 SQL_ANTI_JOIN = """
 SELECT c_custkey FROM customer
 WHERE NOT EXISTS (SELECT 1 FROM orders
@@ -1914,6 +1964,7 @@ QUERIES = {
     "pack_sequences_docs": pack_sequences_docs,
     "customers_without_orders": customers_without_orders,
     "customers_with_orders": customers_with_orders,
+    "rich_customers_urgent_outer": rich_customers_urgent_outer,
     "embedding_neardup": embedding_neardup,
     "asof_purchase": asof_purchase,
     "asof_purchase_strict": asof_purchase_strict,
@@ -1986,6 +2037,7 @@ ORACLE_SQL = {
     "pack_sequences_docs": SQL_PACK,
     "customers_without_orders": SQL_ANTI_JOIN,
     "customers_with_orders": SQL_SEMI_JOIN,
+    "rich_customers_urgent_outer": SQL_FULL_OUTER,
     "asof_purchase": SQL_ASOF,
     "asof_purchase_strict": SQL_ASOF_STRICT,
     "lag_lead_value": SQL_LAG_LEAD,

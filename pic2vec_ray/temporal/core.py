@@ -54,7 +54,8 @@ _NULLABLE_INT = {
 }
 
 
-def restore_int_dtypes(df: pd.DataFrame, int_like: dict[str, str]) -> pd.DataFrame:
+def restore_int_dtypes(df: pd.DataFrame, int_like: dict[str, str],
+                       force_nullable: bool = False) -> pd.DataFrame:
     """Undo pandas' int→float64 upcast after a union/merge with nulls.
 
     Columns that came out null-free are cast straight back to their
@@ -62,11 +63,18 @@ def restore_int_dtypes(df: pd.DataFrame, int_like: dict[str, str]) -> pd.DataFra
     are common in parquet) go to the pandas nullable extension dtype
     instead — a hard ``astype('int64')`` on NaN raises and would crash
     the join.
+
+    ``force_nullable`` casts every listed column to the nullable
+    extension dtype regardless of this block's null content. Use it
+    whenever a PARTITIONED operator can null the column in only SOME
+    buckets (e.g. full-outer join): deciding per bucket would make the
+    block dtype data-dependent, and Ray unifying int64 blocks with
+    Int64 blocks fails nondeterministically downstream.
     """
     for c, t in int_like.items():
         if c not in df.columns:
             continue
-        if df[c].isna().any():
+        if force_nullable or df[c].isna().any():
             df[c] = df[c].astype(_NULLABLE_INT.get(t, "Int64"))
         else:
             df[c] = df[c].astype(t)

@@ -81,16 +81,25 @@ def hash_join(
     suffix: str = "_r",
     num_partitions: int = DEFAULT_PARTITIONS,
 ):
-    """Join two Datasets on equality keys. ``how``: inner/left/semi/anti.
+    """Join two Datasets on equality keys.
+    ``how``: inner/left/right/outer/semi/anti.
 
-    inner/left output: left columns + right's non-key columns (clashes
-    suffixed). semi/anti output: left columns only — left rows with at
-    least one / no key match on the right (the reference's CSV⋉directory
+    inner/left/right/outer output: left columns + right's non-key
+    columns (clashes suffixed); unmatched rows carry typed nulls for
+    the other side, and an unmatched RIGHT row's key values fill the
+    (left-named) key columns, SQL ``COALESCE(l.k, r.k)`` style.
+    semi/anti output: left columns only — left rows with at least
+    one / no key match on the right (the reference's CSV⋉directory
     membership shape, §2.4, as a true distributed join instead of a
     broadcast membership set).
+
+    Per-bucket merges compose exactly for every mode because hash
+    co-partitioning is key-disjoint: a row unmatched in its bucket is
+    unmatched globally.
     """
-    if how not in ("inner", "left", "semi", "anti"):
-        raise ValueError("how must be 'inner', 'left', 'semi' or 'anti'")
+    if how not in ("inner", "left", "right", "outer", "semi", "anti"):
+        raise ValueError(
+            "how must be 'inner', 'left', 'right', 'outer', 'semi' or 'anti'")
     keys = [on] if isinstance(on, str) else list(on)
     rkeys = [right_on] if isinstance(right_on, str) else list(right_on or keys)
     if len(keys) != len(rkeys):
@@ -106,19 +115,36 @@ def hash_join(
         l = group[group[_SIDE] == 0][left_names]
         r = group[group[_SIDE] == 1][keys + value_cols]
         # SQL semantics: a NULL key never matches anything (pandas'
-        # isin/merge treat NaN == NaN as a match) — drop null-key right
-        # rows; null-key left rows then fall out naturally (inner/semi
-        # exclude them, left/anti keep them unmatched, = EXISTS/NOT
-        # EXISTS in the DuckDB oracle).
-        r = r.dropna(subset=keys)
+        # isin/merge treat NaN == NaN as a match) — merge only non-null
+        # keys on both sides, then re-attach null-key rows as unmatched
+        # where the mode preserves their side (left/outer keep null-key
+        # left rows, right/outer keep null-key right rows; inner/semi
+        # exclude them, anti keeps them, = EXISTS/NOT EXISTS in the
+        # DuckDB oracle).
+        rv = r.dropna(subset=keys)
         if how in ("semi", "anti"):
-            mask = l.set_index(keys).index.isin(r.set_index(keys).index)
+            mask = l.set_index(keys).index.isin(rv.set_index(keys).index)
             out = l[mask] if how == "semi" else l[~mask]
+        elif how in ("right", "outer"):
+            null_l = l[keys].isna().any(axis=1).to_numpy()
+            parts = [l[~null_l].merge(rv, on=keys, how=how)]
+            if how == "outer" and null_l.any():
+                parts.append(l[null_l])
+            null_r = r[keys].isna().any(axis=1).to_numpy()
+            if null_r.any():
+                parts.append(r[null_r])
+            out = (pd.concat(parts, ignore_index=True)
+                   if len(parts) > 1 else parts[0])
+            out = out.reindex(columns=left_names + value_cols)
         else:
-            out = l.merge(r, on=keys, how=how)
+            out = l.merge(rv, on=keys, how=how)
         from .core import restore_int_dtypes
 
-        return restore_int_dtypes(out, int_like)
+        # right/outer can null ANY column (incl. keys, via preserved
+        # null-key rows) in SOME buckets only — force nullable ints so
+        # the block dtype is not data-dependent per bucket.
+        return restore_int_dtypes(out, int_like,
+                                  force_nullable=how in ("right", "outer"))
 
     return both.groupby(PART_COL).map_groups(merge, batch_format="pandas")
 

@@ -136,7 +136,7 @@ def join_frames(draw):
 @settings(max_examples=12, deadline=None,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
 @given(frames=join_frames(),
-       how=st.sampled_from(["inner", "left", "semi", "anti"]))
+       how=st.sampled_from(["inner", "left", "right", "outer", "semi", "anti"]))
 def test_hash_join_matches_pandas_oracle(ray_session, frames, how):
     import ray.data as rd
 
@@ -147,18 +147,20 @@ def test_hash_join_matches_pandas_oracle(ray_session, frames, how):
         return  # schema resolution needs >=1 row per side (documented)
     got = hash_join(rd.from_pandas(left), rd.from_pandas(right), on="k", how=how,
                     num_partitions=3).to_pandas()
-    if how in ("inner", "left"):
+    if how in ("inner", "left", "right", "outer"):
         exp = left.merge(right, on="k", how=how)
         if "lid" not in got.columns:  # schema-less empty result
             assert exp.empty
             return
-        key = lambda d: sorted(map(tuple, d[["k", "lid"]].to_numpy().tolist()))
-        assert key(got) == key(exp)
-        # row-level value check incl. null padding for left joins
-        gs = got.sort_values(["lid", "w"], na_position="last").reset_index(drop=True)
-        es = exp.sort_values(["lid", "w"], na_position="last").reset_index(drop=True)
-        assert np.array_equal(gs.w.isna(), es.w.isna())
-        assert np.allclose(gs.w.dropna(), es.w.dropna())
+
+        def canon(d):
+            return sorted(
+                (int(k),
+                 pd.isna(l), -1 if pd.isna(l) else int(l),
+                 pd.isna(w), -1.0 if pd.isna(w) else round(float(w), 9))
+                for k, l, w in d[["k", "lid", "w"]].itertuples(index=False))
+
+        assert canon(got) == canon(exp)
     else:
         members = set(right.k)
         exp_ids = [r.lid for r in left.itertuples()

@@ -80,6 +80,23 @@ def test_hash_join_null_keys_match_duckdb(ray_session, null_key_frames):
         want = con.execute(sql).df()
         assert sorted(got.lv) == sorted(want.lv), how
 
+    # right/outer: null-key rows on the preserved side(s) survive
+    # unmatched, and never match each other (SQL FULL/RIGHT JOIN)
+    pairs = lambda d: sorted(
+        (pd.isna(a), -1 if pd.isna(a) else int(a),
+         pd.isna(b), -1 if pd.isna(b) else int(b))
+        for a, b in d[["lv", "rv"]].itertuples(index=False))
+    for how, sql in {
+        "right": "SELECT l.lv, r.rv FROM l RIGHT JOIN r ON l.k = r.k",
+        "outer": "SELECT l.lv, r.rv FROM l FULL JOIN r ON l.k = r.k",
+    }.items():
+        got = hash_join(rd.from_pandas(left), rd.from_pandas(right),
+                        on="k", how=how, num_partitions=4).to_pandas()
+        want = con.execute(sql).df()
+        assert pairs(got) == pairs(want), how
+        if how == "outer":  # the null-key right row survives, key stays null
+            assert int(got.loc[got.rv == 200, "k"].isna().sum()) == 1
+
 
 def test_url_fetcher_rejects_non_http_schemes(tmp_path):
     from pic2vec_ray.sources.fetch import UrlFetcher
