@@ -1597,6 +1597,36 @@ FROM lineitem, e
 """
 
 
+def mode_quantity_by_flag(sf_dir: str):
+    """Exact grouped mode with pinned tie-break (stages/quantiles
+    .grouped_mode): two-phase value counting, the exchange moves one
+    row per distinct (flag, status, quantity)."""
+    from ..stages.quantiles import grouped_mode
+
+    ds = _rd().read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity"],
+    )
+    return grouped_mode(ds, keys=["l_returnflag", "l_linestatus"],
+                        value="l_quantity")
+
+
+SQL_GROUPED_MODE = """
+WITH c AS (
+  SELECT l_returnflag, l_linestatus, l_quantity, COUNT(*) AS cnt
+  FROM lineitem GROUP BY 1, 2, 3
+), r AS (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY l_returnflag, l_linestatus
+    ORDER BY cnt DESC, l_quantity) AS rn
+  FROM c
+)
+SELECT l_returnflag, l_linestatus,
+       l_quantity AS mode_l_quantity, cnt AS mode_count
+FROM r WHERE rn = 1
+"""
+
+
 def standardize_price(sf_dir: str):
     """Z-score feature scaling (stages/encode.standardize): fit = one
     aggregate pass (three partial-sum scalars reach the driver),
@@ -2000,6 +2030,7 @@ QUERIES = {
     "quantiles_by_flag": quantiles_by_flag,
     "price_decile_bins": price_decile_bins,
     "standardize_price": standardize_price,
+    "mode_quantity_by_flag": mode_quantity_by_flag,
     "target_encode_priority": target_encode_priority,
     "tfidf_topk_docs": tfidf_topk_docs,
     "redact_docs": redact_docs,
@@ -2074,6 +2105,7 @@ ORACLE_SQL = {
     "quantiles_by_flag": SQL_QUANTILES,
     "price_decile_bins": SQL_PRICE_DECILES,
     "standardize_price": SQL_STANDARDIZE,
+    "mode_quantity_by_flag": SQL_GROUPED_MODE,
     "target_encode_priority": SQL_TARGET_ENCODE,
     "tfidf_topk_docs": SQL_TFIDF,
     "redact_docs": SQL_REDACT,

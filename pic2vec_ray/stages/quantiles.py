@@ -71,6 +71,37 @@ def grouped_quantiles_exact(
     return counts.groupby(keys).map_groups(finish, batch_format="pandas")
 
 
+def grouped_mode(ds, *, keys: str | list[str], value: str):
+    """Exact most-frequent ``value`` per group with a PINNED tie-break
+    (highest count first, then smallest value — SQL ``ROW_NUMBER()
+    OVER (ORDER BY cnt DESC, value)`` semantics, so the answer is
+    deterministic under any partitioning).  Same two-phase value
+    counting as :func:`grouped_quantiles_exact`: the exchange moves one
+    row per distinct (group, value), never raw rows.  Output columns:
+    the keys, ``mode_{value}``, ``mode_count``."""
+    keys = [keys] if isinstance(keys, str) else list(keys)
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        g = batch.groupby(keys + [value], as_index=False).size()
+        return g.rename(columns={"size": "cnt"})
+
+    counts = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby(keys + [value])
+        .sum("cnt")
+    )
+
+    def finish(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["sum(cnt)", value], ascending=[False, True],
+                              kind="mergesort")
+        row = {k: g.iloc[0][k] for k in keys}
+        row[f"mode_{value}"] = g.iloc[0][value]
+        row["mode_count"] = int(g.iloc[0]["sum(cnt)"])
+        return pd.DataFrame([row])
+
+    return counts.groupby(keys).map_groups(finish, batch_format="pandas")
+
+
 def quantile_bin(ds, *, value: str, n_bins: int, out_col: str = "bin"):
     """Equal-frequency discretization (quantile binning) of ``value``
     into ``n_bins`` buckets — the classic feature-engineering

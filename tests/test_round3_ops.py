@@ -365,3 +365,18 @@ def test_target_encode_matches_pandas(ray_session):
         got = (target_encode(_ds(ray_session, df, blocks), key="cat", target="y")
                .to_pandas().sort_values("id"))
         assert (got["cat_te"].to_numpy() == exp.to_numpy()).all()
+
+
+def test_grouped_mode_pinned_tiebreak(ray_session):
+    from pic2vec_ray.stages.quantiles import grouped_mode
+
+    df = pd.DataFrame({
+        "k": ["a"] * 6 + ["b"] * 4,
+        "v": [3, 3, 1, 1, 2, 9,      # a: tie 3 vs 1 (2 each) -> min value 1
+              7, 7, 7, 5],           # b: clear mode 7 (x3)
+    })
+    for blocks in (1, 5):
+        got = (grouped_mode(_ds(ray_session, df, blocks), keys="k", value="v")
+               .to_pandas().sort_values("k").reset_index(drop=True))
+        assert got.mode_v.tolist() == [1, 7]
+        assert got.mode_count.tolist() == [2, 3]
