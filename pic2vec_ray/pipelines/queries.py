@@ -1597,6 +1597,34 @@ FROM lineitem, e
 """
 
 
+def unpivot_lineitem_metrics(sf_dir: str):
+    """Wide→long unpivot (stages/relational.unpivot): one stateless
+    shuffle-free map_batches; 3 metric columns melt to (variable,
+    value) rows keyed by (orderkey, linenumber)."""
+    from ..stages.relational import unpivot
+
+    ds = _rd().read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_linenumber", "l_quantity",
+                 "l_extendedprice", "l_discount"],
+    )
+    return unpivot(ds, id_cols=["l_orderkey", "l_linenumber"],
+                   value_cols=["l_quantity", "l_extendedprice", "l_discount"])
+
+
+SQL_UNPIVOT = """
+SELECT l_orderkey, l_linenumber, name AS variable, value
+FROM (
+  UNPIVOT (SELECT l_orderkey, l_linenumber,
+                  CAST(l_quantity AS DOUBLE) AS l_quantity,
+                  l_extendedprice, l_discount
+           FROM lineitem)
+  ON l_quantity, l_extendedprice, l_discount
+  INTO NAME name VALUE value
+)
+"""
+
+
 def mode_quantity_by_flag(sf_dir: str):
     """Exact grouped mode with pinned tie-break (stages/quantiles
     .grouped_mode): two-phase value counting, the exchange moves one
@@ -2031,6 +2059,7 @@ QUERIES = {
     "price_decile_bins": price_decile_bins,
     "standardize_price": standardize_price,
     "mode_quantity_by_flag": mode_quantity_by_flag,
+    "unpivot_lineitem_metrics": unpivot_lineitem_metrics,
     "target_encode_priority": target_encode_priority,
     "tfidf_topk_docs": tfidf_topk_docs,
     "redact_docs": redact_docs,
@@ -2106,6 +2135,7 @@ ORACLE_SQL = {
     "price_decile_bins": SQL_PRICE_DECILES,
     "standardize_price": SQL_STANDARDIZE,
     "mode_quantity_by_flag": SQL_GROUPED_MODE,
+    "unpivot_lineitem_metrics": SQL_UNPIVOT,
     "target_encode_priority": SQL_TARGET_ENCODE,
     "tfidf_topk_docs": SQL_TFIDF,
     "redact_docs": SQL_REDACT,

@@ -43,3 +43,27 @@ def pivot_sum(ds, *, key: str, pivot_col: str, value: str,
         return df[[key] + out_cols]
 
     return merged.map_batches(rename, batch_format="pandas")
+
+
+def unpivot(ds, *, id_cols: list[str], value_cols: list[str],
+            var_col: str = "variable", val_col: str = "value"):
+    """Wide→long reshape (SQL ``UNPIVOT`` / pandas ``melt``): one row
+    per (input row × value column), ``var_col`` holding the source
+    column name.  Each row is independent, so this is ONE stateless
+    ``map_batches`` with no shuffle at any scale; output size is
+    ``len(value_cols)`` × input rows by construction.  The value
+    columns must share (or be castable to) one type — same restriction
+    as SQL UNPIVOT; pandas raises on incompatible mixes rather than
+    silently objectifying because we pre-cast to float64 when every
+    value column is numeric."""
+    if not value_cols:
+        raise ValueError("value_cols must be non-empty")
+
+    def melt(batch: pd.DataFrame) -> pd.DataFrame:
+        sub = batch[id_cols + value_cols]
+        if all(pd.api.types.is_numeric_dtype(sub[c]) for c in value_cols):
+            sub = sub.astype({c: "float64" for c in value_cols})
+        return sub.melt(id_vars=id_cols, value_vars=value_cols,
+                        var_name=var_col, value_name=val_col)
+
+    return ds.map_batches(melt, batch_format="pandas")

@@ -380,3 +380,32 @@ def test_grouped_mode_pinned_tiebreak(ray_session):
                .to_pandas().sort_values("k").reset_index(drop=True))
         assert got.mode_v.tolist() == [1, 7]
         assert got.mode_count.tolist() == [2, 3]
+
+
+def test_unpivot_matches_melt_and_roundtrips_pivot(ray_session):
+    from pic2vec_ray.stages.relational import pivot_sum, unpivot
+
+    rng = np.random.default_rng(41)
+    df = pd.DataFrame({
+        "uid": np.repeat(np.arange(20), 5),
+        "typ": rng.choice(["x", "y", "z"], 100),
+        "val": np.round(rng.uniform(0, 10, 100), 2),
+    })
+    wide = (pivot_sum(_ds(ray_session, df), key="uid", pivot_col="typ",
+                      value="val", categories=["x", "y", "z"])
+            .to_pandas())
+    long = (unpivot(_ds(ray_session, wide, 3), id_cols=["uid"],
+                    value_cols=["x_sum", "y_sum", "z_sum"])
+            .to_pandas().sort_values(["uid", "variable"]).reset_index(drop=True))
+    exp = (wide.melt(id_vars=["uid"], value_vars=["x_sum", "y_sum", "z_sum"])
+           .sort_values(["uid", "variable"]).reset_index(drop=True))
+    assert (long.uid.to_numpy() == exp.uid.to_numpy()).all()
+    assert long.variable.tolist() == exp.variable.tolist()
+    assert np.allclose(long.value.to_numpy(), exp.value.to_numpy())
+    # melt(pivot(x)) recovers every per-(uid, typ) sum
+    back = long.set_index(["uid", "variable"]).value
+    for (uid, typ), s in df.groupby(["uid", "typ"]).val.sum().items():
+        assert np.isclose(back[(uid, f"{typ}_sum")], s)
+
+    with pytest.raises(ValueError):
+        unpivot(_ds(ray_session, wide), id_cols=["uid"], value_cols=[])
