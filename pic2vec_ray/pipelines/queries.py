@@ -936,6 +936,39 @@ FROM r
 """
 
 
+def patchify_grid(sf_dir: str):
+    """ViT-style patch extraction (stages/decode.make_patchify_fn —
+    the image-axis analog of chunk_documents): decode every image and
+    emit one row per non-overlapping 16×16 tile. The grid geometry is
+    closed-form from the part table (every synthetic dim is a multiple
+    of 16), so the oracle certifies real decode + tiling end-to-end;
+    pixel payloads are pytest-verified (tests/test_decode.py)."""
+    from ..stages.decode import make_patchify_fn
+
+    ds = _rd().read_parquet(_images(sf_dir), columns=["image_id", "bytes"])
+    return ds.map_batches(make_patchify_fn(16, with_pixels=False),
+                          batch_format="pyarrow")
+
+
+SQL_PATCHIFY = """
+WITH r AS (
+  SELECT p_partkey, p_partkey % 20 AS role,
+         CASE WHEN p_partkey % 20 = 13 THEN p_partkey - 1 ELSE p_partkey END AS cs
+  FROM part
+), d AS (
+  SELECT p_partkey,
+         (64 + (cs % 4) * 16) // 16 AS gw,
+         (64 + (cs % 3) * 32) // 16 AS gh
+  FROM r WHERE role < 17
+), g AS (
+  SELECT p_partkey, gw, UNNEST(range(gw * gh)) AS patch_no FROM d
+)
+SELECT printf('img_%08d', p_partkey) AS image_id, patch_no,
+       patch_no // gw AS py, patch_no % gw AS px
+FROM g
+"""
+
+
 def tar_ingest_dims(sf_dir: str):
     """Ingest the corpus from webdataset-style tar shards and decode.
 
@@ -2042,6 +2075,7 @@ QUERIES = {
     "quality_filter_docs": quality_filter_docs,
     "ann_topk_embeddings": ann_topk_embeddings,
     "image_decode_dims": image_decode_dims,
+    "patchify_grid": patchify_grid,
     "tar_ingest_dims": tar_ingest_dims,
     "caption_roundtrip": caption_roundtrip,
     "featurize_dims": featurize_dims,
@@ -2117,6 +2151,7 @@ ORACLE_SQL = {
     "ann_topk_embeddings": SQL_ANN_TOPK,
     "embedding_neardup": SQL_EMB_NEARDUP,
     "image_decode_dims": SQL_IMAGE_DIMS,
+    "patchify_grid": SQL_PATCHIFY,
     "tar_ingest_dims": SQL_TAR_INGEST,
     "caption_roundtrip": SQL_CAPTION,
     "featurize_dims": SQL_FEATURIZE_DIMS,

@@ -144,6 +144,77 @@ def make_phash_verify_fn(bytes_col: str = "bytes"):
     return verify
 
 
+def make_patchify_fn(patch: int = 16, bytes_col: str = "bytes",
+                     with_pixels: bool = True):
+    """Factory for a ViT-style patch-extraction map_batches fn — the
+    image-axis analog of ``stages/text.chunk_documents``: decode each
+    image and split it into non-overlapping ``patch``×``patch`` tiles
+    (row-major; partial edge tiles are DROPPED, the exact-division ViT
+    rule — every synthetic dim is a multiple of 16, so nothing drops on
+    this corpus), one output row per tile.  Missing/undecodable rows
+    emit zero tiles.
+
+    Output: ``image_id``, ``patch_no`` (row-major), ``py``, ``px``
+    (grid coords) and, with ``with_pixels``, the raw ``patch`` bytes
+    (``patch*patch*3`` uint8, C-order) plus ``patch_mean`` — the
+    payload a downstream patch-embedding actor consumes.
+
+    Scale shape: stateless shuffle-free task stage; the slicing is one
+    ``reshape`` + ``transpose`` per image (a view, then one copy into
+    the batch's output buffer), no Python loop over tiles.
+    """
+    P = int(patch)
+    if P < 1:
+        raise ValueError(f"patch must be >= 1, got {P}")
+    decoder = BatchDecoder(target_size=None)
+
+    def patchify(batch: pa.Table) -> pa.Table:
+        images, _missing = decoder.decode_column(batch[bytes_col].to_pylist())
+        ids = batch["image_id"].to_pylist()
+        out_ids: list[str] = []
+        grids: list[tuple[int, int]] = []
+        tiles: list[np.ndarray] = []
+        for image_id, img in zip(ids, images):
+            if img is None:
+                continue
+            gh, gw = img.shape[0] // P, img.shape[1] // P
+            if gh == 0 or gw == 0:
+                continue
+            t = (img[:gh * P, :gw * P]
+                 .reshape(gh, P, gw, P, 3)
+                 .transpose(0, 2, 1, 3, 4)
+                 .reshape(gh * gw, P * P * 3))
+            out_ids.append(image_id)
+            grids.append((gh, gw))
+            tiles.append(t)
+        n_tiles = np.array([gh * gw for gh, gw in grids], dtype=np.int64)
+        total = int(n_tiles.sum())
+        image_col = pa.array(np.repeat(np.array(out_ids, dtype=object), n_tiles),
+                             pa.string())
+        prefix = np.concatenate([[0], np.cumsum(n_tiles)[:-1]]).astype(np.int64)
+        patch_no = np.arange(total, dtype=np.int64) - np.repeat(prefix, n_tiles)
+        gws = np.repeat(np.array([gw for _, gw in grids], dtype=np.int64), n_tiles)
+        cols = {
+            "image_id": image_col,
+            "patch_no": pa.array(patch_no, pa.int64()),
+            "py": pa.array(patch_no // np.maximum(gws, 1), pa.int64()),
+            "px": pa.array(patch_no % np.maximum(gws, 1), pa.int64()),
+        }
+        if with_pixels:
+            flat = np.ascontiguousarray(
+                np.concatenate(tiles, axis=0) if tiles
+                else np.zeros((0, P * P * 3), np.uint8))
+            cols["patch"] = pa.Array.from_buffers(
+                pa.binary(P * P * 3), total,
+                [None, pa.py_buffer(flat)])  # one buffer, no per-tile loop
+            cols["patch_mean"] = pa.array(
+                flat.reshape(total, -1).mean(axis=1) if total else
+                np.zeros(0, np.float64), pa.float64())
+        return pa.table(cols)
+
+    return patchify
+
+
 def make_decode_stats_fn(bytes_col: str = "bytes"):
     """Factory for a map_batches fn emitting per-row decode metadata.
 

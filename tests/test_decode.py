@@ -109,3 +109,37 @@ def test_preprocess_data_composable_api():
     assert np.array_equal(tensor[3], tensor[4])  # dup pair identical
     gt, gm = preprocess_data([rows[0]["bytes"]], model_str="tinynet", grayscale=True)
     assert np.allclose(gt[0, :, :, 0], gt[0, :, :, 1])  # channels equalized
+
+
+def test_patchify_pixel_exact_and_grid():
+    """Patch payloads equal independent numpy tile slices of the
+    decoded image (lossless AND jpeg rows — the comparison is against
+    the DECODED pixels, so codec loss cancels); missing rows emit no
+    tiles; row-major patch order."""
+    from pic2vec_ray.stages.decode import decode_rgb, make_patchify_fn
+
+    rows = [make_image_row(k, f"cap {k}") for k in
+            (1, 2, 3, 4, 5, 15, 16, 17, 18, 19, 20)]
+    t = pa.table({"image_id": [r["image_id"] for r in rows],
+                  "bytes": [r["bytes"] for r in rows]})
+    out = make_patchify_fn(16)(t).to_pandas()
+
+    decoded = {r["image_id"]: decode_rgb(r["bytes"]) for r in rows}
+    missing_ids = {r["image_id"] for r in rows if decoded[r["image_id"]] is None}
+    assert missing_ids == {rows[i]["image_id"] for i, r in enumerate(rows)
+                           if r["image_id"] in missing_ids}
+    assert set(out.image_id) == {r["image_id"] for r in rows} - missing_ids
+
+    for iid, g in out.groupby("image_id"):
+        img = decoded[iid]
+        gh, gw = img.shape[0] // 16, img.shape[1] // 16
+        assert len(g) == gh * gw
+        for _, r in g.iterrows():
+            tile = img[r.py * 16:(r.py + 1) * 16, r.px * 16:(r.px + 1) * 16]
+            assert (np.frombuffer(r.patch, np.uint8).reshape(16, 16, 3)
+                    == tile).all()
+            assert r.patch_no == r.py * gw + r.px
+            assert abs(r.patch_mean - tile.mean()) < 1e-9
+
+    with pytest.raises(ValueError):
+        make_patchify_fn(0)
