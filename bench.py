@@ -220,7 +220,7 @@ def run_secondary(sf_dir: str) -> dict:
                  "ann_topk_embeddings", "minhash_neardup_docs",
                  "audio_dominant_band", "video_frame_stats",
                  "fingerprint_docs", "decontaminate_docs",
-                 "bucketed_join_revenue"):
+                 "bucketed_join_revenue", "patchify_grid"):
         t0 = time.perf_counter()
         res = Q.QUERIES[name](sf_dir)
         # consume: small results to pandas, large to count
