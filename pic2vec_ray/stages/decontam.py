@@ -86,13 +86,103 @@ def eval_ngram_set(eval_ds, *, col: str = "text", n: int = 8) -> frozenset:
     return frozenset(out)
 
 
+class BloomGramFilter:
+    """Fixed-size Bloom filter over gram strings — the documented swap
+    for eval sides whose distinct-gram SET outgrows driver/object-store
+    memory: the filter's footprint is ``m/8`` bytes regardless of gram
+    count or string length, and membership is vectorized.
+
+    Guarantees: NO false negatives (every truly contaminated document
+    is removed); false positives over-remove clean documents at a rate
+    ``≈ (1 - e^{-k·n/m})^k`` — the accepted trade in public corpus
+    builds. Hashing is double hashing (Kirsch–Mitzenmacher) over two
+    independent process-stable ``hash_pandas_object`` passes, so a
+    filter built on the driver answers identically inside every worker.
+    """
+
+    def __init__(self, n_bits: int, k: int):
+        if n_bits < 64 or k < 1:
+            raise ValueError(f"need n_bits >= 64 and k >= 1, got {n_bits}, {k}")
+        self.m = int(n_bits)
+        self.k = int(k)
+        self.bits = np.zeros((self.m + 63) // 64, dtype=np.uint64)
+
+    @classmethod
+    def for_capacity(cls, expected_grams: int, fp_rate: float = 1e-4):
+        """Size for ``expected_grams`` insertions at ``fp_rate``:
+        ``m = -n·ln p / ln²2``, ``k = (m/n)·ln 2``."""
+        n = max(1, int(expected_grams))
+        m = int(np.ceil(-n * np.log(fp_rate) / (np.log(2) ** 2)))
+        k = max(1, int(round(m / n * np.log(2))))
+        return cls(max(m, 64), k)
+
+    def _hashes(self, grams) -> tuple[np.ndarray, np.ndarray]:
+        s = pd.Series(grams, dtype=object)
+        h1 = pd.util.hash_pandas_object(s, index=False).to_numpy()
+        h2 = pd.util.hash_pandas_object(
+            s, index=False, hash_key="bloom_gram_filt0").to_numpy()  # 16-byte key
+        return h1, h2 | np.uint64(1)  # odd step never cycles short
+
+    def add_many(self, grams) -> None:
+        if len(grams) == 0:
+            return
+        h1, h2 = self._hashes(grams)
+        for i in range(self.k):
+            idx = (h1 + np.uint64(i) * h2) % np.uint64(self.m)
+            np.bitwise_or.at(self.bits, (idx >> np.uint64(6)).astype(np.int64),
+                             np.uint64(1) << (idx & np.uint64(63)))
+
+    def contains_many(self, grams) -> np.ndarray:
+        if len(grams) == 0:
+            return np.zeros(0, dtype=bool)
+        h1, h2 = self._hashes(grams)
+        hit = np.ones(len(h1), dtype=bool)
+        for i in range(self.k):
+            idx = (h1 + np.uint64(i) * h2) % np.uint64(self.m)
+            word = self.bits[(idx >> np.uint64(6)).astype(np.int64)]
+            hit &= (word >> (idx & np.uint64(63))) & np.uint64(1) != 0
+            if not hit.any():
+                break
+        return hit
+
+    def __contains__(self, gram: str) -> bool:
+        return bool(self.contains_many(np.array([gram], dtype=object))[0])
+
+
+def eval_ngram_bloom(eval_ds, *, col: str = "text", n: int = 8,
+                     expected_grams: int | None = None,
+                     fp_rate: float = 1e-4) -> BloomGramFilter:
+    """Stream the eval corpus into a :class:`BloomGramFilter` — the
+    driver holds only the fixed-size bit array, never the gram strings
+    (``eval_ngram_set`` beyond driver memory).  ``expected_grams``
+    defaults to a ``count() × n_grams-per-doc`` estimate from a one-row
+    schema probe; pass it explicitly for tight sizing."""
+    if expected_grams is None:
+        # upper-bound estimate: total tokens ≈ rows × tokens(first row)
+        first = eval_ds.take(1)
+        tok = len(str(first[0][col]).split()) if first else 0
+        expected_grams = max(1024, eval_ds.count() * max(tok, 1))
+    filt = BloomGramFilter.for_capacity(expected_grams, fp_rate)
+
+    def to_grams(batch: pd.DataFrame) -> pd.DataFrame:
+        grams, _ = word_ngrams_batch(batch[col], n)
+        return pd.DataFrame({"g": pd.unique(grams)})
+
+    for b in eval_ds.map_batches(to_grams, batch_format="pandas").iter_batches(
+            batch_format="pandas"):
+        filt.add_many(b["g"].to_numpy())
+    return filt
+
+
 def decontaminate(train_ds, eval_grams, *, col: str = "text", n: int = 8):
     """Filter ``train_ds`` down to rows sharing NO word n-gram with the
     eval set.
 
-    ``eval_grams`` is a ``frozenset`` (or anything with ``__contains__``
-    over strings) or an ``ObjectRef`` to one; it is ``ray.put`` once and
-    read zero-copy by every filter task — never re-shipped per batch.
+    ``eval_grams`` is a ``frozenset``, a :class:`BloomGramFilter`
+    (vectorized membership, tiny broadcast, no false negatives), any
+    object with ``__contains__`` over strings, or an ``ObjectRef`` to
+    one; it is ``ray.put`` once and read zero-copy by every filter
+    task — never re-shipped per batch.
     """
     ref = eval_grams if isinstance(eval_grams, ray.ObjectRef) \
         else ray.put(eval_grams)
@@ -102,8 +192,11 @@ def decontaminate(train_ds, eval_grams, *, col: str = "text", n: int = 8):
         grams, doc_idx = word_ngrams_batch(batch[col], n)
         if len(grams) == 0:
             return batch
-        hit = np.fromiter((g in grams_set for g in grams),
-                          dtype=bool, count=len(grams))
+        if hasattr(grams_set, "contains_many"):
+            hit = grams_set.contains_many(grams)
+        else:
+            hit = np.fromiter((g in grams_set for g in grams),
+                              dtype=bool, count=len(grams))
         bad_rows = np.unique(doc_idx[hit])
         mask = np.ones(len(batch), dtype=bool)
         mask[bad_rows] = False

@@ -147,3 +147,59 @@ def test_token_topk_matches_counter(docs_ds):
     c = Counter(t for text in df["text"] for t in text.lower().split())
     expect = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
     assert list(zip(out["token"], out["cnt"])) == expect
+
+
+def test_bloom_filter_no_false_negatives_and_fp_bound():
+    import numpy as np
+
+    from pic2vec_ray.stages.decontam import BloomGramFilter
+
+    rng = np.random.default_rng(47)
+    inserted = np.array([f"gram {i} {rng.integers(1e9)}" for i in range(20_000)],
+                        dtype=object)
+    fresh = np.array([f"fresh {i} {rng.integers(1e9)}" for i in range(100_000)],
+                     dtype=object)
+    filt = BloomGramFilter.for_capacity(len(inserted), fp_rate=1e-3)
+    filt.add_many(inserted)
+
+    assert filt.contains_many(inserted).all()          # zero false negatives
+    fp = filt.contains_many(fresh).mean()
+    assert fp <= 3e-3, fp                              # ≤3× nominal rate
+    # scalar __contains__ agrees with the vectorized path
+    assert inserted[0] in filt and (fresh[0] in filt) == bool(
+        filt.contains_many(fresh[:1])[0])
+    with pytest.raises(ValueError):
+        BloomGramFilter(32, 1)
+
+
+def test_decontaminate_bloom_superset_of_exact(ray_session):
+    import numpy as np
+    import ray.data as rd
+
+    from pic2vec_ray.stages.decontam import (
+        decontaminate,
+        eval_ngram_bloom,
+        eval_ngram_set,
+    )
+
+    rng = np.random.default_rng(53)
+    vocab = [f"w{i}" for i in range(50)]
+    eval_texts = [" ".join(rng.choice(vocab, 12)) for _ in range(30)]
+    clean = [" ".join(rng.choice([f"c{i}" for i in range(80)], 15))
+             for _ in range(200)]
+    # plant eval 8-grams inside some train docs
+    dirty = [f"x y {t}" for t in eval_texts[:10]]
+    train = pd.DataFrame({"doc_id": range(len(clean) + len(dirty)),
+                          "text": clean + dirty})
+    eval_ds = rd.from_items([{"text": t} for t in eval_texts])
+
+    exact = decontaminate(rd.from_pandas(train).repartition(4),
+                          eval_ngram_set(eval_ds, n=8), n=8).to_pandas()
+    bloom = decontaminate(rd.from_pandas(train).repartition(4),
+                          eval_ngram_bloom(eval_ds, n=8, fp_rate=1e-6), n=8
+                          ).to_pandas()
+    # every planted-dirty doc removed by BOTH paths (no false negatives)
+    assert set(bloom.doc_id) <= set(exact.doc_id)      # bloom ⊆ exact survivors
+    assert set(exact.doc_id) & set(range(len(clean), len(train))) == set()
+    # at fp=1e-6 over ~2.6k probes, over-removal is (almost surely) zero
+    assert set(bloom.doc_id) == set(exact.doc_id)
