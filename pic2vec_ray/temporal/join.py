@@ -22,7 +22,8 @@ from .core import DEFAULT_PARTITIONS, PART_COL, hash_partition_ids
 _SIDE = "__side"
 
 
-def _union_tagged(left, right, keys: list[str], suffix: str, num_partitions: int):
+def _union_tagged(left, right, keys: list[str], suffix: str, num_partitions: int,
+                  hot_keys: list | None = None, salt: int = 8):
     """Shared co-shuffle front half of the bucketed joins: suffix right
     value columns that clash with left names, align both sides to one
     Arrow schema (typed nulls for the other side's columns), tag the
@@ -30,7 +31,16 @@ def _union_tagged(left, right, keys: list[str], suffix: str, num_partitions: int
     partition-tagged union, the left schema, the right value column
     names (post-suffix), and the int-typed columns of BOTH sides (the
     typed-null alignment turns every column float64 in pandas once the
-    other side's rows are present — the merge must cast back)."""
+    other side's rows are present — the merge must cast back).
+
+    ``hot_keys`` (from ``temporal.skew.detect_hot_keys``) enables the
+    same salting as ``temporal.asof``: each hot key's LEFT rows spread
+    round-robin over ``salt`` sub-partitions, its RIGHT rows replicated
+    to all of them — every left row still sees the key's full right
+    side exactly once, so left-anchored joins (inner/left/semi/anti,
+    range) are exact while the hot key's work fans out ``salt``-wide.
+    The spread assignment is arbitrary-but-deterministic per batch; any
+    assignment yields the same result set."""
     left_schema = _arrow_schema(left)
     right_schema = _arrow_schema(right)
     value_cols = [n for n in right_schema.names if n not in keys]
@@ -58,9 +68,28 @@ def _union_tagged(left, right, keys: list[str], suffix: str, num_partitions: int
 
         return fn
 
+    hot = set(hot_keys) if hot_keys else None
+    if hot and len(keys) != 1:
+        raise ValueError("hot-key salting supports single-key joins only")
+
     def tag(batch: pd.DataFrame) -> pd.DataFrame:
         batch[PART_COL] = hash_partition_ids(batch, keys, num_partitions)
-        return batch
+        if not hot:
+            return batch
+        is_hot = batch[keys[0]].isin(hot)
+        cold = batch[~is_hot].copy()
+        cold["__salt"] = 0
+        hleft = batch[is_hot & (batch[_SIDE] == 0)].copy()
+        hleft["__salt"] = np.arange(len(hleft), dtype=np.int64) % salt
+        hright = batch[is_hot & (batch[_SIDE] == 1)]
+        reps = [cold, hleft]
+        for s in range(salt):
+            rep = hright.copy()
+            rep["__salt"] = s
+            reps.append(rep)
+        out = pd.concat(reps, ignore_index=True)
+        out[PART_COL] = out[PART_COL] * salt + out["__salt"]
+        return out.drop(columns=["__salt"])
 
     both = (
         left.map_batches(align(0), batch_format="pyarrow")
@@ -80,6 +109,8 @@ def hash_join(
     how: str = "inner",
     suffix: str = "_r",
     num_partitions: int = DEFAULT_PARTITIONS,
+    hot_keys: list | None = None,
+    salt: int = 8,
 ):
     """Join two Datasets on equality keys.
     ``how``: inner/left/right/outer/semi/anti.
@@ -96,10 +127,19 @@ def hash_join(
     Per-bucket merges compose exactly for every mode because hash
     co-partitioning is key-disjoint: a row unmatched in its bucket is
     unmatched globally.
+
+    ``hot_keys``/``salt`` (see ``temporal.skew.detect_hot_keys``) fan a
+    hot key's left rows across ``salt`` sub-buckets with the right side
+    replicated — exact for the LEFT-anchored modes (inner/left/semi/
+    anti). right/outer reject salting: a replicated unmatched right row
+    would be emitted once per replica.
     """
     if how not in ("inner", "left", "right", "outer", "semi", "anti"):
         raise ValueError(
             "how must be 'inner', 'left', 'right', 'outer', 'semi' or 'anti'")
+    if hot_keys and how in ("right", "outer"):
+        raise ValueError("hot-key salting is exact only for left-anchored "
+                         "modes (inner/left/semi/anti)")
     keys = [on] if isinstance(on, str) else list(on)
     rkeys = [right_on] if isinstance(right_on, str) else list(right_on or keys)
     if len(keys) != len(rkeys):
@@ -108,7 +148,7 @@ def hash_join(
         right = _rename(right, dict(zip(rkeys, keys)))
 
     both, left_schema, value_cols, int_like = _union_tagged(
-        left, right, keys, suffix, num_partitions)
+        left, right, keys, suffix, num_partitions, hot_keys, salt)
     left_names = list(left_schema.names)
 
     def merge(group: pd.DataFrame) -> pd.DataFrame:
@@ -160,6 +200,8 @@ def range_join(
     max_delta,
     suffix: str = "_r",
     num_partitions: int = DEFAULT_PARTITIONS,
+    hot_keys: list | None = None,
+    salt: int = 8,
 ):
     """Interval (range) join: inner-join rows with equal ``on`` keys
     where ``left_ts + min_delta <= right_ts < left_ts + max_delta``
@@ -179,7 +221,7 @@ def range_join(
     """
     keys = [on] if isinstance(on, str) else list(on)
     both, left_schema, value_cols, int_like = _union_tagged(
-        left, right, keys, suffix, num_partitions)
+        left, right, keys, suffix, num_partitions, hot_keys, salt)
     left_names = list(left_schema.names)
     rts = right_ts if right_ts in value_cols else right_ts + suffix
     if rts not in value_cols:

@@ -131,3 +131,43 @@ def test_top_n_per_group_brute_force(ray_session):
     expect = (df.sort_values(["v", "id"], ascending=[False, True])
                 .groupby("k").head(3))
     assert sorted(out.id) == sorted(expect.id)
+
+
+def test_salted_hash_join_on_90pct_skew_matches_unsalted(skewed):
+    import ray.data as rd
+
+    from pic2vec_ray.temporal.join import hash_join
+
+    left_ds, _, left, right = skewed
+    # keep keys >= 40 unmatched so the anti result is non-empty
+    right_ds = rd.from_pandas(right[right.k < 40]).materialize()
+
+    for how in ("inner", "left", "semi", "anti"):
+        salted = hash_join(left_ds, right_ds, on="k", how=how,
+                           num_partitions=4, hot_keys=[7], salt=4).to_pandas()
+        plain = hash_join(left_ds, right_ds, on="k", how=how,
+                          num_partitions=4).to_pandas()
+        cols = [c for c in ("obs_id", "val") if c in plain.columns] or ["obs_id"]
+        key = lambda d: sorted(map(tuple, d[cols].fillna(-1).to_numpy().tolist()))
+        assert key(salted) == key(plain), how
+        if how == "inner":  # every left row of the hot key matched x5
+            assert (salted.obs_id.value_counts()
+                    [left[left.k == 7].obs_id].eq(5)).all()
+
+    with pytest.raises(ValueError):
+        hash_join(left_ds, right_ds, on="k", how="outer", hot_keys=[7])
+
+
+def test_salted_range_join_matches_unsalted(skewed):
+    from pic2vec_ray.temporal.join import range_join
+
+    left_ds, right_ds, left, right = skewed
+    w = pd.Timedelta(0), pd.Timedelta(days=1)
+    salted = range_join(left_ds, right_ds, on="k", left_ts="ts", right_ts="ts",
+                        min_delta=w[0], max_delta=w[1], num_partitions=4,
+                        hot_keys=[7], salt=4).to_pandas()
+    plain = range_join(left_ds, right_ds, on="k", left_ts="ts", right_ts="ts",
+                       min_delta=w[0], max_delta=w[1],
+                       num_partitions=4).to_pandas()
+    key = lambda d: sorted(map(tuple, d[["obs_id", "val"]].to_numpy().tolist()))
+    assert key(salted) == key(plain) and len(plain) > 0
