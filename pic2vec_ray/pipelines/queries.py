@@ -1364,6 +1364,60 @@ FROM h
 """
 
 
+def dedup_incremental_docs(sf_dir: str):
+    """Incremental cross-snapshot dedup (stages/dedup.dedup_incremental):
+    'seen' = docs 0-299, 'new' = docs 200-499 (an overlapping re-crawl
+    window — 100 genuine cross-corpus duplicates to drop). Fingerprint
+    both sides shuffle-free, one fingerprint groupby self-dedup, one
+    ANTI join against 8-byte seen keys."""
+    from ..stages.dedup import dedup_incremental
+
+    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+
+    def below(cut):
+        def f(t: pa.Table) -> pa.Table:
+            return t.filter(pc.less(t["doc_id"], cut))
+        return f
+
+    def at_least(cut):
+        def f(t: pa.Table) -> pa.Table:
+            return t.filter(pc.greater_equal(t["doc_id"], cut))
+        return f
+
+    seen = ds.map_batches(below(300), batch_format="pyarrow")
+    new = ds.map_batches(at_least(200), batch_format="pyarrow")
+    return dedup_incremental(new, seen, id_col="doc_id",
+                             num_partitions=_nparts(sf_dir, "documents"))
+
+
+SQL_DEDUP_INCREMENTAL = r"""
+WITH n AS (
+  SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+  FROM documents
+), fp AS (
+  SELECT doc_id,
+    CAST(CASE WHEN v >= 9223372036854775808 THEN v - 18446744073709551616
+              ELSE v END AS BIGINT) AS fingerprint
+  FROM (
+    SELECT doc_id,
+      CASE WHEN length(t) = 0 THEN CAST(0 AS HUGEINT) ELSE list_reduce(
+        list_transform(string_split(t, ''), c -> CAST(unicode(c) AS HUGEINT)),
+        (a, b) -> (a * 1099511628211 + b) % 18446744073709551616
+      ) END AS v
+    FROM n
+  )
+), seen AS (
+  SELECT fingerprint FROM fp WHERE doc_id < 300
+), freshest AS (
+  SELECT fingerprint, MIN(doc_id) AS doc_id
+  FROM fp WHERE doc_id >= 200 GROUP BY fingerprint
+)
+SELECT doc_id, fingerprint FROM freshest f
+WHERE NOT EXISTS (SELECT 1 FROM seen s WHERE s.fingerprint = f.fingerprint)
+"""
+
+
 def split_train_test(sf_dir: str):
     """Deterministic hash-based train/valid/test assignment (8/1/1)
     over documents — zero-shuffle, reproducible under any partitioning
@@ -2067,6 +2121,7 @@ QUERIES = {
     "top3_purchases_per_user": top3_purchases_per_user,
     "rolling_1h": rolling_1h,
     "dedup_exact_docs": dedup_exact_docs,
+    "dedup_incremental_docs": dedup_incremental_docs,
     "paragraph_dedup_docs": paragraph_dedup_docs,
     "chunk_documents_docs": chunk_documents_docs,
     "repetition_stats_docs": repetition_stats_docs,
@@ -2142,6 +2197,7 @@ ORACLE_SQL = {
     "top3_purchases_per_user": SQL_TOP3,
     "rolling_1h": SQL_ROLLING,
     "dedup_exact_docs": SQL_DEDUP_EXACT,
+    "dedup_incremental_docs": SQL_DEDUP_INCREMENTAL,
     "paragraph_dedup_docs": SQL_PARA_DEDUP,
     "chunk_documents_docs": SQL_CHUNK_DOCS,
     "repetition_stats_docs": SQL_REPETITION,

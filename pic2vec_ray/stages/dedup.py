@@ -865,3 +865,42 @@ def paragraph_dedup(ds, *, col: str = "text", id_col: str = "doc_id",
                              "clean_text": [" ".join(g["seg"])]})
 
     return winners.groupby(id_col).map_groups(rebuild, batch_format="pandas")
+
+
+def dedup_incremental(new_ds, seen_ds, *, id_col: str = "doc_id",
+                      num_partitions: int | None = None):
+    """Incremental (cross-snapshot) exact dedup — the production shape
+    for daily crawl updates: keep only NEW documents whose fingerprint
+    appears neither in the already-ingested corpus nor earlier within
+    the new batch itself.
+
+    Shape: fingerprint both sides (``stages/text.fingerprint64``, the
+    SQL-replayable Horner hash — shuffle-free), self-dedup the new
+    batch with ONE ``groupby(fingerprint).min(id)`` (one row per
+    distinct fingerprint crosses the exchange), then ANTI hash-join the
+    winners against the seen side's ``(fingerprint)`` rows — the seen
+    corpus streams through the join as narrow 8-byte keys, never
+    text.  Output: ``(id_col, fingerprint)`` of the surviving new
+    documents; persist it (or union it into the seen index) to advance
+    the snapshot.
+    """
+    from ..temporal.join import hash_join
+    from .text import fingerprint64
+
+    def fp(ds, cols):
+        return (ds.map_batches(fingerprint64, batch_format="pandas")
+                  .map_batches(lambda df: df[cols], batch_format="pandas"))
+
+    new_fp = fp(new_ds, [id_col, "fingerprint"])
+    seen_fp = fp(seen_ds, ["fingerprint"])
+
+    firsts = new_fp.groupby("fingerprint").min(id_col)
+
+    def tidy(df: pd.DataFrame) -> pd.DataFrame:
+        return df.rename(columns={f"min({id_col})": id_col})
+
+    # materialize: a lazy groupby output re-executes its shuffle when
+    # the join resolves schemas (see round-2 notes)
+    firsts = firsts.map_batches(tidy, batch_format="pandas").materialize()
+    kwargs = {"num_partitions": num_partitions} if num_partitions else {}
+    return hash_join(firsts, seen_fp, on="fingerprint", how="anti", **kwargs)

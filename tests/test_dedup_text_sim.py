@@ -627,3 +627,25 @@ def test_chunk_documents_bruteforce_and_partition_invariance(ray_session):
         chunk_documents(rd.from_pandas(pdf), max_tokens=8, overlap=8)
     with pytest.raises(ValueError):
         chunk_documents(rd.from_pandas(pdf), max_tokens=0, overlap=0)
+
+
+def test_dedup_incremental_cross_snapshot(ray_session):
+    import ray.data as rd
+
+    from pic2vec_ray.stages.dedup import dedup_incremental
+
+    seen = pd.DataFrame({"doc_id": [1, 2, 3],
+                         "text": ["alpha beta", "gamma", "delta eps"]})
+    new = pd.DataFrame({
+        "doc_id": [10, 11, 12, 13, 14],
+        "text": ["gamma",          # dup of seen -> dropped
+                 "new one",        # survives
+                 "new two",        # survives
+                 "new one",        # within-new dup -> dropped (10 < 13? id 11 wins)
+                 "ALPHA   BETA"],  # normalization dup of seen -> dropped
+    })
+    out = (dedup_incremental(rd.from_pandas(new).repartition(3),
+                             rd.from_pandas(seen).repartition(2),
+                             num_partitions=4)
+           .to_pandas().sort_values("doc_id"))
+    assert out.doc_id.tolist() == [11, 12]
