@@ -1684,6 +1684,25 @@ FROM lineitem, e
 """
 
 
+def event_type_history(sf_dir: str):
+    """Ordered STRING_AGG per user (stages/relational.string_agg): one
+    hash shuffle, partition-local vectorized sort + join; order pinned
+    by (ts, event_id) so the history string is deterministic."""
+    from ..stages.relational import string_agg
+
+    ds = _events(sf_dir, columns=["user_id", "ts", "event_id", "event_type"])
+    return string_agg(ds, by="user_id", value="event_type",
+                      order=["ts", "event_id"],
+                      num_partitions=_nparts(sf_dir, "events"))
+
+
+SQL_STRING_AGG = """
+SELECT user_id,
+       STRING_AGG(event_type, ',' ORDER BY ts, event_id) AS event_type_agg
+FROM events GROUP BY user_id
+"""
+
+
 def unpivot_lineitem_metrics(sf_dir: str):
     """Wide→long unpivot (stages/relational.unpivot): one stateless
     shuffle-free map_batches; 3 metric columns melt to (variable,
@@ -2149,6 +2168,7 @@ QUERIES = {
     "standardize_price": standardize_price,
     "mode_quantity_by_flag": mode_quantity_by_flag,
     "unpivot_lineitem_metrics": unpivot_lineitem_metrics,
+    "event_type_history": event_type_history,
     "target_encode_priority": target_encode_priority,
     "tfidf_topk_docs": tfidf_topk_docs,
     "redact_docs": redact_docs,
@@ -2227,6 +2247,7 @@ ORACLE_SQL = {
     "standardize_price": SQL_STANDARDIZE,
     "mode_quantity_by_flag": SQL_GROUPED_MODE,
     "unpivot_lineitem_metrics": SQL_UNPIVOT,
+    "event_type_history": SQL_STRING_AGG,
     "target_encode_priority": SQL_TARGET_ENCODE,
     "tfidf_topk_docs": SQL_TFIDF,
     "redact_docs": SQL_REDACT,

@@ -45,6 +45,30 @@ def pivot_sum(ds, *, key: str, pivot_col: str, value: str,
     return merged.map_batches(rename, batch_format="pandas")
 
 
+def string_agg(ds, *, by: str, value: str, order: list[str], sep: str = ",",
+               out_col: str | None = None, num_partitions: int | None = None):
+    """SQL ``STRING_AGG(value, sep ORDER BY ...)`` per group: one hash
+    shuffle on ``by``, then a vectorized partition-local sort +
+    ``groupby().agg(join)``.  ``order`` must pin a TOTAL order (include
+    a tiebreak column) so the concatenation is deterministic under any
+    partitioning — same discipline as the window family.  Group size
+    bounds the local work; a pathological single group holds one
+    partition, the standard trade of ordered aggregation."""
+    from ..temporal.core import DEFAULT_PARTITIONS, partitioned_apply
+
+    out_col = out_col or f"{value}_agg"
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(order, kind="mergesort")
+        g = (df.groupby(by, sort=False)[value]
+               .agg(lambda s: sep.join(s.astype(str)))
+               .rename(out_col).reset_index())
+        return g
+
+    return partitioned_apply(ds, by, fn,
+                             num_partitions or DEFAULT_PARTITIONS)
+
+
 def unpivot(ds, *, id_cols: list[str], value_cols: list[str],
             var_col: str = "variable", val_col: str = "value"):
     """Wide→long reshape (SQL ``UNPIVOT`` / pandas ``melt``): one row

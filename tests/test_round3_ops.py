@@ -409,3 +409,24 @@ def test_unpivot_matches_melt_and_roundtrips_pivot(ray_session):
 
     with pytest.raises(ValueError):
         unpivot(_ds(ray_session, wide), id_cols=["uid"], value_cols=[])
+
+
+def test_string_agg_ordered_and_partition_invariant(ray_session):
+    from pic2vec_ray.stages.relational import string_agg
+
+    rng = np.random.default_rng(59)
+    n = 300
+    df = pd.DataFrame({
+        "k": rng.integers(0, 12, n),
+        "ts": rng.permutation(n),          # scrambled order column
+        "id": np.arange(n),
+        "v": rng.choice(list("abcde"), n),
+    })
+    exp = (df.sort_values(["ts", "id"]).groupby("k")["v"]
+           .agg(",".join).rename("v_agg").reset_index()
+           .sort_values("k").reset_index(drop=True))
+    for blocks in (1, 6):
+        got = (string_agg(_ds(ray_session, df, blocks), by="k", value="v",
+                          order=["ts", "id"], num_partitions=5)
+               .to_pandas().sort_values("k").reset_index(drop=True))
+        pd.testing.assert_frame_equal(got, exp, check_dtype=False)
