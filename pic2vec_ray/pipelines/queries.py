@@ -969,6 +969,32 @@ FROM g
 """
 
 
+def thumbnail_roundtrip(sf_dir: str):
+    """Thumbnail generation (stages/decode.make_thumbnail_fn): decode →
+    32×32 nearest resize → from-scratch PNG re-ENCODE, with a
+    re-decode byte-equality check per row — PNG is lossless so
+    thumb_ok must be TRUE for every decodable row; the oracle predicts
+    the exact surviving row set from part (the phash_verify pattern,
+    now covering the encoder)."""
+    from ..stages.decode import make_thumbnail_fn
+
+    ds = _rd().read_parquet(_images(sf_dir), columns=["image_id", "bytes"])
+    out = ds.map_batches(make_thumbnail_fn((32, 32)), batch_format="pyarrow")
+
+    def project(t: pa.Table) -> pa.Table:
+        return t.drop_columns(["thumb"])
+
+    return out.map_batches(project, batch_format="pyarrow")
+
+
+SQL_THUMBNAIL = """
+SELECT printf('img_%08d', p_partkey) AS image_id,
+       CAST(32 AS BIGINT) AS thumb_w, CAST(32 AS BIGINT) AS thumb_h,
+       TRUE AS thumb_ok
+FROM part WHERE p_partkey % 20 < 17
+"""
+
+
 def tar_ingest_dims(sf_dir: str):
     """Ingest the corpus from webdataset-style tar shards and decode.
 
@@ -2150,6 +2176,7 @@ QUERIES = {
     "ann_topk_embeddings": ann_topk_embeddings,
     "image_decode_dims": image_decode_dims,
     "patchify_grid": patchify_grid,
+    "thumbnail_roundtrip": thumbnail_roundtrip,
     "tar_ingest_dims": tar_ingest_dims,
     "caption_roundtrip": caption_roundtrip,
     "featurize_dims": featurize_dims,
@@ -2228,6 +2255,7 @@ ORACLE_SQL = {
     "embedding_neardup": SQL_EMB_NEARDUP,
     "image_decode_dims": SQL_IMAGE_DIMS,
     "patchify_grid": SQL_PATCHIFY,
+    "thumbnail_roundtrip": SQL_THUMBNAIL,
     "tar_ingest_dims": SQL_TAR_INGEST,
     "caption_roundtrip": SQL_CAPTION,
     "featurize_dims": SQL_FEATURIZE_DIMS,

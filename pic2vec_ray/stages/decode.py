@@ -144,6 +144,58 @@ def make_phash_verify_fn(bytes_col: str = "bytes"):
     return verify
 
 
+def make_thumbnail_fn(size: tuple[int, int] = (32, 32),
+                      bytes_col: str = "bytes", verify: bool = True):
+    """Factory for a thumbnail-generation map_batches fn: decode →
+    nearest-neighbor resize to ``size`` → lossless PNG re-ENCODE — the
+    standard preview/derived-asset stage of multimodal pipelines, and
+    the one pipeline that exercises the from-scratch PNG *encoder* at
+    the query surface (decoders are covered by every other image op).
+
+    Output per decodable row: ``image_id``, ``thumb`` (PNG bytes),
+    ``thumb_w``/``thumb_h`` and, with ``verify``, ``thumb_ok`` — the
+    re-decoded thumbnail compared byte-for-byte against the resized
+    pixels (PNG is lossless, so this must hold for EVERY row, jpeg
+    sources included: the roundtrip is encode∘resize∘decode, codec loss
+    upstream cancels).  Missing/undecodable rows are dropped — the
+    oracle predicts exactly which rows survive.  Stateless, shuffle-
+    free, one resize + encode per distinct image (the within-batch
+    memo of BatchDecoder upstream covers duplicate bytes).
+    """
+    from ..codecs.png import encode_png
+    from ..codecs.registry import decode_image
+
+    h, w = int(size[0]), int(size[1])
+    if h < 1 or w < 1:
+        raise ValueError(f"size must be positive, got {size}")
+    decoder = BatchDecoder(target_size=None)
+
+    def thumbs(batch: pa.Table) -> pa.Table:
+        images, _missing = decoder.decode_column(batch[bytes_col].to_pylist())
+        ids, blobs, oks = [], [], []
+        for image_id, img in zip(batch["image_id"].to_pylist(), images):
+            if img is None:
+                continue
+            small = resize_nearest(img, (h, w))
+            png = encode_png(small)
+            ids.append(image_id)
+            blobs.append(png)
+            if verify:
+                back = to_rgb(decode_image(png))
+                oks.append(bool((back == small).all()))
+        cols = {
+            "image_id": pa.array(ids, pa.string()),
+            "thumb": pa.array(blobs, pa.binary()),
+            "thumb_w": pa.array(np.full(len(ids), w, dtype=np.int64)),
+            "thumb_h": pa.array(np.full(len(ids), h, dtype=np.int64)),
+        }
+        if verify:
+            cols["thumb_ok"] = pa.array(oks, pa.bool_())
+        return pa.table(cols)
+
+    return thumbs
+
+
 def make_patchify_fn(patch: int = 16, bytes_col: str = "bytes",
                      with_pixels: bool = True):
     """Factory for a ViT-style patch-extraction map_batches fn — the

@@ -143,3 +143,28 @@ def test_patchify_pixel_exact_and_grid():
 
     with pytest.raises(ValueError):
         make_patchify_fn(0)
+
+
+def test_thumbnail_roundtrip_pixel_exact():
+    from pic2vec_ray.codecs.registry import decode_image
+    from pic2vec_ray.functions.image_ops import resize_nearest
+    from pic2vec_ray.stages.decode import decode_rgb, make_thumbnail_fn
+
+    rows = [make_image_row(k, f"cap {k}") for k in
+            (1, 2, 3, 5, 15, 16, 17, 18, 19)]
+    t = pa.table({"image_id": [r["image_id"] for r in rows],
+                  "bytes": [r["bytes"] for r in rows]})
+    out = make_thumbnail_fn((32, 32))(t).to_pandas()
+
+    valid = {r["image_id"] for r in rows if decode_rgb(r["bytes"]) is not None}
+    assert set(out.image_id) == valid and len(out) == len(valid)
+    assert out.thumb_ok.all()
+    for _, r in out.iterrows():
+        src = decode_rgb(next(x["bytes"] for x in rows
+                              if x["image_id"] == r.image_id))
+        exp = resize_nearest(src, (32, 32))
+        got = to_rgb(decode_image(bytes(r.thumb)))
+        assert (got == exp).all() and got.shape == (32, 32, 3)
+
+    with pytest.raises(ValueError):
+        make_thumbnail_fn((0, 32))
