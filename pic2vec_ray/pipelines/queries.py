@@ -648,6 +648,34 @@ def rolling_1h(sf_dir: str):
     return out.map_batches(finish, batch_format="pandas")
 
 
+def rolling_5rows(sf_dir: str):
+    """ROWS-frame rolling sum/mean over the last 4 rows + current per
+    user (temporal/windows.rolling_rows_agg) — the positional
+    counterpart of rolling_1h's RANGE frame; total order pinned by
+    (ts, event_id)."""
+    from ..temporal.windows import rolling_rows_agg
+
+    ds = _events(sf_dir, columns=["event_id", "user_id", "ts", "value"])
+    out = rolling_rows_agg(ds, by="user_id", order="ts", value="value", k=4,
+                           agg="sum", tiebreak="event_id",
+                           num_partitions=_nparts(sf_dir, "events"),
+                           out_col="sum_5r")
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df["sum_5r"] = df.sum_5r.round(6)
+        return df[["event_id", "user_id", "ts", "sum_5r"]]
+
+    return out.map_batches(finish, batch_format="pandas")
+
+
+SQL_ROLLING_ROWS = """
+SELECT event_id, user_id, ts,
+       ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 6) AS sum_5r
+FROM events
+"""
+
+
 SQL_ROLLING = f"""
 SELECT event_id, user_id, ts,
        COUNT(*) OVER w AS cnt_1h,
@@ -2165,6 +2193,7 @@ QUERIES = {
     "hopping_30m_1h": hopping_30m_1h,
     "top3_purchases_per_user": top3_purchases_per_user,
     "rolling_1h": rolling_1h,
+    "rolling_5rows": rolling_5rows,
     "dedup_exact_docs": dedup_exact_docs,
     "dedup_incremental_docs": dedup_incremental_docs,
     "paragraph_dedup_docs": paragraph_dedup_docs,
@@ -2243,6 +2272,7 @@ ORACLE_SQL = {
     "hopping_30m_1h": SQL_HOPPING,
     "top3_purchases_per_user": SQL_TOP3,
     "rolling_1h": SQL_ROLLING,
+    "rolling_5rows": SQL_ROLLING_ROWS,
     "dedup_exact_docs": SQL_DEDUP_EXACT,
     "dedup_incremental_docs": SQL_DEDUP_INCREMENTAL,
     "paragraph_dedup_docs": SQL_PARA_DEDUP,

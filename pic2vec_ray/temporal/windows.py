@@ -165,6 +165,48 @@ def rolling_range_agg(ds, *, by: str, order: str, value: str | None, window: pd.
     return partitioned_apply(ds, by, fn, num_partitions)
 
 
+def rolling_rows_agg(ds, *, by: str, order: str, value: str, k: int,
+                     agg: str = "sum", tiebreak: str | None = None,
+                     num_partitions: int = DEFAULT_PARTITIONS,
+                     out_col: str | None = None):
+    """Rolling aggregate over the last ``k`` PHYSICAL rows plus the
+    current one per entity — SQL ``ROWS BETWEEN k PRECEDING AND
+    CURRENT ROW`` (the positional counterpart of
+    :func:`rolling_range_agg`'s RANGE frame).  ROWS frames depend on
+    the physical order, so ``tiebreak`` must pin a total order — same
+    discipline as the rank family.  Vectorized per entity with one
+    prefix-sum + clamped index diff."""
+    if agg not in ("count", "sum", "mean"):
+        raise ValueError("agg must be count/sum/mean")
+    if k < 0:
+        raise ValueError(f"k must be >= 0, got {k}")
+    out_col = out_col or f"{value}_{agg}_{k}rows"
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        df = _sorted(df, by, order, tiebreak)
+        results = np.empty(len(df), dtype=np.float64)
+        pos = 0
+        for _, g in df.groupby(by, sort=False):
+            i = np.arange(len(g))
+            lo = np.maximum(0, i - k)
+            n = i - lo + 1
+            if agg == "count":
+                out = n.astype(np.float64)
+            else:
+                csum = np.concatenate(
+                    [[0.0], np.cumsum(g[value].to_numpy(dtype=np.float64))])
+                s = csum[i + 1] - csum[lo]
+                out = s if agg == "sum" else s / n
+            results[pos:pos + len(g)] = out
+            pos += len(g)
+        df[out_col] = results
+        if agg == "count":
+            df[out_col] = df[out_col].astype("int64")
+        return df
+
+    return partitioned_apply(ds, by, fn, num_partitions)
+
+
 def hopping_window_agg(ds, *, by: str, order: str, value: str, width: pd.Timedelta,
                        hop: pd.Timedelta, origin: pd.Timestamp,
                        aggs: tuple[str, ...] = ("count", "sum"),

@@ -171,3 +171,33 @@ def test_salted_range_join_matches_unsalted(skewed):
                        num_partitions=4).to_pandas()
     key = lambda d: sorted(map(tuple, d[["obs_id", "val"]].to_numpy().tolist()))
     assert key(salted) == key(plain) and len(plain) > 0
+
+
+def test_rolling_rows_agg_bruteforce(ray_session):
+    import ray.data as rd
+
+    from pic2vec_ray.temporal.windows import rolling_rows_agg
+
+    rng = np.random.default_rng(61)
+    n = 400
+    df = pd.DataFrame({
+        "u": rng.integers(0, 8, n),
+        "ts": rng.permutation(n),
+        "eid": np.arange(n),
+        "v": np.round(rng.uniform(-5, 5, n), 3),
+    })
+    for agg in ("sum", "mean", "count"):
+        got = (rolling_rows_agg(rd.from_pandas(df).repartition(5), by="u",
+                                order="ts", value="v", k=3, agg=agg,
+                                tiebreak="eid", num_partitions=4,
+                                out_col="o")
+               .to_pandas().sort_values("eid").reset_index(drop=True))
+        o = df.sort_values(["u", "ts", "eid"], kind="mergesort")
+        exp = (o.groupby("u", sort=False)["v"]
+                .rolling(4, min_periods=1).agg(agg)
+                .reset_index(level=0, drop=True))
+        o = o.assign(o=exp).sort_values("eid").reset_index(drop=True)
+        assert np.allclose(got.o.to_numpy(), o.o.to_numpy()), agg
+    with pytest.raises(ValueError):
+        rolling_rows_agg(rd.from_pandas(df), by="u", order="ts", value="v",
+                         k=-1, tiebreak="eid")
