@@ -1738,6 +1738,29 @@ FROM lineitem, e
 """
 
 
+def rollup_qty_by_flag(sf_dir: str):
+    """GROUP BY ROLLUP (stages/relational.rollup_sum): one two-phase
+    pass builds the finest (flag, status) aggregate; every coarser
+    level derives from that tiny table — never a corpus re-scan.
+    l_quantity is integral, so the sums are exact int64 (no float
+    rounding discipline needed)."""
+    from ..stages.relational import rollup_sum
+
+    ds = _rd().read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity"],
+    )
+    return rollup_sum(ds, keys=["l_returnflag", "l_linestatus"],
+                      value="l_quantity")
+
+
+SQL_ROLLUP = """
+SELECT l_returnflag, l_linestatus,
+       SUM(l_quantity) AS sum_l_quantity, COUNT(*) AS n_rows
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
 def event_type_history(sf_dir: str):
     """Ordered STRING_AGG per user (stages/relational.string_agg): one
     hash shuffle, partition-local vectorized sort + join; order pinned
@@ -2225,6 +2248,7 @@ QUERIES = {
     "mode_quantity_by_flag": mode_quantity_by_flag,
     "unpivot_lineitem_metrics": unpivot_lineitem_metrics,
     "event_type_history": event_type_history,
+    "rollup_qty_by_flag": rollup_qty_by_flag,
     "target_encode_priority": target_encode_priority,
     "tfidf_topk_docs": tfidf_topk_docs,
     "redact_docs": redact_docs,
@@ -2306,6 +2330,7 @@ ORACLE_SQL = {
     "mode_quantity_by_flag": SQL_GROUPED_MODE,
     "unpivot_lineitem_metrics": SQL_UNPIVOT,
     "event_type_history": SQL_STRING_AGG,
+    "rollup_qty_by_flag": SQL_ROLLUP,
     "target_encode_priority": SQL_TARGET_ENCODE,
     "tfidf_topk_docs": SQL_TFIDF,
     "redact_docs": SQL_REDACT,

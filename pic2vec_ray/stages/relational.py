@@ -45,6 +45,72 @@ def pivot_sum(ds, *, key: str, pivot_col: str, value: str,
     return merged.map_batches(rename, batch_format="pandas")
 
 
+def rollup_sum(ds, *, keys: list[str], value: str,
+               sum_col: str | None = None, count_col: str = "n_rows"):
+    """SQL ``GROUP BY ROLLUP (k1, k2, ...)``: the finest-level
+    aggregate plus every prefix level up to the grand total, rolled-up
+    key columns emitted as nulls.
+
+    Scale shape: ONE two-phase pass over the raw data produces the
+    finest aggregate (per-batch partials → one group-bounded groupby);
+    every coarser level then derives from that TINY aggregate — a
+    second groupby over rows bounded by the finest group count, never a
+    re-scan of the corpus.  The grand total is a scalar reduce.  Keys
+    must be string-typed (rolled-up levels need typed nulls; nullable
+    ints would collide with the driver's int64 canonicalization).
+    """
+    keys = list(keys)
+    if not keys:
+        raise ValueError("keys must be non-empty")
+    sum_col = sum_col or f"sum_{value}"
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.groupby(keys, as_index=False)[value].agg(["sum", "count"])
+        return g.rename(columns={"sum": "s", "count": "n"})
+
+    fine = (ds.map_batches(partial, batch_format="pandas")
+              .groupby(keys).sum(["s", "n"]))
+
+    def level_frame(df: pd.DataFrame, present: list[str]) -> pd.DataFrame:
+        out = pd.DataFrame(index=df.index)
+        for k in keys:
+            out[k] = df[k] if k in present else pd.array([None] * len(df),
+                                                         dtype=object)
+        out[sum_col] = df["sum(s)"].astype("int64") if df["sum(s)"].dtype.kind in "iu" \
+            else df["sum(s)"]
+        out[count_col] = df["sum(n)"].astype("int64")
+        return out
+
+    levels = [fine.map_batches(lambda df: level_frame(df, keys),
+                               batch_format="pandas")]
+    # coarser levels from the tiny finest aggregate (must materialize:
+    # a lazy groupby output re-executes upstream per consumer)
+    fine_mat = fine.materialize()
+    for i in range(len(keys) - 1, 0, -1):
+        prefix = keys[:i]
+        lvl = fine_mat.groupby(prefix).sum(["sum(s)", "sum(n)"])
+
+        def mk(present):
+            def f(df: pd.DataFrame) -> pd.DataFrame:
+                df = df.rename(columns={"sum(sum(s))": "sum(s)",
+                                        "sum(sum(n))": "sum(n)"})
+                return level_frame(df, present)
+            return f
+
+        levels.append(lvl.map_batches(mk(prefix), batch_format="pandas"))
+    tot = fine_mat.sum(["sum(s)", "sum(n)"])
+    total_df = level_frame(pd.DataFrame(
+        {"sum(s)": [tot["sum(sum(s))"]], "sum(n)": [tot["sum(sum(n))"]]}),
+        present=[])
+    import ray.data as _rd
+
+    levels.append(_rd.from_pandas(total_df))
+    out = levels[0]
+    for lv in levels[1:]:
+        out = out.union(lv)
+    return out
+
+
 def string_agg(ds, *, by: str, value: str, order: list[str], sep: str = ",",
                out_col: str | None = None, num_partitions: int | None = None):
     """SQL ``STRING_AGG(value, sep ORDER BY ...)`` per group: one hash

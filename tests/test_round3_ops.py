@@ -430,3 +430,35 @@ def test_string_agg_ordered_and_partition_invariant(ray_session):
                           order=["ts", "id"], num_partitions=5)
                .to_pandas().sort_values("k").reset_index(drop=True))
         pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_rollup_sum_matches_duckdb(ray_session):
+    import duckdb
+
+    from pic2vec_ray.stages.relational import rollup_sum
+
+    rng = np.random.default_rng(67)
+    df = pd.DataFrame({
+        "a": rng.choice(["x", "y"], 200),
+        "b": rng.choice(["p", "q", "r"], 200),
+        "c": rng.choice(["m", "n"], 200),
+        "v": rng.integers(0, 100, 200),
+    })
+    got = (rollup_sum(_ds(ray_session, df, 5), keys=["a", "b", "c"], value="v")
+           .to_pandas())
+    con = duckdb.connect()
+    con.register("t", df)
+    exp = con.execute("""
+        SELECT a, b, c, SUM(v) AS sum_v, COUNT(*) AS n_rows
+        FROM t GROUP BY ROLLUP (a, b, c)
+    """).df()
+
+    canon = lambda d: sorted(
+        ("" if pd.isna(a) else a, "" if pd.isna(b) else b,
+         "" if pd.isna(c) else c, int(s), int(n))
+        for a, b, c, s, n in d[["a", "b", "c", "sum_v", "n_rows"]]
+        .itertuples(index=False))
+    assert canon(got) == canon(exp)
+    assert len(got) == len(exp)
+    with pytest.raises(ValueError):
+        rollup_sum(_ds(ray_session, df), keys=[], value="v")
