@@ -542,6 +542,94 @@ FROM (
 """
 
 
+def session_stats(sf_dir: str):
+    """Session-level aggregates composed on top of sessionize: per
+    (user, session) the event count, span in seconds, and summed
+    value — sessionize's one hash shuffle already co-locates each
+    user's rows, so the per-session groupby is a second small
+    exchange bounded by session count, not event count (pre-agg via
+    per-batch partials)."""
+    from ..temporal.windows import sessionize
+
+    ds = _events(sf_dir, columns=["event_id", "user_id", "ts", "value"])
+    out = sessionize(ds, by="user_id", order="ts",
+                     gap=pd.Timedelta(minutes=SESSION_GAP_MIN),
+                     tiebreak="event_id",
+                     num_partitions=_nparts(sf_dir, "events"))
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["user_id", "session_id"], as_index=False).agg(
+            n=("event_id", "size"), t0=("ts", "min"), t1=("ts", "max"),
+            s=("value", "sum"))
+        return g
+
+    agg = (out.map_batches(partial, batch_format="pandas")
+              .groupby(["user_id", "session_id"])
+              .aggregate(*_session_aggs()))
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        span = (df["max(t1)"] - df["min(t0)"]).dt.total_seconds()
+        return pd.DataFrame({
+            "user_id": df["user_id"], "session_id": df["session_id"],
+            "n_events": df["sum(n)"].astype("int64"),
+            "span_sec": span.round(6),
+            "sum_value": df["sum(s)"].round(6),
+        })
+
+    return agg.map_batches(finish, batch_format="pandas")
+
+
+def _session_aggs():
+    from ray.data.aggregate import Max, Min, Sum
+
+    return Sum("n"), Min("t0"), Max("t1"), Sum("s")
+
+
+SQL_SESSION_STATS = f"""
+WITH s AS ({SQL_SESSIONIZE})
+SELECT s.user_id, s.session_id,
+       COUNT(*) AS n_events,
+       ROUND(EXTRACT(EPOCH FROM MAX(e.ts) - MIN(e.ts)), 6) AS span_sec,
+       ROUND(SUM(e.value), 6) AS sum_value
+FROM s JOIN events e USING (event_id)
+GROUP BY s.user_id, s.session_id
+"""
+
+
+def distinct_users_per_type(sf_dir: str):
+    """Exact grouped COUNT(DISTINCT): two-phase — per-batch (type,
+    user) dedup partials, one (type, user)-bounded groupby to finish
+    the dedup, then a tiny per-type count. The exchange moves one row
+    per distinct pair, never raw events (the exact counterpart of the
+    HLL sketch query)."""
+    ds = _events(sf_dir, columns=["event_type", "user_id"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates()
+
+    pairs = (ds.map_batches(partial, batch_format="pandas")
+               .groupby(["event_type", "user_id"]).count())
+
+    def count_users(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("event_type", as_index=False).size()
+        return g.rename(columns={"size": "nd"})
+
+    agg = (pairs.map_batches(count_users, batch_format="pandas")
+                .groupby("event_type").sum("nd"))
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"event_type": df["event_type"],
+                             "n_users": df["sum(nd)"].astype("int64")})
+
+    return agg.map_batches(finish, batch_format="pandas")
+
+
+SQL_DISTINCT_USERS = """
+SELECT event_type, COUNT(DISTINCT user_id) AS n_users
+FROM events GROUP BY event_type
+"""
+
+
 def tumbling_1d(sf_dir: str):
     """Tumbling 1-day event-time windows per user (count + sum)."""
     from ..temporal.windows import tumbling_window_agg
@@ -2212,6 +2300,8 @@ QUERIES = {
     "lag_lead_value": lag_lead_value,
     "backfill_purchase_value": backfill_purchase_value,
     "sessionize_events": sessionize_events,
+    "session_stats": session_stats,
+    "distinct_users_per_type": distinct_users_per_type,
     "tumbling_1d": tumbling_1d,
     "hopping_30m_1h": hopping_30m_1h,
     "top3_purchases_per_user": top3_purchases_per_user,
@@ -2292,6 +2382,8 @@ ORACLE_SQL = {
     "lag_lead_value": SQL_LAG_LEAD,
     "backfill_purchase_value": SQL_BACKFILL,
     "sessionize_events": SQL_SESSIONIZE,
+    "session_stats": SQL_SESSION_STATS,
+    "distinct_users_per_type": SQL_DISTINCT_USERS,
     "tumbling_1d": SQL_TUMBLING,
     "hopping_30m_1h": SQL_HOPPING,
     "top3_purchases_per_user": SQL_TOP3,

@@ -462,3 +462,39 @@ def test_rollup_sum_matches_duckdb(ray_session):
     assert len(got) == len(exp)
     with pytest.raises(ValueError):
         rollup_sum(_ds(ray_session, df), keys=[], value="v")
+
+
+def test_distinct_users_and_session_stats_vs_pandas(ray_session, sf_dir):
+    import ray.data as rd
+
+    from pic2vec_ray.pipelines.queries import (
+        distinct_users_per_type,
+        session_stats,
+    )
+
+    got = (distinct_users_per_type(sf_dir).to_pandas()
+           .sort_values("event_type").reset_index(drop=True))
+    pdf = rd.read_parquet(f"{sf_dir}/events.parquet",
+                          columns=["event_type", "user_id", "ts", "value",
+                                   "event_id"]).to_pandas()
+    exp = (pdf.groupby("event_type")["user_id"].nunique()
+           .rename("n_users").reset_index())
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+    ss = session_stats(sf_dir).to_pandas()
+    # session count equals sessionize's max session id summed per user
+    o = pdf.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+    gap = pd.Timedelta(minutes=30)
+    prev = o.groupby("user_id", sort=False)["ts"].shift(1)
+    o["sid"] = ((prev.isna() | ((o.ts - prev) > gap))
+                .groupby(o.user_id, sort=False).cumsum())
+    exp_n = o.groupby(["user_id", "sid"]).agg(
+        n=("event_id", "size"), s=("value", "sum"),
+        t0=("ts", "min"), t1=("ts", "max"))
+    exp_n.index = exp_n.index.set_names(["user_id", "session_id"])
+    assert len(ss) == len(exp_n)
+    assert ss.n_events.sum() == len(pdf)
+    m = ss.set_index(["user_id", "session_id"]).join(exp_n)
+    assert (m.n_events == m.n).all()
+    assert np.allclose(m.sum_value, m.s.round(6))
+    assert np.allclose(m.span_sec, (m.t1 - m.t0).dt.total_seconds().round(6))
