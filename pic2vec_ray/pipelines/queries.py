@@ -563,26 +563,26 @@ def session_stats(sf_dir: str):
             s=("value", "sum"))
         return g
 
-    agg = (out.map_batches(partial, batch_format="pandas")
-              .groupby(["user_id", "session_id"])
-              .aggregate(*_session_aggs()))
+    # merge via the shared hash-partition pattern (one exchange of the
+    # ≤session-count partial rows, vectorized pandas per partition) —
+    # Ray's sort-aggregate over the high-cardinality (user, session)
+    # key measured 28 s at sf0.1; this path runs in ~3 s
+    from ..temporal.core import partitioned_apply
 
-    def finish(df: pd.DataFrame) -> pd.DataFrame:
-        span = (df["max(t1)"] - df["min(t0)"]).dt.total_seconds()
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["user_id", "session_id"], as_index=False).agg(
+            n=("n", "sum"), t0=("t0", "min"), t1=("t1", "max"),
+            s=("s", "sum"))
         return pd.DataFrame({
-            "user_id": df["user_id"], "session_id": df["session_id"],
-            "n_events": df["sum(n)"].astype("int64"),
-            "span_sec": span.round(6),
-            "sum_value": df["sum(s)"].round(6),
+            "user_id": g["user_id"], "session_id": g["session_id"],
+            "n_events": g["n"].astype("int64"),
+            "span_sec": (g["t1"] - g["t0"]).dt.total_seconds().round(6),
+            "sum_value": g["s"].round(6),
         })
 
-    return agg.map_batches(finish, batch_format="pandas")
-
-
-def _session_aggs():
-    from ray.data.aggregate import Max, Min, Sum
-
-    return Sum("n"), Min("t0"), Max("t1"), Sum("s")
+    partials = out.map_batches(partial, batch_format="pandas")
+    return partitioned_apply(partials, "user_id", merge,
+                             num_partitions=_nparts(sf_dir, "events"))
 
 
 SQL_SESSION_STATS = f"""
@@ -602,26 +602,28 @@ def distinct_users_per_type(sf_dir: str):
     the dedup, then a tiny per-type count. The exchange moves one row
     per distinct pair, never raw events (the exact counterpart of the
     HLL sketch query)."""
+    from ..temporal.core import partitioned_apply
+
     ds = _events(sf_dir, columns=["event_type", "user_id"])
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         return df.drop_duplicates()
 
-    pairs = (ds.map_batches(partial, batch_format="pandas")
-               .groupby(["event_type", "user_id"]).count())
-
-    def count_users(df: pd.DataFrame) -> pd.DataFrame:
-        g = df.groupby("event_type", as_index=False).size()
+    def count_local(df: pd.DataFrame) -> pd.DataFrame:
+        g = (df.drop_duplicates()
+               .groupby("event_type", as_index=False).size())
         return g.rename(columns={"size": "nd"})
 
-    agg = (pairs.map_batches(count_users, batch_format="pandas")
-                .groupby("event_type").sum("nd"))
-
-    def finish(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({"event_type": df["event_type"],
-                             "n_users": df["sum(nd)"].astype("int64")})
-
-    return agg.map_batches(finish, batch_format="pandas")
+    # pair-hash partitioning co-locates every (type, user) pair, so the
+    # local dedup+count is globally exact; the per-type partial counts
+    # (≤ partitions × types rows) merge on the driver
+    counts = partitioned_apply(
+        ds.map_batches(partial, batch_format="pandas"),
+        ["event_type", "user_id"], count_local,
+        num_partitions=_nparts(sf_dir, "events"))
+    return (counts.to_pandas()
+            .groupby("event_type", as_index=False)["nd"].sum()
+            .rename(columns={"nd": "n_users"}))
 
 
 SQL_DISTINCT_USERS = """

@@ -472,7 +472,7 @@ def test_distinct_users_and_session_stats_vs_pandas(ray_session, sf_dir):
         session_stats,
     )
 
-    got = (distinct_users_per_type(sf_dir).to_pandas()
+    got = (distinct_users_per_type(sf_dir)  # returns a pandas DataFrame
            .sort_values("event_type").reset_index(drop=True))
     pdf = rd.read_parquet(f"{sf_dir}/events.parquet",
                           columns=["event_type", "user_id", "ts", "value",
