@@ -822,7 +822,6 @@ def paragraph_dedup(ds, *, col: str = "text", id_col: str = "doc_id",
     """
     import pyarrow as pa
     import pyarrow.compute as pc
-    from ray.data.aggregate import Min
 
     K = int(words_per_segment)
     IDX_BITS = 20
@@ -846,25 +845,31 @@ def paragraph_dedup(ds, *, col: str = "text", id_col: str = "doc_id",
         okey = (ids[seg_doc] << IDX_BITS) | seg_idx
         return pa.table({"seg": seg_text, "okey": pa.array(okey, pa.int64())})
 
-    segs = ds.map_batches(explode, batch_format="pyarrow")
-    kept = segs.groupby("seg").aggregate(Min("okey"))
+    from ..temporal.core import DEFAULT_PARTITIONS, partitioned_apply
 
-    def decode_winner(t: pa.Table) -> pa.Table:
-        fk = t["min(okey)"].to_numpy()
-        return pa.table({
-            id_col: pa.array(fk >> IDX_BITS, pa.int64()),
-            "seg_idx": pa.array(fk & ((1 << IDX_BITS) - 1), pa.int64()),
-            "seg": t["seg"],
+    segs = ds.map_batches(explode, batch_format="pyarrow")
+
+    # both merges go through the hash-partition + vectorized-local-
+    # groupby path: Ray's sort-aggregate on the high-cardinality `seg`
+    # key measured 13 s at sf0.1 where this shape runs in ~3 s
+    def keep_min(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("seg", as_index=False)["okey"].min()
+        fk = g["okey"].to_numpy()
+        return pd.DataFrame({
+            id_col: fk >> IDX_BITS,
+            "seg_idx": fk & ((1 << IDX_BITS) - 1),
+            "seg": g["seg"],
         })
 
-    winners = kept.map_batches(decode_winner, batch_format="pyarrow")
+    winners = partitioned_apply(segs, "seg", keep_min, DEFAULT_PARTITIONS)
 
-    def rebuild(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("seg_idx")
-        return pd.DataFrame({id_col: [g[id_col].iloc[0]],
-                             "clean_text": [" ".join(g["seg"])]})
+    def rebuild(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([id_col, "seg_idx"], kind="mergesort")
+        g = (df.groupby(id_col, sort=False)["seg"].agg(" ".join)
+               .rename("clean_text").reset_index())
+        return g
 
-    return winners.groupby(id_col).map_groups(rebuild, batch_format="pandas")
+    return partitioned_apply(winners, id_col, rebuild, DEFAULT_PARTITIONS)
 
 
 def dedup_incremental(new_ds, seen_ds, *, id_col: str = "doc_id",
