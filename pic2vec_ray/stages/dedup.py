@@ -896,16 +896,20 @@ def dedup_incremental(new_ds, seen_ds, *, id_col: str = "doc_id",
         return (ds.map_batches(fingerprint64, batch_format="pandas")
                   .map_batches(lambda df: df[cols], batch_format="pandas"))
 
+    from ..temporal.core import DEFAULT_PARTITIONS, partitioned_apply
+
     new_fp = fp(new_ds, [id_col, "fingerprint"])
     seen_fp = fp(seen_ds, ["fingerprint"])
 
-    firsts = new_fp.groupby("fingerprint").min(id_col)
+    # hash-partition + local min, not a Ray sort-aggregate — the
+    # fingerprint key is per-document cardinality (see BASELINE.md's
+    # high-cardinality-merge audit)
+    def keep_min(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("fingerprint", as_index=False)[id_col].min()
 
-    def tidy(df: pd.DataFrame) -> pd.DataFrame:
-        return df.rename(columns={f"min({id_col})": id_col})
-
-    # materialize: a lazy groupby output re-executes its shuffle when
+    # materialize: a lazy shuffle output re-executes upstream when
     # the join resolves schemas (see round-2 notes)
-    firsts = firsts.map_batches(tidy, batch_format="pandas").materialize()
+    firsts = partitioned_apply(new_fp, "fingerprint", keep_min,
+                               DEFAULT_PARTITIONS).materialize()
     kwargs = {"num_partitions": num_partitions} if num_partitions else {}
     return hash_join(firsts, seen_fp, on="fingerprint", how="anti", **kwargs)
