@@ -243,7 +243,9 @@ def make_patchify_fn(patch: int = 16, bytes_col: str = "bytes",
         total = int(n_tiles.sum())
         image_col = pa.array(np.repeat(np.array(out_ids, dtype=object), n_tiles),
                              pa.string())
-        prefix = np.concatenate([[0], np.cumsum(n_tiles)[:-1]]).astype(np.int64)
+        # cumsum-minus form stays shape-correct when NO image in the
+        # batch yields a tile (all missing / smaller than one patch)
+        prefix = (np.cumsum(n_tiles) - n_tiles).astype(np.int64)
         patch_no = np.arange(total, dtype=np.int64) - np.repeat(prefix, n_tiles)
         gws = np.repeat(np.array([gw for _, gw in grids], dtype=np.int64), n_tiles)
         cols = {

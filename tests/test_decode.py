@@ -168,3 +168,24 @@ def test_thumbnail_roundtrip_pixel_exact():
 
     with pytest.raises(ValueError):
         make_thumbnail_fn((0, 32))
+
+
+def test_patchify_drops_partial_edge_tiles():
+    """Non-multiple dims: only FULL 16x16 tiles survive (exact-division
+    ViT rule) and they match numpy slices of the cropped region."""
+    from pic2vec_ray.codecs.png import encode_png
+    from pic2vec_ray.stages.decode import make_patchify_fn
+
+    rng = np.random.default_rng(71)
+    img = rng.integers(0, 256, (50, 70, 3), np.uint8)  # 3x4 full tiles
+    t = pa.table({"image_id": ["odd"], "bytes": [encode_png(img)]})
+    out = make_patchify_fn(16)(t).to_pandas()
+    assert len(out) == 3 * 4
+    assert out.py.max() == 2 and out.px.max() == 3
+    for _, r in out.iterrows():
+        tile = img[r.py * 16:(r.py + 1) * 16, r.px * 16:(r.px + 1) * 16]
+        assert (np.frombuffer(r.patch, np.uint8).reshape(16, 16, 3) == tile).all()
+    # an image smaller than one tile emits nothing
+    tiny = rng.integers(0, 256, (8, 8, 3), np.uint8)
+    t2 = pa.table({"image_id": ["tiny"], "bytes": [encode_png(tiny)]})
+    assert len(make_patchify_fn(16)(t2).to_pandas()) == 0
