@@ -84,9 +84,11 @@ def encode_avi_mjpeg(frames, fps: float = 10.0, quality: int = 90,
     avih = struct.pack("<14I", usec_per_frame, max_bytes * int(fps + 1), 0,
                        0x10,  # AVIF_HASINDEX
                        n, 0, 1, max_bytes, w, h, 0, 0, 0, 0)
+    # AVISTREAMHEADER tail: dwQuality (signed, -1 = default) then
+    # dwSampleSize (0 for video streams — frames are variable-size)
     strh = (b"vids" + b"MJPG"
-            + struct.pack("<IHHIIIIIIIi", 0, 0, 0, 0, scale, rate, 0, n,
-                          max_bytes, 0, -1)
+            + struct.pack("<IHHIIIIIIiI", 0, 0, 0, 0, scale, rate, 0, n,
+                          max_bytes, -1, 0)
             + struct.pack("<4H", 0, 0, w, h))
     strf = struct.pack("<IiiHH4sIiiII", 40, w, h, 1, 24, b"MJPG",
                        w * h * 3, 0, 0, 0, 0)

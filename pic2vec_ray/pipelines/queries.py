@@ -1263,7 +1263,8 @@ def audio_dominant_band(sf_dir: str):
     from ..fixtures.synth import audio_table_path
     from ..stages.multimodal import AudioFeatureActor
 
-    ds = _rd().read_parquet(audio_table_path(sf_dir))
+    ds = _rd().read_parquet(audio_table_path(sf_dir),
+                            columns=["clip_id", "bytes", "n_samples"])
     out = ds.map_batches(AudioFeatureActor,
                          fn_constructor_kwargs=dict(n_bands=16, frame=512),
                          batch_format="pyarrow", batch_size=256, concurrency=4)

@@ -158,10 +158,13 @@ def eval_ngram_bloom(eval_ds, *, col: str = "text", n: int = 8,
     defaults to a ``count() × n_grams-per-doc`` estimate from a one-row
     schema probe; pass it explicitly for tight sizing."""
     if expected_grams is None:
-        # upper-bound estimate: total tokens ≈ rows × tokens(first row)
-        first = eval_ds.take(1)
-        tok = len(str(first[0][col]).split()) if first else 0
-        expected_grams = max(1024, eval_ds.count() * max(tok, 1))
+        # estimate total grams ≈ rows × mean tokens/row over a sample —
+        # a single unrepresentative first row would mis-size the filter
+        # and blow the false-positive rate past fp_rate
+        sample = eval_ds.take(32)
+        toks = [len(str(r[col]).split()) for r in sample]
+        mean_tok = (sum(toks) / len(toks)) if toks else 0.0
+        expected_grams = max(1024, int(eval_ds.count() * max(mean_tok, 1.0)))
     filt = BloomGramFilter.for_capacity(expected_grams, fp_rate)
 
     def to_grams(batch: pd.DataFrame) -> pd.DataFrame:

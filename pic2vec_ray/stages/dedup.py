@@ -838,6 +838,12 @@ def paragraph_dedup(ds, *, col: str = "text", id_col: str = "doc_id",
         seg_idx = np.arange(total) - prefix[seg_doc]
         if total and seg_idx.max() >= (1 << IDX_BITS):
             raise ValueError("document exceeds 2^20 segments")
+        if len(ids) and ids.max() >= (1 << (63 - IDX_BITS)):
+            raise ValueError(
+                f"{id_col} exceeds 2^{63 - IDX_BITS}; packed (id<<"
+                f"{IDX_BITS})|seg order key would overflow int64")
+        if len(ids) and ids.min() < 0:
+            raise ValueError(f"{id_col} must be non-negative for packing")
         starts = off[seg_doc] + seg_idx * K
         seg_lists = pa.ListArray.from_arrays(
             pa.array(np.append(starts, off[-1]), pa.int32()), words.values)

@@ -187,7 +187,9 @@ class VideoFrameSampleActor:
                         self._uniq_means.append(f.mean(dtype=np.float64))
                         self._frame_memo[payload] = u
                     uidx.append(u)
-            except (AviError, JpegError, Exception):
+            except (AviError, JpegError, ValueError):
+                # corrupt container / payload -> missing-row semantics;
+                # genuine programming errors (TypeError, ...) must raise
                 return None
             mean_i = float(np.mean([self._uniq_means[u] for u in uidx]))
             return np.asarray(uidx, dtype=np.int64), vid.n_frames, mean_i

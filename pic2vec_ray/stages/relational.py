@@ -86,11 +86,12 @@ def rollup_sum(ds, *, keys: list[str], value: str,
         out[count_col] = df["sum(n)"].astype("int64")
         return out
 
-    levels = [fine.map_batches(lambda df: level_frame(df, keys),
-                               batch_format="pandas")]
-    # coarser levels from the tiny finest aggregate (must materialize:
-    # a lazy groupby output re-executes upstream per consumer)
+    # materialize the finest aggregate ONCE and derive EVERY level from
+    # it (incl. level 0) — deriving level 0 from the lazy `fine` would
+    # re-run the full two-phase corpus aggregation when the union executes
     fine_mat = fine.materialize()
+    levels = [fine_mat.map_batches(lambda df: level_frame(df, keys),
+                                   batch_format="pandas")]
     for i in range(len(keys) - 1, 0, -1):
         prefix = keys[:i]
         lvl = fine_mat.groupby(prefix).sum(["sum(s)", "sum(n)"])
