@@ -892,12 +892,16 @@ def minhash_dedup_groups(sf_dir: str):
     """Near-dup clustering end-to-end: MinHash-LSH pairs → distributed
     connected components → (id, group_id). Oracle-checked since round 3:
     the SQL replays the full sketch chain plus a recursive-CTE
-    connected components (pipelines/sketch_sql.py)."""
+    connected components (pipelines/sketch_sql.py). Round 4: the
+    connectivity consumer uses STAR edges (m−1 per bucket instead of
+    m(m−1)/2 — the hot-bucket scale fix), replayed identically by the
+    oracle's MIN-anchored candidate CTE."""
     from ..stages.dedup import minhash_lsh_pairs, neardup_groups
 
     ds = _rd().read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     p = _nparts(sf_dir, "documents")
-    pairs = minhash_lsh_pairs(ds, threshold=0.5, num_perm=64, bands=16, num_partitions=p)
+    pairs = minhash_lsh_pairs(ds, threshold=0.5, num_perm=64, bands=16,
+                              num_partitions=p, edges="star")
     return neardup_groups(pairs, num_partitions=p)
 
 

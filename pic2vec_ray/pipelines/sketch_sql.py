@@ -109,14 +109,30 @@ WHERE bit_count(xor(a.sim64, b.sim64)) <= {max_hamming}"""
 
 
 def _minhash_common_ctes(a, b, k: int = 5, bands: int = 16,
-                         threshold: float = 0.5) -> str:
+                         threshold: float = 0.5, edges: str = "all") -> str:
     """CTEs up to ``mh_pairs(id_a, id_b, jaccard)`` — the exact replay
     of ``minhash_lsh_pairs`` (signatures → band-equality candidates →
-    signature-agreement prefilter → exact-Jaccard verify)."""
+    signature-agreement prefilter → exact-Jaccard verify).
+    ``edges="star"`` replays the scale-safe star enumeration (bucket-min
+    anchor joined to every other member) used by the groups consumer."""
     num_perm = len(a)
     rpb = num_perm // bands
     perm_rows = ", ".join(f"({i}, {int(a[i])}, {int(b[i])})"
                           for i in range(num_perm))
+    if edges == "star":
+        cand = f"""cand AS (
+  SELECT DISTINCT m.mn AS id_a, x.doc_id AS id_b
+  FROM bandrows x
+  JOIN (SELECT bnum, bkey, MIN(doc_id) AS mn
+        FROM bandrows GROUP BY bnum, bkey) m
+    ON x.bnum = m.bnum AND x.bkey = m.bkey AND x.doc_id > m.mn
+)"""
+    else:
+        cand = """cand AS (
+  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+  FROM bandrows x JOIN bandrows y
+    ON x.bnum = y.bnum AND x.bkey = y.bkey AND x.doc_id < y.doc_id
+)"""
     return f"""{_shingle_ctes(k, distinct=True)},
 perms(p, pa, pb) AS (VALUES {perm_rows}),
 pv AS (
@@ -130,11 +146,7 @@ bandrows AS (
          array_to_string(list_slice(s, {rpb} * bnum + 1, {rpb} * bnum + {rpb}), ',') AS bkey
   FROM sig, range({bands}) t(bnum)
 ),
-cand AS (
-  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
-  FROM bandrows x JOIN bandrows y
-    ON x.bnum = y.bnum AND x.bkey = y.bkey AND x.doc_id < y.doc_id
-),
+{cand},
 est AS (
   SELECT c.id_a, c.id_b,
          list_sum([CASE WHEN sa.s[j] = sb.s[j] THEN 1 ELSE 0 END
@@ -170,9 +182,12 @@ def minhash_pairs_sql(a, b, **kw) -> str:
 
 
 def minhash_groups_sql(a, b, **kw) -> str:
-    """Exact oracle for ``minhash_lsh_pairs → neardup_groups``:
-    connected components over the pair edges via a recursive CTE;
-    ``group_id`` = min member id, matching the hash-min propagation."""
+    """Exact oracle for ``minhash_lsh_pairs(edges="star") →
+    neardup_groups``: star candidate edges (the groups query's
+    scale-safe enumeration), then connected components over the
+    verified pairs via a recursive CTE; ``group_id`` = min member id,
+    matching the hash-min propagation."""
+    kw.setdefault("edges", "star")
     return f"""WITH RECURSIVE {_minhash_common_ctes(a, b, **kw)},
 e AS MATERIALIZED (SELECT id_a AS s, id_b AS d FROM mh_pairs
       UNION ALL SELECT id_b, id_a FROM mh_pairs),

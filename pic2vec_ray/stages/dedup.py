@@ -35,10 +35,52 @@ on one node):
 
 from __future__ import annotations
 
+import logging
+
 import numpy as np
 import pandas as pd
 
 _MERSENNE = (1 << 61) - 1
+_LOG = logging.getLogger(__name__)
+
+
+def _enumerate_bucket_pairs(ids: np.ndarray, *, edges: str,
+                            max_pairs: int | None):
+    """Candidate pairs for one LSH bucket of sorted unique ``ids``.
+
+    ``edges="star"``: ``(ids[0], other)`` only — m−1 edges, exactly the
+    connectivity the connected-components consumer needs; a bucket of
+    10⁶ near-identical docs emits 10⁶−1 edges instead of ~5·10¹¹ pairs.
+
+    ``edges="all"``: the full upper triangle, CAPPED at ``max_pairs``
+    per bucket via a deterministic index-distance schedule (all pairs
+    at distance 1, then 2, …) — the distance-1 ring is always included
+    so within-bucket connectivity survives truncation, and the schedule
+    depends only on the sorted id order, never on partitioning.
+
+    Returns ``(id_a, id_b, n_dropped)``.
+    """
+    m = len(ids)
+    if edges == "star":
+        return np.repeat(ids[0], m - 1), ids[1:], 0
+    if edges != "all":
+        raise ValueError("edges must be 'all' or 'star'")
+    total = m * (m - 1) // 2
+    if max_pairs is None or total <= max_pairs:
+        ia, ib = np.triu_indices(m, k=1)
+        return ids[ia], ids[ib], 0
+    take_a, take_b, n = [], [], 0
+    for j in range(1, m):
+        cnt = min(m - j, max_pairs - n)
+        idx = np.arange(cnt)
+        take_a.append(idx)
+        take_b.append(idx + j)
+        n += cnt
+        if n >= max_pairs:
+            break
+    ia = np.concatenate(take_a)
+    ib = np.concatenate(take_b)
+    return ids[ia], ids[ib], total - n
 
 
 def _stable_text_hash(s: pd.Series) -> pd.Series:
@@ -194,7 +236,9 @@ def minhash_signatures_batch(texts: list[str], a: np.ndarray, b: np.ndarray,
 
 def minhash_lsh_pairs(ds, *, col: str = "text", id_col: str = "doc_id",
                       num_perm: int = 64, bands: int = 16, shingle_k: int = 5,
-                      threshold: float = 0.5, num_partitions: int = 64):
+                      threshold: float = 0.5, num_partitions: int = 64,
+                      edges: str = "all",
+                      max_bucket_pairs: int | None = 1_000_000):
     """MinHash+LSH near-duplicate pairs with verified true Jaccard.
 
     Stages: shingle→minhash signatures per batch (vectorized) → band
@@ -210,6 +254,17 @@ def minhash_lsh_pairs(ds, *, col: str = "text", id_col: str = "doc_id",
     ``id_b`` — no corpus-sized broadcast or driver materialization
     anywhere; the candidate count, not the corpus size, bounds every
     intermediate. Returns (id_a, id_b, jaccard), id_a < id_b.
+
+    Hot-bucket safety (the 100-TB hazard: a boilerplate cluster of 10⁶
+    near-identical docs lands every member in one bucket):
+    ``edges="star"`` emits only ``(bucket_min_id, other)`` — m−1 edges,
+    sufficient connectivity for ``neardup_groups`` (note a star edge
+    failing Jaccard verification can, in adversarial buckets, sever a
+    B–C link full enumeration would keep — the standard LSH-dedup
+    trade); ``edges="all"`` (default) caps each bucket's enumeration at
+    ``max_bucket_pairs`` via a deterministic index-distance schedule
+    that always keeps the distance-1 ring, and LOGS the dropped count —
+    no silent truncation.
     """
     from ..temporal.join import hash_join
 
@@ -252,11 +307,20 @@ def minhash_lsh_pairs(ds, *, col: str = "text", id_col: str = "doc_id",
 
     def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
         pairs = []
+        dropped = 0
         for (_, _), g in group.groupby(["band", "band_hash"], sort=False):
             ids = np.sort(g[id_col].unique())
             if len(ids) > 1:
-                ia, ib = np.triu_indices(len(ids), k=1)
-                pairs.append(pd.DataFrame({"id_a": ids[ia], "id_b": ids[ib]}))
+                pa_, pb_, d = _enumerate_bucket_pairs(
+                    ids, edges=edges, max_pairs=max_bucket_pairs)
+                dropped += d
+                pairs.append(pd.DataFrame({"id_a": pa_, "id_b": pb_}))
+        if dropped:
+            _LOG.warning(
+                "minhash bucket pair enumeration truncated: %d candidate "
+                "pairs dropped (max_bucket_pairs=%s); distance-1 ring kept "
+                "so bucket connectivity is preserved", dropped,
+                max_bucket_pairs)
         if not pairs:
             return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
                                  "id_b": pd.Series([], dtype="int64")})
@@ -640,7 +704,9 @@ def neardup_groups(pairs_ds, *, num_partitions: int = 64, max_rounds: int = 30):
 def embedding_neardup_pairs(ds, *, vec_col: str = "embedding", id_col: str = "vec_id",
                             threshold: float = 0.95, mode: str = "lsh",
                             bands: int = 16, band_bits: int = 8,
-                            num_partitions: int = 64, seed: int = 5102020):
+                            num_partitions: int = 64, seed: int = 5102020,
+                            edges: str = "all",
+                            max_bucket_pairs: int | None = 1_000_000):
     """Near-duplicate pairs by embedding cosine ≥ threshold.
 
     ``mode="lsh"`` (default, the scale path): random-hyperplane sign
@@ -704,12 +770,23 @@ def embedding_neardup_pairs(ds, *, vec_col: str = "embedding", id_col: str = "ve
         return out
 
     def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        # same hot-bucket discipline as minhash_lsh_pairs: star edges for
+        # the connectivity consumer, capped + logged enumeration otherwise
         pairs = []
+        dropped = 0
         for _, g in group.groupby(["band", "bucket"], sort=False):
             ids = np.sort(g[id_col].unique())
             if len(ids) > 1:
-                ia, ib = np.triu_indices(len(ids), k=1)
-                pairs.append(pd.DataFrame({"id_a": ids[ia], "id_b": ids[ib]}))
+                pa_, pb_, d = _enumerate_bucket_pairs(
+                    ids, edges=edges, max_pairs=max_bucket_pairs)
+                dropped += d
+                pairs.append(pd.DataFrame({"id_a": pa_, "id_b": pb_}))
+        if dropped:
+            _LOG.warning(
+                "embedding-LSH bucket pair enumeration truncated: %d "
+                "candidate pairs dropped (max_bucket_pairs=%s); distance-1 "
+                "ring kept so bucket connectivity is preserved", dropped,
+                max_bucket_pairs)
         if not pairs:
             return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
                                  "id_b": pd.Series([], dtype="int64")})
