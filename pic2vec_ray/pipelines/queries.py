@@ -1833,6 +1833,60 @@ FROM lineitem, e
 """
 
 
+def approx_quantiles_price(sf_dir: str):
+    """Approximate grouped quantiles over a CONTINUOUS column
+    (stages/quantiles.grouped_quantiles_approx): a deterministic
+    fixed-bin histogram CDF. The exchange moves ≤ batches × groups ×
+    n_bins counter rows — never raw lineitem rows and never one row
+    per distinct float (the exact path's bound, which approaches row
+    count on continuous domains at 100 TB). The SQL oracle rebuilds
+    the identical histogram and reads the same lower-edge rule."""
+    from ..stages.quantiles import grouped_quantiles_approx
+
+    ds = _rd().read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_extendedprice"],
+    )
+    return grouped_quantiles_approx(
+        ds, keys="l_returnflag", value="l_extendedprice",
+        qs=(0.25, 0.5, 0.75, 0.9), n_bins=1000,
+    )
+
+
+# Bit-exact replay of the histogram sketch: identical bin rule
+# (floor((v-mn)*B/(mx-mn)) clamped, evaluated in the same IEEE float64
+# op order), identical rank rule (first bin with cum >= ceil(q*n)),
+# identical lower-edge output rounded 6 dp.
+SQL_APPROX_QUANTILES = """
+WITH s AS (
+  SELECT MIN(l_extendedprice) AS mn, MAX(l_extendedprice) AS mx
+  FROM lineitem
+), binned AS (
+  SELECT l_returnflag,
+         CASE WHEN mx > mn THEN LEAST(
+                CAST(FLOOR((l_extendedprice - mn) * 1000 / (mx - mn)) AS BIGINT),
+                999)
+              ELSE 0 END AS bin
+  FROM lineitem, s
+), hist AS (
+  SELECT l_returnflag, bin, COUNT(*) AS cnt FROM binned GROUP BY 1, 2
+), cdf AS (
+  SELECT l_returnflag, bin,
+         SUM(cnt) OVER (PARTITION BY l_returnflag ORDER BY bin) AS cum,
+         SUM(cnt) OVER (PARTITION BY l_returnflag) AS n
+  FROM hist
+)
+SELECT l_returnflag,
+       ROUND(mn + (mx - mn) * MIN(CASE WHEN cum >= GREATEST(1, CEIL(0.25 * n)) THEN bin END) / 1000, 6) AS q25,
+       ROUND(mn + (mx - mn) * MIN(CASE WHEN cum >= GREATEST(1, CEIL(0.50 * n)) THEN bin END) / 1000, 6) AS q50,
+       ROUND(mn + (mx - mn) * MIN(CASE WHEN cum >= GREATEST(1, CEIL(0.75 * n)) THEN bin END) / 1000, 6) AS q75,
+       ROUND(mn + (mx - mn) * MIN(CASE WHEN cum >= GREATEST(1, CEIL(0.90 * n)) THEN bin END) / 1000, 6) AS q90,
+       CAST(MAX(n) AS BIGINT) AS n_rows
+FROM cdf, s
+GROUP BY l_returnflag, mn, mx
+"""
+
+
 def rollup_qty_by_flag(sf_dir: str):
     """GROUP BY ROLLUP (stages/relational.rollup_sum): one two-phase
     pass builds the finest (flag, status) aggregate; every coarser
@@ -2340,6 +2394,7 @@ QUERIES = {
     "decontaminate_docs": decontaminate_docs,
     "attribution_6h": attribution_6h,
     "quantiles_by_flag": quantiles_by_flag,
+    "approx_quantiles_price": approx_quantiles_price,
     "price_decile_bins": price_decile_bins,
     "standardize_price": standardize_price,
     "mode_quantity_by_flag": mode_quantity_by_flag,
@@ -2424,6 +2479,7 @@ ORACLE_SQL = {
     "decontaminate_docs": SQL_DECONTAMINATE,
     "attribution_6h": SQL_ATTRIBUTION,
     "quantiles_by_flag": SQL_QUANTILES,
+    "approx_quantiles_price": SQL_APPROX_QUANTILES,
     "price_decile_bins": SQL_PRICE_DECILES,
     "standardize_price": SQL_STANDARDIZE,
     "mode_quantity_by_flag": SQL_GROUPED_MODE,

@@ -71,6 +71,97 @@ def grouped_quantiles_exact(
     return counts.groupby(keys).map_groups(finish, batch_format="pandas")
 
 
+def grouped_quantiles_approx(
+    ds,
+    *,
+    keys: str | list[str],
+    value: str,
+    qs: tuple[float, ...] = (0.25, 0.5, 0.75, 0.9),
+    n_bins: int = 1024,
+    num_partitions: int = 16,
+):
+    """Approximate grouped quantiles for CONTINUOUS value domains via a
+    deterministic fixed-bin histogram CDF — the scale-safe complement
+    to :func:`grouped_quantiles_exact` (whose exchange is bounded by
+    the number of *distinct* values, useless for floats at 100 TB).
+
+    Two passes over the input lineage:
+
+    1. exact global ``min``/``max`` of ``value`` (a tiny aggregate);
+    2. per-batch partial histogram — one row per (group, bin), so the
+       exchange moves ≤ batches × groups × ``n_bins`` counter rows and
+       NEVER raw rows — merged per group with one hash partition
+       (``temporal.core.partitioned_apply``; Ray's sort-aggregate is
+       avoided per the high-cardinality-key rule, BASELINE.md round 3).
+
+    Determinism & SQL replay: the bin rule is pinned to
+    ``min(n_bins-1, floor((v - mn) * n_bins / (mx - mn)))`` evaluated
+    in IEEE float64 exactly as DuckDB evaluates the same expression,
+    merge is pointwise integer addition (associative/commutative ⇒
+    partition-invariant), and the reported quantile is the LOWER EDGE
+    of the first bin whose cumulative count reaches rank
+    ``ceil(q·n)``, rounded to 6 dp — so a SQL oracle rebuilds the
+    histogram bit-for-bit (the way ``hll_distinct_tokens`` replays HLL
+    registers).
+
+    Error bound: the true q-quantile lies inside the chosen bin, so
+    ``|approx − exact| ≤ (mx − mn) / n_bins`` (property-tested in
+    ``tests/test_round4_ops.py``).
+
+    Output columns: the keys, ``q{percent}`` per quantile, ``n_rows``.
+    """
+    from ray.data.aggregate import Max, Min
+
+    from ..temporal.core import partitioned_apply
+
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    qcols = [f"q{int(round(q * 100))}" for q in qs]
+    if len(set(qcols)) != len(qcols):
+        raise ValueError("quantiles collide after percent rounding")
+    B = int(n_bins)
+    if B < 2:
+        raise ValueError(f"n_bins must be >= 2, got {B}")
+
+    stats = ds.aggregate(Min(value), Max(value))
+    mn = float(stats[f"min({value})"])
+    mx = float(stats[f"max({value})"])
+    span = mx - mn
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        v = batch[value].to_numpy(dtype=np.float64)
+        if span > 0:
+            # same operation ORDER as the SQL replay: (v-mn)*B first,
+            # then the divide — IEEE doubles make the two bit-identical
+            b = np.minimum(np.floor((v - mn) * B / span), B - 1).astype(np.int64)
+        else:
+            b = np.zeros(len(v), dtype=np.int64)
+        g = batch[keys].copy()
+        g["bin"] = b
+        return (g.groupby(keys + ["bin"], as_index=False).size()
+                .rename(columns={"size": "cnt"}))
+
+    def finish(part: pd.DataFrame) -> pd.DataFrame:
+        merged = part.groupby(keys + ["bin"], as_index=False)["cnt"].sum()
+        rows = []
+        for gk, g in merged.groupby(keys, sort=False):
+            g = g.sort_values("bin", kind="mergesort")
+            cum = g["cnt"].to_numpy().cumsum()
+            n = int(cum[-1])
+            bins = g["bin"].to_numpy()
+            row = dict(zip(keys, gk if isinstance(gk, tuple) else (gk,)))
+            for q, name in zip(qs, qcols):
+                rank = max(1, math.ceil(q * n))
+                lo_bin = int(bins[int(np.searchsorted(cum, rank))])
+                row[name] = round(mn + span * lo_bin / B, 6)
+            row["n_rows"] = n
+            rows.append(row)
+        return pd.DataFrame(rows)
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+    return partitioned_apply(partials, keys, finish,
+                             num_partitions=num_partitions)
+
+
 def grouped_mode(ds, *, keys: str | list[str], value: str):
     """Exact most-frequent ``value`` per group with a PINNED tie-break
     (highest count first, then smallest value — SQL ``ROW_NUMBER()
