@@ -1887,6 +1887,37 @@ GROUP BY l_returnflag, mn, mx
 """
 
 
+def epoch_shuffle_docs(sf_dir: str):
+    """Deterministic epoch shuffle (stages/split.epoch_shuffle): a
+    seeded global permutation emitting explicit (epoch, position) —
+    resume-stable and partition-invariant, computed with one bucket
+    histogram + one hash partition instead of a global sort."""
+    from ..stages.split import epoch_shuffle
+
+    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id"])
+    return epoch_shuffle(ds, id_col="doc_id", epoch=3, seed=42,
+                         num_partitions=16)
+
+
+def _epoch_shuffle_sql(epoch: int = 3, seed: int = 42) -> str:
+    """ROW_NUMBER over the identical splitmix64 stream (HUGEINT replay
+    from pipelines/sketch_sql), tie-broken by id exactly as the Ray
+    side sorts."""
+    return f"""
+WITH base AS (
+  SELECT doc_id AS id,
+         (doc_id + CAST({epoch} AS HUGEINT) * 6364136223846793005
+                 + CAST({seed} AS HUGEINT) * 1442695040888963407)
+         % 18446744073709551616 AS hv
+  FROM documents
+),{_sketch_sql._splitmix_ctes('base', 'id')}
+SELECT id AS doc_id, CAST({epoch} AS BIGINT) AS epoch,
+       CAST(ROW_NUMBER() OVER (ORDER BY hv, id) - 1 AS BIGINT) AS position
+FROM smx
+"""
+
+
 def rollup_qty_by_flag(sf_dir: str):
     """GROUP BY ROLLUP (stages/relational.rollup_sum): one two-phase
     pass builds the finest (flag, status) aggregate; every coarser
@@ -2395,6 +2426,7 @@ QUERIES = {
     "attribution_6h": attribution_6h,
     "quantiles_by_flag": quantiles_by_flag,
     "approx_quantiles_price": approx_quantiles_price,
+    "epoch_shuffle_docs": epoch_shuffle_docs,
     "price_decile_bins": price_decile_bins,
     "standardize_price": standardize_price,
     "mode_quantity_by_flag": mode_quantity_by_flag,
@@ -2480,6 +2512,7 @@ ORACLE_SQL = {
     "attribution_6h": SQL_ATTRIBUTION,
     "quantiles_by_flag": SQL_QUANTILES,
     "approx_quantiles_price": SQL_APPROX_QUANTILES,
+    "epoch_shuffle_docs": _epoch_shuffle_sql(),
     "price_decile_bins": SQL_PRICE_DECILES,
     "standardize_price": SQL_STANDARDIZE,
     "mode_quantity_by_flag": SQL_GROUPED_MODE,

@@ -100,3 +100,99 @@ def hash_sample(ds, *, id_col: str, rate: float, buckets: int = 10_000):
         return batch.iloc[b < cut]
 
     return ds.map_batches(keep, batch_format="pandas")
+
+
+# --------------------------------------------------------------- epoch shuffle
+
+# LCG multiplier/increment (public constants, Knuth MMIX) seed the
+# per-(epoch, seed) hash stream; splitmix64 finalizes for avalanche.
+_EPOCH_K1 = np.uint64(6364136223846793005)
+_EPOCH_K2 = np.uint64(1442695040888963407)
+
+
+def _epoch_hash(ids: np.ndarray, epoch: int, seed: int) -> np.ndarray:
+    from .sketch import _splitmix64
+
+    with np.errstate(over="ignore"):
+        x = (ids.astype(np.uint64)
+             + np.uint64(epoch) * _EPOCH_K1
+             + np.uint64(seed) * _EPOCH_K2)
+    return _splitmix64(x)
+
+
+def epoch_shuffle(ds, *, id_col: str, epoch: int, seed: int = 0,
+                  num_buckets: int = 4096, num_partitions: int = 64,
+                  position_col: str = "position"):
+    """Deterministic global shuffle for training epochs: every row gets
+    an explicit ``(epoch, position)`` with ``position`` the rank of
+    ``splitmix64(id + epoch·K1 + seed·K2)`` (ties broken by id) — a
+    seeded permutation that is a pure function of (id, epoch, seed), so
+    it is reproducible run-over-run, stable under repartitioning and
+    resume, and changes completely between epochs. ``random_shuffle``
+    gives none of those (RNG state, no positions, not resumable).
+
+    Zero-materialization rank computation (no global sort):
+
+    1. one pass of per-batch histograms over the top-``log2(buckets)``
+       hash bits — uniform by avalanche, so buckets are balanced; the
+       driver cumsums the ≤``num_buckets`` counters into exclusive
+       global offsets (a tree combine keeps the driver table bounded);
+    2. one hash partition co-locates each bucket, and
+       ``position = offset[bucket] + rank within bucket`` — vectorized
+       sort + cumcount per partition.
+
+    The SQL oracle replays the identical permutation via
+    ``ROW_NUMBER() OVER (ORDER BY splitmix64_hash, id)`` (HUGEINT
+    splitmix64 from ``pipelines/sketch_sql``); ids must be >= 0 (the
+    uint64/HUGEINT wrap contracts agree on non-negatives only).
+    """
+    if num_buckets & (num_buckets - 1):
+        raise ValueError(f"num_buckets must be a power of two, got {num_buckets}")
+    shift = np.uint64(64 - int(num_buckets).bit_length() + 1)
+    epoch, seed = int(epoch), int(seed)
+
+    def tag(batch: pd.DataFrame) -> pd.DataFrame:
+        ids = batch[id_col].to_numpy()
+        if len(ids) and ids.min() < 0:
+            raise ValueError("epoch_shuffle requires non-negative ids")
+        h = _epoch_hash(ids, epoch, seed)
+        batch["__h"] = h
+        batch["__bucket"] = (h >> shift).astype(np.int64)
+        return batch
+
+    def counts(batch: pd.DataFrame) -> pd.DataFrame:
+        ids = batch[id_col].to_numpy()
+        if len(ids) and ids.min() < 0:
+            raise ValueError("epoch_shuffle requires non-negative ids")
+        b = (_epoch_hash(ids, epoch, seed) >> shift).astype(np.int64)
+        u, c = np.unique(b, return_counts=True)
+        return pd.DataFrame({"__bucket": u, "cnt": c})
+
+    def combine(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.groupby("__bucket", as_index=False)["cnt"].sum()
+
+    # histogram pass: per-batch partials, a tree combine (bounds the
+    # driver merge to ~num_buckets x partial-batches/2^18 rows), then a
+    # tiny driver cumsum -> exclusive offsets per bucket.
+    partials = (ds.map_batches(counts, batch_format="pandas")
+                .map_batches(combine, batch_format="pandas",
+                             batch_size=1 << 18)
+                .to_pandas()
+                .groupby("__bucket", as_index=False)["cnt"].sum()
+                .sort_values("__bucket"))
+    offsets = np.zeros(num_buckets, dtype=np.int64)
+    offsets[partials["__bucket"].to_numpy()] = partials["cnt"].to_numpy()
+    offsets = np.concatenate(([0], offsets.cumsum()))[:-1]
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["__bucket", "__h", id_col], kind="mergesort")
+        within = df.groupby("__bucket", sort=False).cumcount().to_numpy()
+        df[position_col] = offsets[df["__bucket"].to_numpy()] + within
+        df["epoch"] = np.int64(epoch)
+        return df.drop(columns=["__h", "__bucket"])
+
+    from ..temporal.core import partitioned_apply
+
+    tagged = ds.map_batches(tag, batch_format="pandas")
+    return partitioned_apply(tagged, "__bucket", assign,
+                             num_partitions=num_partitions)

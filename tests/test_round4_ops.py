@@ -69,3 +69,61 @@ def test_approx_quantiles_constant_column(ray_session):
     out = grouped_quantiles_approx(
         rd.from_pandas(df), keys="g", value="v", n_bins=64).to_pandas()
     assert out.q50.iloc[0] == 5.0 and out.n_rows.iloc[0] == 10
+
+
+# ------------------------------------------------- epoch shuffle
+
+
+def test_epoch_shuffle_is_permutation_and_partition_invariant(ray_session):
+    import ray.data as rd
+
+    from pic2vec_ray.stages.split import _epoch_hash, epoch_shuffle
+
+    ids = np.arange(0, 1500, dtype=np.int64) * 7  # sparse ids
+    df = pd.DataFrame({"doc_id": ids, "payload": ids * 2})
+    outs = []
+    for nblocks in (1, 5):
+        out = (epoch_shuffle(rd.from_pandas(df).repartition(nblocks),
+                             id_col="doc_id", epoch=2, seed=9,
+                             num_buckets=256, num_partitions=8)
+               .to_pandas().sort_values("doc_id").reset_index(drop=True))
+        outs.append(out)
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+    got = outs[0]
+    # positions form exactly 0..n-1
+    assert sorted(got.position.tolist()) == list(range(len(df)))
+    assert (got.epoch == 2).all()
+    # position == rank of (hash, id): brute-force replay
+    h = _epoch_hash(ids, 2, 9)
+    order = np.lexsort((ids, h))
+    expect = np.empty(len(ids), dtype=np.int64)
+    expect[order] = np.arange(len(ids))
+    assert (got.position.to_numpy() == expect).all()
+    # payload rides along untouched
+    assert (got.payload == got.doc_id * 2).all()
+
+
+def test_epoch_shuffle_changes_between_epochs(ray_session):
+    import ray.data as rd
+
+    from pic2vec_ray.stages.split import epoch_shuffle
+
+    df = pd.DataFrame({"doc_id": np.arange(400, dtype=np.int64)})
+    a = (epoch_shuffle(rd.from_pandas(df), id_col="doc_id", epoch=0,
+                       num_buckets=64, num_partitions=4)
+         .to_pandas().sort_values("doc_id").position.to_numpy())
+    b = (epoch_shuffle(rd.from_pandas(df), id_col="doc_id", epoch=1,
+                       num_buckets=64, num_partitions=4)
+         .to_pandas().sort_values("doc_id").position.to_numpy())
+    assert (a != b).mean() > 0.99
+
+
+def test_epoch_shuffle_rejects_negative_ids(ray_session):
+    import ray.data as rd
+
+    from pic2vec_ray.stages.split import epoch_shuffle
+
+    df = pd.DataFrame({"doc_id": [-1, 2, 3]})
+    with pytest.raises(Exception):
+        epoch_shuffle(rd.from_pandas(df), id_col="doc_id",
+                      epoch=0).to_pandas()
