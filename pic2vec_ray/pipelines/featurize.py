@@ -33,6 +33,8 @@ def featurize_images(
     batch_size: int = 128,
     concurrency=None,
     loaded_weights: str = "",
+    num_gpus: float | None = None,
+    num_cpus: float | None = None,
 ):
     """images: a Dataset or a parquet path of the input_hint schema.
 
@@ -41,6 +43,15 @@ def featurize_images(
     sizes the actor pool (default: 3/4 of cluster CPUs, capped).
     ``loaded_weights`` names an ``.npz`` custom-weight file on shared
     storage, loaded once per actor in ``__init__``.
+
+    ``num_gpus``: GPU fraction reserved per embed actor (SURVEY.md §4),
+    forwarded to ``map_batches`` so Ray schedules the pool onto GPU
+    nodes — e.g. ``num_gpus=0.25`` packs 4 actors per device. When the
+    cluster advertises NO GPU resource the kwarg is dropped with a
+    warning instead of deadlocking the pool on an unsatisfiable
+    reservation (this CPU sandbox takes that path). ``num_cpus``
+    adjusts the per-actor CPU reservation the same way (e.g. lower it
+    under ``num_gpus`` so CPU slots don't cap a GPU pool).
     """
     validate_config(model_str, depth, downsample, num_pooled_features)
     if loaded_weights:
@@ -78,6 +89,23 @@ def featurize_images(
         ds = rd.read_parquet(images, override_num_blocks=3 * concurrency)
     else:
         ds = images
+    resource_kwargs = {}
+    if num_gpus:
+        import warnings
+
+        import ray
+
+        cluster_gpus = (ray.cluster_resources().get("GPU", 0)
+                        if ray.is_initialized() else 0)
+        if cluster_gpus > 0:
+            resource_kwargs["num_gpus"] = float(num_gpus)
+        else:
+            warnings.warn(
+                f"featurize_images(num_gpus={num_gpus}) on a cluster with no "
+                "GPU resource — falling back to CPU-only actors",
+                stacklevel=2)
+    if num_cpus is not None:
+        resource_kwargs["num_cpus"] = float(num_cpus)
     multi = len(image_columns) > 1
     for col in image_columns:
         prefix = f"{col}_" if multi else ""
@@ -95,6 +123,7 @@ def featurize_images(
             batch_format="pyarrow",
             batch_size=batch_size,
             concurrency=concurrency,
+            **resource_kwargs,
         )
         if multi:
             # each stage emits a bare ``missing``; qualify it per column

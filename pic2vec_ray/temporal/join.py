@@ -100,6 +100,51 @@ def _union_tagged(left, right, keys: list[str], suffix: str, num_partitions: int
     return both, left_schema, value_cols, int_like
 
 
+def _hash_join_broadcast(left, right, keys: list[str], how: str, suffix: str):
+    """Zero-shuffle plan for a small materialized right side: one
+    ``ray.put`` of the (suffixed, null-key-dropped where the mode
+    allows) right table, probed with the SAME merge semantics as the
+    shuffle plan inside a stateless ``map_batches`` over the left."""
+    import logging
+
+    import ray
+
+    from .core import restore_int_dtypes
+
+    left_schema = _arrow_schema(left)
+    rdf = right.to_pandas()
+    clashes = [c for c in rdf.columns if c not in keys and c in left_schema.names]
+    if clashes:
+        rdf = rdf.rename(columns={c: c + suffix for c in clashes})
+    value_cols = [c for c in rdf.columns if c not in keys]
+    # SQL null semantics: a NULL key never matches (see the shuffle
+    # plan's merge) — drop null-key right rows once, before the put.
+    rdf = rdf.dropna(subset=keys).reset_index(drop=True)
+    logging.getLogger(__name__).info(
+        "hash_join plan=broadcast how=%s right_rows=%d", how, len(rdf))
+
+    int_like = {f.name: str(f.type) for f in left_schema
+                if pa.types.is_integer(f.type)}
+    rschema = pa.Schema.from_pandas(rdf, preserve_index=False)
+    for c in value_cols:
+        t = rschema.field(c).type
+        if pa.types.is_integer(t):
+            int_like[c] = str(t)
+    ref = ray.put(rdf)
+    left_names = list(left_schema.names)
+
+    def probe(batch: pd.DataFrame) -> pd.DataFrame:
+        r = ray.get(ref)
+        if how in ("semi", "anti"):
+            mask = batch.set_index(keys).index.isin(r.set_index(keys).index)
+            return batch[mask] if how == "semi" else batch[~mask]
+        out = batch.merge(r, on=keys, how=how)
+        out = out.reindex(columns=left_names + value_cols)
+        return restore_int_dtypes(out, int_like)
+
+    return left.map_batches(probe, batch_format="pandas")
+
+
 def hash_join(
     left,
     right,
@@ -111,6 +156,7 @@ def hash_join(
     num_partitions: int = DEFAULT_PARTITIONS,
     hot_keys: list | None = None,
     salt: int = 8,
+    broadcast: bool | str = "auto",
 ):
     """Join two Datasets on equality keys.
     ``how``: inner/left/right/outer/semi/anti.
@@ -133,6 +179,17 @@ def hash_join(
     replicated — exact for the LEFT-anchored modes (inner/left/semi/
     anti). right/outer reject salting: a replicated unmatched right row
     would be emitted once per replica.
+
+    ``broadcast``: ``"auto"`` (default) takes the zero-shuffle
+    broadcast plan — ``ray.put`` the right side once, probe it inside
+    a stateless ``map_batches`` over the left — when the right side is
+    ALREADY MATERIALIZED and small (same metadata-only test as
+    ``asof_join``: no execution is triggered just to pick a plan) and
+    the mode is left-anchored (inner/left/semi/anti; right/outer must
+    see unmatched right rows exactly once, which only the co-shuffle
+    guarantees). ``True`` forces it (raises for right/outer), ``False``
+    forces the shuffle plan. Both plans produce identical rows — pinned
+    by ``tests/test_round4_ops.py``.
     """
     if how not in ("inner", "left", "right", "outer", "semi", "anti"):
         raise ValueError(
@@ -144,8 +201,23 @@ def hash_join(
     rkeys = [right_on] if isinstance(right_on, str) else list(right_on or keys)
     if len(keys) != len(rkeys):
         raise ValueError("on/right_on arity mismatch")
+
+    if broadcast == "auto":
+        from .asof import BROADCAST_MAX_BYTES
+        from ray.data.dataset import MaterializedDataset
+
+        nbytes = (right.size_bytes()
+                  if isinstance(right, MaterializedDataset) else None)
+        broadcast = (how in ("inner", "left", "semi", "anti")
+                     and nbytes is not None and nbytes <= BROADCAST_MAX_BYTES)
+    elif broadcast and how in ("right", "outer"):
+        raise ValueError("broadcast join is exact only for left-anchored "
+                         "modes (inner/left/semi/anti)")
+
     if rkeys != keys:
         right = _rename(right, dict(zip(rkeys, keys)))
+    if broadcast:
+        return _hash_join_broadcast(left, right, keys, how, suffix)
 
     both, left_schema, value_cols, int_like = _union_tagged(
         left, right, keys, suffix, num_partitions, hot_keys, salt)

@@ -127,3 +127,135 @@ def test_epoch_shuffle_rejects_negative_ids(ray_session):
     with pytest.raises(Exception):
         epoch_shuffle(rd.from_pandas(df), id_col="doc_id",
                       epoch=0).to_pandas()
+
+
+# ------------------------------------------ hash_join broadcast plan
+
+
+def _join_frames(seed=3):
+    rng = np.random.default_rng(seed)
+    left = pd.DataFrame({
+        "k": rng.integers(0, 50, 800),
+        "lv": rng.integers(0, 1000, 800),
+    })
+    # include null keys on both sides + keys with no match
+    left.loc[::97, "k"] = np.nan
+    right = pd.DataFrame({
+        "k": rng.integers(25, 75, 120),
+        "rv": rng.integers(0, 9, 120),
+        "lv": rng.integers(0, 9, 120),  # clash -> suffixed
+    })
+    right.loc[::41, "k"] = np.nan
+    return left, right
+
+
+@pytest.mark.parametrize("how", ["inner", "left", "semi", "anti"])
+def test_hash_join_broadcast_equals_shuffle(ray_session, how):
+    import ray.data as rd
+
+    from pic2vec_ray.temporal.join import hash_join
+
+    left, right = _join_frames()
+    lds = rd.from_pandas(left).repartition(4)
+    rds = rd.from_pandas(right).materialize()
+
+    def canon(ds):
+        df = ds.to_pandas()
+        return (df.astype({c: "float64" for c in df.columns})
+                .sort_values(list(df.columns), na_position="last")
+                .reset_index(drop=True))
+
+    got_b = canon(hash_join(lds, rds, on="k", how=how, broadcast=True))
+    got_s = canon(hash_join(lds, rds, on="k", how=how, broadcast=False,
+                            num_partitions=8))
+    pd.testing.assert_frame_equal(got_b, got_s)
+
+
+def test_hash_join_auto_picks_broadcast_for_materialized_small(ray_session):
+    import ray.data as rd
+
+    from pic2vec_ray.temporal import join as join_mod
+
+    left, right = _join_frames(9)
+    lds = rd.from_pandas(left)
+    called = {}
+    orig = join_mod._hash_join_broadcast
+
+    def spy(*a, **kw):
+        called["yes"] = True
+        return orig(*a, **kw)
+
+    join_mod._hash_join_broadcast, bak = spy, orig
+    try:
+        # materialized + tiny -> broadcast
+        join_mod.hash_join(lds, rd.from_pandas(right).materialize(),
+                           on="k", how="inner").to_pandas()
+        assert called.pop("yes", False)
+        # lazy right side -> shuffle (metadata-only test must not
+        # trigger execution)
+        join_mod.hash_join(lds, rd.from_pandas(right).repartition(2),
+                           on="k", how="inner").to_pandas()
+        assert not called
+        # right/outer never broadcast
+        with pytest.raises(ValueError):
+            join_mod.hash_join(lds, rd.from_pandas(right).materialize(),
+                               on="k", how="outer", broadcast=True)
+    finally:
+        join_mod._hash_join_broadcast = bak
+
+
+# ------------------------------------------------ GPU plumbing
+
+
+def test_featurize_num_gpus_reaches_map_batches(ray_session, images_dir):
+    """The kwarg is threaded to map_batches when the cluster has GPUs
+    (asserted via a fake dataset), and silently dropped with a warning
+    on a GPU-less cluster so the pool cannot deadlock."""
+    import warnings
+
+    from pic2vec_ray.pipelines import featurize as fz
+
+    class FakeDS:
+        def __init__(self):
+            self.calls = []
+
+        def map_batches(self, *a, **kw):
+            self.calls.append(kw)
+            return self
+
+    # GPU-less cluster (this sandbox): kwarg dropped + warned
+    fake = FakeDS()
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        fz.featurize_images(fake, model_str="tinynet", num_gpus=0.5,
+                            concurrency=2)
+    assert "num_gpus" not in fake.calls[-1]
+    assert any("falling back to CPU-only" in str(x.message) for x in w)
+
+    # pretend the cluster has GPUs: kwarg must reach map_batches
+    import ray
+
+    real = ray.cluster_resources
+    try:
+        ray.cluster_resources = lambda: {**real(), "GPU": 4.0}
+        fake = FakeDS()
+        fz.featurize_images(fake, model_str="tinynet", num_gpus=0.25,
+                            num_cpus=0.5, concurrency=2)
+        assert fake.calls[-1]["num_gpus"] == 0.25
+        assert fake.calls[-1]["num_cpus"] == 0.5
+    finally:
+        ray.cluster_resources = real
+
+
+def test_featurize_runs_with_gpu_fallback(ray_session, images_dir):
+    """End-to-end: num_gpus on a CPU sandbox still produces features."""
+    import warnings
+
+    from pic2vec_ray.pipelines.featurize import featurize_images
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        ds = featurize_images(images_dir, model_str="tinynet", depth=1,
+                              batch_size=64, concurrency=2, num_gpus=1)
+    df = ds.to_pandas()
+    assert len(df) == 200 and len(df.features.iloc[0]) == 128
