@@ -195,14 +195,29 @@ def run_checkpointed_featurize(sf_dir: str) -> dict:
     ck_dir = f"{OUT_ROOT}/features_ckpt"
     shutil.rmtree(ck_dir, ignore_errors=True)
 
+    # overlap all 4 partitions (VERDICT r03 #3) and split the embed
+    # pool between them. 1.5x the even split measured fastest (8.8 vs
+    # 13.7 s at 32 CPUs): overlapped pipelines interleave Python decode
+    # with reads/dispatch, so a modest oversubscription keeps actors
+    # busy while a sibling pipeline waits on IO; 2x (4x8 pools)
+    # regressed to 22 s. Sweep recorded in BASELINE.md round 4.
+    import ray
+
+    total_pool = max(1, min((3 * int(ray.cluster_resources().get("CPU", 4))) // 4, 16))
+    k = 4
+    per_part = max(1, int(round(1.5 * total_pool / k)))
+
     def pipeline(ds):
-        return featurize_images(ds, model_str="tinynet", depth=1)
+        return featurize_images(ds, model_str="tinynet", depth=1,
+                                concurrency=per_part)
 
     t0 = time.perf_counter()
-    summary = run_partitioned(images_dir, ck_dir, pipeline, num_partitions=4)
+    summary = run_partitioned(images_dir, ck_dir, pipeline,
+                              num_partitions=k, max_concurrent=k)
     cold = time.perf_counter() - t0
     t0 = time.perf_counter()
-    resumed = run_partitioned(images_dir, ck_dir, pipeline, num_partitions=4)
+    resumed = run_partitioned(images_dir, ck_dir, pipeline,
+                              num_partitions=k, max_concurrent=k)
     resume_scan = time.perf_counter() - t0
     assert resumed["ran"] == [] and len(resumed["skipped"]) == summary["num_partitions"]
     return {"featurize_ckpt": round(cold, 3),

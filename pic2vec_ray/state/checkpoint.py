@@ -81,9 +81,22 @@ def run_partitioned(
     *,
     num_partitions: int = 8,
     metrics_fn: Callable | None = None,
+    max_concurrent: int = 1,
 ) -> dict:
     """Run ``pipeline_fn(dataset) -> dataset`` over each partition of the
     parquet fragments in ``input_dir``, committing each atomically.
+
+    ``max_concurrent`` overlaps up to that many partitions (driver
+    threads, each owning its own Ray Data streaming execution): serial
+    partitions pay a fixed per-partition pipeline/actor-pool spin-up
+    that idles the cluster between partitions (VERDICT r03 #3 —
+    measured 2.7× on the sf0.1 featurize bench). Overlap keeps the
+    fleet busy across partition boundaries; size any actor pools
+    created inside ``pipeline_fn`` to ``total / max_concurrent`` so the
+    concurrent pipelines don't oversubscribe the cluster. Commit
+    atomicity and the resume contract are per-partition and unchanged
+    (each thread renames its own ``part=K.tmp`` and manifest; a crash
+    mid-run leaves only whole committed partitions behind).
 
     Returns a summary: partitions run / skipped and the manifest list.
     """
@@ -97,11 +110,14 @@ def run_partitioned(
     groups = _partition_inputs(files, num_partitions)
     os.makedirs(out_dir, exist_ok=True)
 
-    ran, skipped = [], []
+    ran, skipped, todo = [], [], []
     for k, inputs in enumerate(groups):
         if partition_done(out_dir, k, inputs):
             skipped.append(k)
-            continue
+        else:
+            todo.append((k, inputs))
+
+    def run_one(k: int, inputs: list[str]) -> int:
         part_dir = os.path.join(out_dir, f"part={k}")
         tmp_dir = part_dir + ".tmp"
         shutil.rmtree(tmp_dir, ignore_errors=True)
@@ -111,10 +127,10 @@ def run_partitioned(
         ds.write_parquet(tmp_dir)
         wall = time.perf_counter() - t0
         os.rename(tmp_dir, part_dir)
+        import pyarrow.parquet as pq
+
         rows = sum(
-            __import__("pyarrow.parquet", fromlist=["read_metadata"]).read_metadata(
-                os.path.join(part_dir, f)
-            ).num_rows
+            pq.read_metadata(os.path.join(part_dir, f)).num_rows
             for f in os.listdir(part_dir)
             if f.endswith(".parquet")
         )
@@ -130,5 +146,33 @@ def run_partitioned(
         with open(tmp_manifest, "w") as f:
             json.dump(manifest, f)
         os.replace(tmp_manifest, manifest_path(out_dir, k))
-        ran.append(k)
+        return k
+
+    if max_concurrent <= 1:
+        for k, inputs in todo:
+            ran.append(run_one(k, inputs))
+    elif todo:
+        from concurrent.futures import ThreadPoolExecutor
+
+        # Ray's path resolution probes `fsspec.implementations.http`
+        # on EVERY read/write; with aiohttp absent the import always
+        # fails, is retried per call, and concurrent retries from
+        # sibling threads can observe a partially-initialized module —
+        # a plain ImportError Ray's ModuleNotFoundError handler misses.
+        # Register a negative-cache stub once: its HTTPFileSystem
+        # matches no real object, reproducing the except-path exactly.
+        try:
+            from fsspec.implementations.http import HTTPFileSystem  # noqa: F401
+        except ImportError:
+            import sys
+            import types
+
+            stub = types.ModuleType("fsspec.implementations.http")
+            stub.HTTPFileSystem = type("_NoHTTPFileSystem", (), {})
+            sys.modules.setdefault("fsspec.implementations.http", stub)
+
+        with ThreadPoolExecutor(max_workers=int(max_concurrent)) as pool:
+            # submission order preserved in `ran` for a deterministic
+            # summary; exceptions propagate after in-flight work drains
+            ran = list(pool.map(lambda ki: run_one(*ki), todo))
     return {"ran": ran, "skipped": skipped, "num_partitions": len(groups), "out_dir": out_dir}

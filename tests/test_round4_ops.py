@@ -259,3 +259,55 @@ def test_featurize_runs_with_gpu_fallback(ray_session, images_dir):
                               batch_size=64, concurrency=2, num_gpus=1)
     df = ds.to_pandas()
     assert len(df) == 200 and len(df.features.iloc[0]) == 128
+
+
+# --------------------------------------- overlapped checkpoint runs
+
+
+def test_run_partitioned_overlap_matches_serial(ray_session, images_dir):
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    from pic2vec_ray.pipelines.featurize import featurize_images
+    from pic2vec_ray.state.checkpoint import run_partitioned
+
+    def pipeline(ds):
+        return featurize_images(ds, model_str="tinynet", depth=1,
+                                concurrency=1, batch_size=64)
+
+    # the sf0.001 images table is a single parquet file; respread it so
+    # the run really has 4 partitions to overlap
+    import ray.data as rd
+
+    inp = "/tmp/pic2vec_ray_test_ckpt_input"
+    shutil.rmtree(inp, ignore_errors=True)
+    rd.read_parquet(images_dir).repartition(4).write_parquet(inp)
+    images_dir = inp
+
+    # overlap 2 on the 4-CPU test session: 2 pools x 1 actor leaves
+    # CPUs for the read/write tasks (4 pools would starve them — the
+    # exact oversubscription hazard the docstring warns about)
+    outs = {}
+    for label, kcc in (("serial", 1), ("overlap", 2)):
+        out = f"/tmp/pic2vec_ray_test_ckpt_{label}"
+        shutil.rmtree(out, ignore_errors=True)
+        s = run_partitioned(images_dir, out, pipeline, num_partitions=4,
+                            max_concurrent=kcc)
+        nparts = s["num_partitions"]
+        assert sorted(s["ran"]) == list(range(nparts)) and s["skipped"] == []
+        frames = [pq.read_table(f"{out}/part={k}").to_pandas()
+                  for k in range(nparts)]
+        df = (pd.concat(frames).sort_values("image_id")
+              .reset_index(drop=True))
+        outs[label] = df
+        # resume sees everything done
+        s2 = run_partitioned(images_dir, out, pipeline, num_partitions=4,
+                             max_concurrent=kcc)
+        assert s2["ran"] == [] and len(s2["skipped"]) == nparts
+    a, b = outs["serial"], outs["overlap"]
+    assert a.image_id.tolist() == b.image_id.tolist()
+    assert (a.missing == b.missing).all()
+    fa = np.stack(a.features.to_numpy())
+    fb = np.stack(b.features.to_numpy())
+    assert np.array_equal(fa, fb)
