@@ -311,3 +311,94 @@ def test_run_partitioned_overlap_matches_serial(ray_session, images_dir):
     fa = np.stack(a.features.to_numpy())
     fb = np.stack(b.features.to_numpy())
     assert np.array_equal(fa, fb)
+
+
+# -------------------------------------------------- BPE tokenizer
+
+
+def test_bpe_merge_pass_semantics():
+    from pic2vec_ray.stages.tokenizer import _merge_word
+
+    assert _merge_word(list("aaa"), "a", "a") == ["aa", "a"]
+    assert _merge_word(list("abab"), "a", "b") == ["ab", "ab"]
+    assert _merge_word(list("xaby"), "a", "b") == ["x", "ab", "y"]
+    assert _merge_word(["ab", "b"], "a", "b") == ["ab", "b"]
+
+
+def test_bpe_string_replace_equals_list_merge():
+    """The delimited-string replacement (what SQL REPLACE runs) is
+    exactly the list-form greedy pass, on adversarial inputs."""
+    import itertools
+
+    from pic2vec_ray.stages.tokenizer import (
+        SEP, _delim, _merge_pattern, _merge_word)
+
+    rng = np.random.default_rng(5)
+    words = ["".join(rng.choice(list("ab"), size=n))
+             for n in rng.integers(1, 9, 200)]
+    for word in words:
+        for a, b in itertools.product("ab", repeat=2):
+            pat, rep = _merge_pattern(a, b)
+            via_str = _delim(word).replace(pat, rep)
+            got = [t for t in via_str.split(SEP) if t]
+            assert got == _merge_word(list(word), a, b), (word, a, b)
+
+
+def test_bpe_tokenize_matches_reference_loop(ray_session):
+    """Distributed vectorized apply == a plain per-word reference loop
+    applying the same merges."""
+    import ray.data as rd
+
+    from pic2vec_ray.stages.tokenizer import (
+        PINNED_MERGES, _merge_word, bpe_tokenize)
+
+    texts = ["The quick brown fox!", "low lower lowest 123",
+             "", "aaaa bbbb abab", "Entity-44 shipped 9 units?"]
+    df = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    got = (bpe_tokenize(rd.from_pandas(df), PINNED_MERGES,
+                        output="tokens", concurrency=1)
+           .to_pandas().sort_values("doc_id"))
+
+    import re
+
+    def ref(text):
+        toks = []
+        for w in re.findall(r"[a-z0-9]+", text.lower()):
+            syms = list(w)
+            for a, b in PINNED_MERGES:
+                syms = _merge_word(syms, a, b)
+            toks.extend(syms)
+        return toks
+
+    for _, row in got.iterrows():
+        assert list(row.tokens) == ref(texts[row.doc_id]), texts[row.doc_id]
+    # detokenize roundtrip: concatenation restores the letter stream
+    for _, row in got.iterrows():
+        import re as _re
+
+        assert "".join(row.tokens) == "".join(
+            _re.findall(r"[a-z0-9]+", texts[row.doc_id].lower()))
+
+
+def test_pinned_merges_match_fit(ray_session):
+    """Drift guard: PINNED_MERGES is exactly fit_bpe(sf0.001 docs)."""
+    import ray.data as rd
+
+    from pic2vec_ray.stages.tokenizer import PINNED_MERGES, fit_bpe
+
+    ds = rd.read_parquet("/root/testdata/sf0.001/documents.parquet",
+                         columns=["text"])
+    assert fit_bpe(ds, num_merges=120) == PINNED_MERGES
+
+
+def test_bpe_count_handles_empty_and_missing_words(ray_session):
+    import ray.data as rd
+
+    from pic2vec_ray.stages.tokenizer import PINNED_MERGES, bpe_tokenize
+
+    df = pd.DataFrame({"doc_id": [0, 1, 2], "text": ["", "?!--", "one two"]})
+    got = (bpe_tokenize(rd.from_pandas(df), PINNED_MERGES,
+                        output="count", concurrency=1)
+           .to_pandas().sort_values("doc_id"))
+    assert got.n_tokens_bpe.iloc[0] == 0 and got.n_tokens_bpe.iloc[1] == 0
+    assert got.n_tokens_bpe.iloc[2] >= 2
