@@ -937,13 +937,13 @@ def quality_filter_docs(sf_dir: str):
     (length / punctuation / stopword heuristics) as a streaming filter;
     the score formula is reproduced in SQL exactly (ratios of ints +
     clip arithmetic → identical doubles)."""
-    from ..stages.text import TextStats
+    from ..stages.text import quality_filter
 
     ds = _rd().read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    out = ds.map_batches(TextStats, batch_format="pandas", concurrency=4)
+    out = quality_filter(ds, cutoff=QUALITY_CUTOFF, concurrency=4)
 
     def finish(df: pd.DataFrame) -> pd.DataFrame:
-        df = df[df.quality_score > QUALITY_CUTOFF].copy()
+        df = df.copy()
         df["quality_score"] = df.quality_score.round(6)
         return df[["doc_id", "quality_score"]]
 

@@ -177,7 +177,8 @@ def eval_ngram_bloom(eval_ds, *, col: str = "text", n: int = 8,
     return filt
 
 
-def decontaminate(train_ds, eval_grams, *, col: str = "text", n: int = 8):
+def decontaminate(train_ds, eval_grams, *, col: str = "text", n: int = 8,
+                  drop_counter=None, counter_key: str = "decontaminate"):
     """Filter ``train_ds`` down to rows sharing NO word n-gram with the
     eval set.
 
@@ -186,6 +187,10 @@ def decontaminate(train_ds, eval_grams, *, col: str = "text", n: int = 8):
     object with ``__contains__`` over strings, or an ``ObjectRef`` to
     one; it is ``ray.put`` once and read zero-copy by every filter
     task — never re-shipped per batch.
+
+    ``drop_counter``: a ``state.metrics.DropCounter`` handle — each
+    batch fire-and-forgets its dropped-row count under ``counter_key``,
+    so the removal is observable instead of silent (VERDICT r03 #8).
     """
     ref = eval_grams if isinstance(eval_grams, ray.ObjectRef) \
         else ray.put(eval_grams)
@@ -203,6 +208,10 @@ def decontaminate(train_ds, eval_grams, *, col: str = "text", n: int = 8):
         bad_rows = np.unique(doc_idx[hit])
         mask = np.ones(len(batch), dtype=bool)
         mask[bad_rows] = False
+        if drop_counter is not None:
+            from ..state.metrics import add_dropped
+
+            add_dropped(drop_counter, counter_key, len(bad_rows))
         return batch.iloc[mask]
 
     return train_ds.map_batches(keep_clean, batch_format="pandas")

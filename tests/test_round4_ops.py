@@ -402,3 +402,35 @@ def test_bpe_count_handles_empty_and_missing_words(ray_session):
            .to_pandas().sort_values("doc_id"))
     assert got.n_tokens_bpe.iloc[0] == 0 and got.n_tokens_bpe.iloc[1] == 0
     assert got.n_tokens_bpe.iloc[2] >= 2
+
+
+# -------------------------------------------- drop-count surfacing
+
+
+def test_filters_report_drop_counts(ray_session):
+    import ray
+    import ray.data as rd
+
+    from pic2vec_ray.stages.decontam import decontaminate, word_ngrams_batch
+    from pic2vec_ray.stages.text import quality_filter
+    from pic2vec_ray.state.metrics import DropCounter
+
+    counter = DropCounter.remote()
+    docs = pd.DataFrame({
+        "doc_id": range(6),
+        "text": ["the quick brown fox jumps over the lazy dog today"] * 2
+                + ["completely different words appear in this sentence here now ok"] * 4,
+    })
+    grams, _ = word_ngrams_batch(docs.text.iloc[:1], 8)
+    clean = decontaminate(rd.from_pandas(docs), frozenset(grams.tolist()),
+                          n=8, drop_counter=counter)
+    kept = clean.to_pandas()
+    assert len(kept) == 4
+    # short/punct-free junk rows get filtered with the count surfaced
+    junk = pd.DataFrame({"doc_id": range(5), "text": ["!!!", "x", "ok?!", "", "....."]})
+    out = quality_filter(rd.from_pandas(junk), cutoff=0.5,
+                         drop_counter=counter).to_pandas()
+    counts = ray.get(counter.get.remote())
+    assert counts["decontaminate"] == 2
+    assert counts["quality_filter"] == 5 - len(out)
+    assert counts["quality_filter"] > 0
