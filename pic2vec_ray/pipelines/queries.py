@@ -2460,6 +2460,159 @@ FROM agg
 """
 
 
+def woe_encode_priority(sf_dir: str):
+    """Weight-of-evidence encoding of a categorical against a binary
+    target (stages/encode.woe_encode): positive = order status 'F'.
+    Fit = per-batch (key, positives, rows) partials → one
+    category-bounded groupby; transform = broadcast dict lookup. The
+    SQL oracle recomputes the identical smoothed log-odds expression
+    from exact integer counts (both sides round to 6dp)."""
+    from ..stages.encode import woe_encode
+
+    ds = _rd().read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderpriority", "o_orderstatus"],
+    )
+
+    def flag(b: pd.DataFrame) -> pd.DataFrame:
+        b["is_f"] = (b["o_orderstatus"] == "F").astype("int64")
+        return b
+
+    flagged = ds.map_batches(flag, batch_format="pandas")
+    return woe_encode(flagged, key="o_orderpriority", target="is_f") \
+        .select_columns(["o_orderkey", "o_orderpriority",
+                         "o_orderpriority_woe"])
+
+
+SQL_WOE = """
+WITH c AS (
+  SELECT o_orderpriority,
+         CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+              AS DOUBLE) AS p,
+         CAST(COUNT(*) AS DOUBLE) AS n
+  FROM orders GROUP BY o_orderpriority
+), t AS (
+  SELECT SUM(p) AS pt, SUM(n - p) AS nt FROM c
+)
+SELECT o.o_orderkey, o.o_orderpriority,
+       ROUND(LN(((c.p + 0.5) / (t.pt + 1.0))
+                / ((c.n - c.p + 0.5) / (t.nt + 1.0))), 6)
+         AS o_orderpriority_woe
+FROM orders o JOIN c USING (o_orderpriority), t
+"""
+
+
+def winsorize_price(sf_dir: str):
+    """Winsorization of a continuous column at approximate
+    [5%, 95%] quantiles from the deterministic fixed-bin histogram
+    sketch (stages/quantiles.winsorize) — the scale-safe fit for
+    unbounded float domains. The SQL oracle rebuilds the identical
+    histogram, rank→bin-edge lookup (6dp), and clip."""
+    from ..stages.quantiles import winsorize
+
+    ds = _rd().read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_linenumber", "l_extendedprice"],
+    )
+    return winsorize(ds, value="l_extendedprice",
+                     lo_q=0.05, hi_q=0.95, n_bins=1024)
+
+
+SQL_WINSORIZE = """
+WITH s AS (
+  SELECT MIN(l_extendedprice) AS mn, MAX(l_extendedprice) AS mx,
+         COUNT(*) AS n
+  FROM lineitem
+), h AS (
+  SELECT CAST(LEAST(FLOOR((l_extendedprice - s.mn) * 1024
+                          / (s.mx - s.mn)), 1023) AS BIGINT) AS bin,
+         COUNT(*) AS cnt
+  FROM lineitem, s GROUP BY 1
+), c AS (
+  SELECT bin, SUM(cnt) OVER (ORDER BY bin) AS cum FROM h
+), e AS (
+  SELECT
+    ROUND(s.mn + (s.mx - s.mn)
+          * (SELECT MIN(bin) FROM c
+             WHERE cum >= GREATEST(1, CEIL(0.05 * s.n))) / 1024,
+          6) AS lo,
+    ROUND(s.mn + (s.mx - s.mn)
+          * (SELECT MIN(bin) FROM c
+             WHERE cum >= GREATEST(1, CEIL(0.95 * s.n))) / 1024,
+          6) AS hi
+  FROM s
+)
+SELECT l_orderkey, l_linenumber, l_extendedprice,
+       LEAST(GREATEST(l_extendedprice, e.lo), e.hi) AS l_extendedprice_w
+FROM lineitem, e
+"""
+
+
+def corr_qty_price(sf_dir: str):
+    """Grouped Pearson correlation via distributed sufficient stats
+    (stages/relational.grouped_corr): six scalars per (batch, group)
+    cross the exchange, never raw rows. The SQL oracle computes the
+    SAME raw-moment formula from SUM() aggregates (not DuckDB's
+    corr(), whose stable accumulation differs in low-order bits)."""
+    from ..stages.relational import grouped_corr
+
+    ds = _rd().read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_quantity", "l_extendedprice"],
+    )
+    return grouped_corr(ds, keys="l_returnflag",
+                        x="l_quantity", y="l_extendedprice")
+
+
+SQL_CORR = """
+WITH s AS (
+  SELECT l_returnflag,
+         CAST(COUNT(*) AS DOUBLE) AS n,
+         SUM(l_quantity) AS sx, SUM(l_extendedprice) AS sy,
+         SUM(l_quantity * l_quantity) AS sxx,
+         SUM(l_extendedprice * l_extendedprice) AS syy,
+         SUM(l_quantity * l_extendedprice) AS sxy
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag,
+       ROUND((n * sxy - sx * sy)
+             / SQRT((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+         AS corr_xy,
+       CAST(n AS BIGINT) AS n_rows
+FROM s
+"""
+
+
+def top_tokens_by_lang(sf_dir: str):
+    """Per-group token heavy hitters (stages/text.token_topk_by_group):
+    top-5 tokens per language by (count DESC, token ASC). Partial
+    counts per batch, exact merge + per-group top-k on the
+    hash-partition path (counts tables only, never raw text)."""
+    from ..stages.text import token_topk_by_group
+
+    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["lang", "text"])
+    return token_topk_by_group(ds, group_col="lang", k=5)
+
+
+SQL_TOP_TOKENS_LANG = """
+WITH tok AS (
+  SELECT lang,
+         unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                t -> t <> '')) AS token
+  FROM documents
+), c AS (
+  SELECT lang, token, count(*) AS cnt FROM tok GROUP BY lang, token
+), r AS (
+  SELECT lang, token, cnt,
+         ROW_NUMBER() OVER (PARTITION BY lang
+                            ORDER BY cnt DESC, token) AS rnk
+  FROM c
+)
+SELECT lang, token, cnt, rnk FROM r WHERE rnk <= 5
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q2_top_customers": q2_top_customers,
@@ -2520,6 +2673,10 @@ QUERIES = {
     "event_type_history": event_type_history,
     "rollup_qty_by_flag": rollup_qty_by_flag,
     "target_encode_priority": target_encode_priority,
+    "woe_encode_priority": woe_encode_priority,
+    "winsorize_price": winsorize_price,
+    "corr_qty_price": corr_qty_price,
+    "top_tokens_by_lang": top_tokens_by_lang,
     "tfidf_topk_docs": tfidf_topk_docs,
     "redact_docs": redact_docs,
     "phash_verify": phash_verify,
@@ -2608,6 +2765,10 @@ ORACLE_SQL = {
     "event_type_history": SQL_STRING_AGG,
     "rollup_qty_by_flag": SQL_ROLLUP,
     "target_encode_priority": SQL_TARGET_ENCODE,
+    "woe_encode_priority": SQL_WOE,
+    "winsorize_price": SQL_WINSORIZE,
+    "corr_qty_price": SQL_CORR,
+    "top_tokens_by_lang": SQL_TOP_TOKENS_LANG,
     "tfidf_topk_docs": SQL_TFIDF,
     "redact_docs": SQL_REDACT,
     "phash_verify": SQL_PHASH_VERIFY,

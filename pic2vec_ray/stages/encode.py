@@ -86,3 +86,44 @@ def target_encode(ds, *, key: str, target: str, out_col: str | None = None,
         return b
 
     return ds.map_batches(assign, batch_format="pandas")
+
+
+def woe_encode(ds, *, key: str, target: str, out_col: str | None = None,
+               smoothing: float = 0.5, decimals: int = 6):
+    """Weight-of-evidence encoding for a BINARY target:
+    ``woe(k) = ln( ((pos_k + s) / (pos + 2s)) / ((neg_k + s) / (neg + 2s)) )``
+    with additive smoothing ``s`` so empty cells stay finite — the
+    standard credit-scoring / feature-engineering encode.
+
+    Same two-phase shape as :func:`target_encode`: per-batch partial
+    (key, positives, rows) → one category-bounded groupby — the
+    exchange never moves raw rows. The SQL oracle recomputes the
+    identical expression from exact integer counts (both sides call
+    the platform ``log`` on identical doubles), rounded to
+    ``decimals`` before use.
+    """
+    out_col = out_col or f"{key}_woe"
+    s = float(smoothing)
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        t = b[target].to_numpy()
+        g = pd.DataFrame({key: b[key].to_numpy(), "p": (t != 0).astype(np.int64)})
+        out = g.groupby(key, as_index=False).agg(p=("p", "sum"), n=("p", "size"))
+        return out
+
+    agg = (ds.map_batches(partial, batch_format="pandas")
+           .groupby(key).sum(["p", "n"])
+           .to_pandas())  # ≤ |category domain| rows by construction
+    pos_tot = float(agg["sum(p)"].sum())
+    neg_tot = float((agg["sum(n)"] - agg["sum(p)"]).sum())
+    mapping = {}
+    for k, p, n in zip(agg[key], agg["sum(p)"], agg["sum(n)"]):
+        pos_rate = (float(p) + s) / (pos_tot + 2 * s)
+        neg_rate = (float(n - p) + s) / (neg_tot + 2 * s)
+        mapping[k] = round(math.log(pos_rate / neg_rate), decimals)
+
+    def assign(b: pd.DataFrame) -> pd.DataFrame:
+        b[out_col] = b[key].map(mapping).astype(np.float64)
+        return b
+
+    return ds.map_batches(assign, batch_format="pandas")

@@ -249,3 +249,55 @@ def quantile_bin(ds, *, value: str, n_bins: int, out_col: str = "bin"):
         return batch
 
     return ds.map_batches(assign, batch_format="pandas")
+
+
+def winsorize(ds, *, value: str, lo_q: float = 0.05, hi_q: float = 0.95,
+              n_bins: int = 1024, out_col: str | None = None):
+    """Winsorization (outlier clipping) of a CONTINUOUS column at
+    approximate quantiles from the same deterministic fixed-bin
+    histogram sketch as :func:`grouped_quantiles_approx` — the
+    scale-safe fit for unbounded float domains (the exact value-count
+    path is bounded by DISTINCT values, useless here).
+
+    Fit: exact global min/max, one histogram pass (a single global
+    group → the driver merge is ≤ ``n_bins`` counter rows), clip
+    edges = lower edge of the bin holding rank ``ceil(q·n)``, rounded
+    6 dp. Transform: one stateless vectorized ``map_batches`` clip.
+    The SQL oracle rebuilds the identical histogram and clip edges.
+    """
+    from ray.data.aggregate import Max, Min
+
+    out_col = out_col or f"{value}_w"
+    B = int(n_bins)
+    stats = ds.aggregate(Min(value), Max(value))
+    mn, mx = float(stats[f"min({value})"]), float(stats[f"max({value})"])
+    span = mx - mn
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        v = batch[value].to_numpy(dtype=np.float64)
+        if span > 0:
+            b = np.minimum(np.floor((v - mn) * B / span), B - 1).astype(np.int64)
+        else:
+            b = np.zeros(len(v), dtype=np.int64)
+        u, c = np.unique(b, return_counts=True)
+        return pd.DataFrame({"bin": u, "cnt": c})
+
+    hist = (ds.map_batches(partial, batch_format="pandas")
+            .to_pandas()
+            .groupby("bin", as_index=False)["cnt"].sum()
+            .sort_values("bin"))
+    cum = hist["cnt"].to_numpy().cumsum()
+    n = int(cum[-1])
+    bins = hist["bin"].to_numpy()
+
+    def edge(q: float) -> float:
+        rank = max(1, math.ceil(q * n))
+        return round(mn + span * int(bins[int(np.searchsorted(cum, rank))]) / B, 6)
+
+    lo, hi = edge(lo_q), edge(hi_q)
+
+    def clip(batch: pd.DataFrame) -> pd.DataFrame:
+        batch[out_col] = np.clip(batch[value].to_numpy(dtype=np.float64), lo, hi)
+        return batch
+
+    return ds.map_batches(clip, batch_format="pandas")

@@ -163,3 +163,43 @@ def unpivot(ds, *, id_cols: list[str], value_cols: list[str],
                         var_name=var_col, value_name=val_col)
 
     return ds.map_batches(melt, batch_format="pandas")
+
+
+def grouped_corr(ds, *, keys, x: str, y: str, decimals: int = 6):
+    """Grouped Pearson correlation via distributed sufficient stats:
+    per-batch partial (n, Σx, Σy, Σx², Σy², Σxy) per group — six
+    scalars per (batch, group), so the exchange is bounded by the
+    group domain, never corpus rows — then the raw-moment formula
+    ``(nΣxy − ΣxΣy) / sqrt((nΣx² − (Σx)²)(nΣy² − (Σy)²))`` on the
+    tiny merged table. The SQL oracle computes the SAME formula from
+    SUM() aggregates (not DuckDB's corr(), whose stable accumulation
+    differs in low-order bits); both sides round to ``decimals``.
+    Output: keys, ``corr_xy``, ``n_rows``."""
+    import numpy as np
+
+    keys = [keys] if isinstance(keys, str) else list(keys)
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        vx = b[x].to_numpy(dtype=np.float64)
+        vy = b[y].to_numpy(dtype=np.float64)
+        g = b[keys].copy()
+        g["n"] = 1
+        g["sx"], g["sy"] = vx, vy
+        g["sxx"], g["syy"], g["sxy"] = vx * vx, vy * vy, vx * vy
+        return g.groupby(keys, as_index=False).sum()
+
+    agg = (ds.map_batches(partial, batch_format="pandas")
+           .groupby(keys).sum(["n", "sx", "sy", "sxx", "syy", "sxy"]))
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        n = df["sum(n)"].to_numpy(dtype=np.float64)
+        sx, sy = df["sum(sx)"].to_numpy(), df["sum(sy)"].to_numpy()
+        sxx, syy, sxy = (df["sum(sxx)"].to_numpy(), df["sum(syy)"].to_numpy(),
+                         df["sum(sxy)"].to_numpy())
+        denom = np.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+        out = df[keys].copy()
+        out["corr_xy"] = np.round((n * sxy - sx * sy) / denom, decimals)
+        out["n_rows"] = df["sum(n)"].astype("int64")
+        return out
+
+    return agg.map_batches(finish, batch_format="pandas")

@@ -435,3 +435,44 @@ def quality_filter(ds, *, cutoff: float = 0.5, concurrency: int = 4,
         return batch[mask]
 
     return scored.map_batches(keep, batch_format="pandas")
+
+
+def token_topk_by_group(ds, *, group_col: str, k: int = 5,
+                        text_col: str = "text",
+                        num_partitions: int = 16):
+    """Per-group token heavy hitters: top-``k`` tokens per
+    ``group_col`` by (count DESC, token ASC) — the per-domain vocab
+    profile step of corpus analysis.
+
+    Two-stage distributed plan, no raw rows moved: per-batch partial
+    (group, token) counts → hash partition on (group, token) for the
+    exact merge (vocabulary × groups rows, vectorized local groupby,
+    avoiding Ray's sort-aggregate per the high-cardinality rule) →
+    hash partition on group for the per-group top-k (counts tables
+    only). Output: group_col, token, cnt, rnk (1-based)."""
+    from ..temporal.core import partitioned_apply
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        toks = batch[[group_col]].copy()
+        toks["token"] = batch[text_col].str.lower().str.findall(r"[a-z0-9]+")
+        ex = toks.explode("token").dropna(subset=["token"])
+        g = ex.groupby([group_col, "token"], as_index=False).size()
+        return g.rename(columns={"size": "cnt"})
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+    merged = partitioned_apply(
+        partials, [group_col, "token"],
+        lambda df: df.groupby([group_col, "token"], as_index=False)["cnt"].sum(),
+        num_partitions=num_partitions)
+
+    def topk(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([group_col, "cnt", "token"],
+                            ascending=[True, False, True], kind="mergesort")
+        df["rnk"] = df.groupby(group_col, sort=False).cumcount() + 1
+        out = df[df["rnk"] <= k].copy()
+        out["cnt"] = out["cnt"].astype("int64")
+        out["rnk"] = out["rnk"].astype("int64")
+        return out
+
+    return partitioned_apply(merged, group_col, topk,
+                             num_partitions=num_partitions)

@@ -434,3 +434,121 @@ def test_filters_report_drop_counts(ray_session):
     assert counts["decontaminate"] == 2
     assert counts["quality_filter"] == 5 - len(out)
     assert counts["quality_filter"] > 0
+
+
+# ------------------------------------- round-4 widening: woe / winsor /
+# ------------------------------------- grouped corr / per-group top-k
+
+
+def test_woe_encode_matches_formula(ray_session):
+    import math
+
+    import ray.data as rd
+
+    from pic2vec_ray.stages.encode import woe_encode
+
+    rng = np.random.default_rng(3)
+    df = pd.DataFrame({
+        "k": rng.choice(list("abc"), 400),
+        "y": rng.integers(0, 2, 400),
+    })
+    out = (woe_encode(rd.from_pandas(df).repartition(5), key="k", target="y")
+           .to_pandas())
+    s = 0.5
+    pos_tot = float(df.y.sum())
+    neg_tot = float(len(df) - df.y.sum())
+    for k, grp in df.groupby("k"):
+        p, n = float(grp.y.sum()), float(len(grp))
+        want = round(math.log(((p + s) / (pos_tot + 2 * s))
+                              / ((n - p + s) / (neg_tot + 2 * s))), 6)
+        got = out.loc[out.k == k, "k_woe"].unique()
+        assert len(got) == 1 and got[0] == want
+
+
+def test_woe_encode_empty_category_finite(ray_session):
+    """A category with zero positives still gets a finite WOE."""
+    import ray.data as rd
+
+    from pic2vec_ray.stages.encode import woe_encode
+
+    df = pd.DataFrame({"k": ["a"] * 5 + ["b"] * 5,
+                       "y": [1, 1, 0, 1, 0] + [0] * 5})
+    out = woe_encode(rd.from_pandas(df), key="k", target="y").to_pandas()
+    assert np.isfinite(out["k_woe"]).all()
+    assert out.loc[out.k == "b", "k_woe"].max() < out.loc[out.k == "a", "k_woe"].min()
+
+
+def test_winsorize_clip_edges_near_exact(ray_session):
+    import ray.data as rd
+
+    from pic2vec_ray.stages.quantiles import winsorize
+
+    rng = np.random.default_rng(5)
+    v = rng.normal(0.0, 10.0, 4000)
+    df = pd.DataFrame({"i": np.arange(len(v)), "v": v})
+    B = 1024
+    out = (winsorize(rd.from_pandas(df).repartition(6), value="v",
+                     lo_q=0.05, hi_q=0.95, n_bins=B)
+           .to_pandas().sort_values("i").reset_index(drop=True))
+    width = (v.max() - v.min()) / B
+    lo_exact = np.sort(v)[int(np.ceil(0.05 * len(v))) - 1]
+    hi_exact = np.sort(v)[int(np.ceil(0.95 * len(v))) - 1]
+    lo, hi = out.v_w.min(), out.v_w.max()
+    assert abs(lo - lo_exact) <= width + 1e-9
+    assert abs(hi - hi_exact) <= width + 1e-9
+    # interior rows pass through untouched; tails are clipped to the edges
+    inner = (df.v > lo) & (df.v < hi)
+    assert np.array_equal(out.v_w[inner.to_numpy()],
+                          df.v[inner].to_numpy())
+    assert (out.v_w >= lo).all() and (out.v_w <= hi).all()
+
+
+def test_winsorize_constant_column(ray_session):
+    import ray.data as rd
+
+    from pic2vec_ray.stages.quantiles import winsorize
+
+    df = pd.DataFrame({"i": range(10), "v": [7.0] * 10})
+    out = winsorize(rd.from_pandas(df), value="v").to_pandas()
+    assert (out.v_w == 7.0).all()
+
+
+def test_grouped_corr_matches_pandas(ray_session):
+    import ray.data as rd
+
+    from pic2vec_ray.stages.relational import grouped_corr
+
+    rng = np.random.default_rng(9)
+    n = 3000
+    g = rng.choice(list("pq"), n)
+    x = rng.normal(0, 1, n)
+    y = 0.6 * x + rng.normal(0, 0.5, n)
+    df = pd.DataFrame({"g": g, "x": x, "y": y})
+    out = (grouped_corr(rd.from_pandas(df).repartition(7),
+                        keys="g", x="x", y="y")
+           .to_pandas().sort_values("g").reset_index(drop=True))
+    for _, row in out.iterrows():
+        grp = df[df.g == row.g]
+        assert row.n_rows == len(grp)
+        assert abs(row.corr_xy - grp.x.corr(grp.y)) < 1e-6
+
+
+def test_token_topk_by_group_exact_and_tiebreak(ray_session):
+    import ray.data as rd
+
+    from pic2vec_ray.stages.text import token_topk_by_group
+
+    df = pd.DataFrame({
+        "lang": ["en"] * 3 + ["fr"] * 2,
+        "text": ["aa bb aa cc", "bb aa dd", "zz aa",
+                 "le le la", "la le un"],
+    })
+    out = (token_topk_by_group(rd.from_pandas(df).repartition(3),
+                               group_col="lang", k=2)
+           .to_pandas().sort_values(["lang", "rnk"]).reset_index(drop=True))
+    # en: aa=4, bb=2 > cc=1=dd=1=zz=1; fr: le=4? le appears 3x la 2x un 1x
+    en = out[out.lang == "en"]
+    assert list(en.token) == ["aa", "bb"] and list(en.cnt) == [4, 2]
+    fr = out[out.lang == "fr"]
+    assert list(fr.token) == ["le", "la"] and list(fr.cnt) == [3, 2]
+    assert list(out.rnk) == [1, 2, 1, 2]
