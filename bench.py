@@ -235,7 +235,10 @@ def run_secondary(sf_dir: str) -> dict:
                  "ann_topk_embeddings", "minhash_neardup_docs",
                  "audio_dominant_band", "video_frame_stats",
                  "fingerprint_docs", "decontaminate_docs",
-                 "bucketed_join_revenue", "patchify_grid"):
+                 "bucketed_join_revenue", "patchify_grid",
+                 "epoch_shuffle_docs", "bpe_tokenize_docs",
+                 "approx_quantiles_price", "winsorize_price",
+                 "top_tokens_by_lang"):
         t0 = time.perf_counter()
         res = Q.QUERIES[name](sf_dir)
         # consume: small results to pandas, large to count

@@ -2613,6 +2613,130 @@ SELECT lang, token, cnt, rnk FROM r WHERE rnk <= 5
 """
 
 
+def onehot_priority(sf_dir: str):
+    """One-hot expansion over a DECLARED category list
+    (stages/encode.onehot_encode): zero fit pass, zero shuffle — one
+    stateless vectorized map_batches; undeclared values encode
+    all-zeros (same declared-domain rule as pivot_sum)."""
+    from ..stages.encode import onehot_encode
+
+    ds = _rd().read_parquet(f"{sf_dir}/orders.parquet",
+                            columns=["o_orderkey", "o_orderpriority"])
+    return onehot_encode(ds, key="o_orderpriority",
+                         categories=["1-URGENT", "2-HIGH", "3-MEDIUM",
+                                     "4-NOT SPECIFIED", "5-LOW"])
+
+
+SQL_ONEHOT = """
+SELECT o_orderkey, o_orderpriority,
+  CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS o_orderpriority_1_urgent,
+  CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END AS o_orderpriority_2_high,
+  CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 ELSE 0 END AS o_orderpriority_3_medium,
+  CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 ELSE 0 END AS o_orderpriority_4_not_specified,
+  CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END AS o_orderpriority_5_low
+FROM orders
+"""
+
+
+def hash_encode_parttype(sf_dir: str):
+    """The hashing trick for unbounded categoricals
+    (stages/encode.hash_encode): pinned Horner polynomial string hash
+    mod 2^64 (the fingerprint64 kernel) → bucket = hash % 64. No
+    vocabulary state, no fit pass, no shuffle; the SQL oracle replays
+    the hash with list_reduce over the codepoints."""
+    from ..stages.encode import hash_encode
+
+    ds = _rd().read_parquet(f"{sf_dir}/part.parquet",
+                            columns=["p_partkey", "p_type"])
+    return hash_encode(ds, key="p_type", n_buckets=64)
+
+
+SQL_HASH_ENCODE = r"""
+WITH h AS (
+  SELECT p_partkey, p_type,
+    CASE WHEN length(p_type) = 0 THEN CAST(0 AS HUGEINT) ELSE list_reduce(
+      list_transform(string_split(p_type, ''), c -> CAST(unicode(c) AS HUGEINT)),
+      (a, b) -> (a * 1099511628211 + b) % 18446744073709551616
+    ) END AS v
+  FROM part
+)
+SELECT p_partkey, p_type, CAST(v % 64 AS BIGINT) AS p_type_bucket FROM h
+"""
+
+
+def ntile_events(sf_dir: str):
+    """SQL NTILE(4) per event type ordered by (value, event_id)
+    (temporal/windows.ntile): one hash shuffle on the entity key,
+    pure numpy remainder-to-leading-tiles arithmetic inside each
+    partition."""
+    from ..temporal.windows import ntile
+
+    ds = _rd().read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["event_id", "event_type", "value"])
+    return ntile(ds, by="event_type", order="value",
+                 tiebreak="event_id", n=4)
+
+
+SQL_NTILE = """
+SELECT event_id, event_type, value,
+       NTILE(4) OVER (PARTITION BY event_type
+                      ORDER BY value, event_id) AS tile
+FROM events
+"""
+
+
+def ks_drift_click_purchase(sf_dir: str):
+    """Two-sample KS drift statistic between the click and purchase
+    value distributions (stages/quantiles.ks_drift): shared fixed-bin
+    histogram sketch, ≤ 2·n_bins counter rows cross the exchange, CDF
+    max-gap on the tiny merged table. SQL rebuilds the identical
+    binning + cumulative CDFs."""
+    from ..stages.quantiles import ks_drift
+
+    ds = _rd().read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["event_type", "value"])
+    return ks_drift(ds, group_col="event_type", value="value",
+                    a="click", b="purchase", n_bins=1024)
+
+
+SQL_KS_DRIFT = """
+WITH f AS (
+  SELECT event_type AS side, value FROM events
+  WHERE event_type IN ('click', 'purchase')
+), s AS (
+  SELECT MIN(value) AS mn, MAX(value) AS mx FROM f
+), h AS (
+  SELECT side,
+         CAST(LEAST(FLOOR((value - s.mn) * 1024 / (s.mx - s.mn)), 1023)
+              AS BIGINT) AS bin,
+         COUNT(*) AS cnt
+  FROM f, s GROUP BY 1, 2
+), grid AS (SELECT DISTINCT bin FROM h),
+sides AS (SELECT DISTINCT side FROM h),
+fx AS (
+  SELECT g.bin, sd.side, COALESCE(h.cnt, 0) AS cnt
+  FROM grid g CROSS JOIN sides sd
+  LEFT JOIN h ON h.bin = g.bin AND h.side = sd.side
+), c AS (
+  SELECT bin, side,
+         SUM(cnt) OVER (PARTITION BY side ORDER BY bin) AS cum,
+         SUM(cnt) OVER (PARTITION BY side) AS tot
+  FROM fx
+), d AS (
+  SELECT bin,
+         MAX(CASE WHEN side = 'click'
+                  THEN CAST(cum AS DOUBLE) / tot END) AS ca,
+         MAX(CASE WHEN side = 'purchase'
+                  THEN CAST(cum AS DOUBLE) / tot END) AS cb
+  FROM c GROUP BY bin
+)
+SELECT ROUND(MAX(ABS(ca - cb)), 6) AS ks_stat,
+       (SELECT COUNT(*) FROM f WHERE side = 'click') AS n_a,
+       (SELECT COUNT(*) FROM f WHERE side = 'purchase') AS n_b
+FROM d
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q2_top_customers": q2_top_customers,
@@ -2674,6 +2798,10 @@ QUERIES = {
     "rollup_qty_by_flag": rollup_qty_by_flag,
     "target_encode_priority": target_encode_priority,
     "woe_encode_priority": woe_encode_priority,
+    "onehot_priority": onehot_priority,
+    "hash_encode_parttype": hash_encode_parttype,
+    "ntile_events": ntile_events,
+    "ks_drift_click_purchase": ks_drift_click_purchase,
     "winsorize_price": winsorize_price,
     "corr_qty_price": corr_qty_price,
     "top_tokens_by_lang": top_tokens_by_lang,
@@ -2766,6 +2894,10 @@ ORACLE_SQL = {
     "rollup_qty_by_flag": SQL_ROLLUP,
     "target_encode_priority": SQL_TARGET_ENCODE,
     "woe_encode_priority": SQL_WOE,
+    "onehot_priority": SQL_ONEHOT,
+    "hash_encode_parttype": SQL_HASH_ENCODE,
+    "ntile_events": SQL_NTILE,
+    "ks_drift_click_purchase": SQL_KS_DRIFT,
     "winsorize_price": SQL_WINSORIZE,
     "corr_qty_price": SQL_CORR,
     "top_tokens_by_lang": SQL_TOP_TOKENS_LANG,

@@ -18,6 +18,7 @@ tooling); SURVEY.md §2's feature-engineering additions.
 from __future__ import annotations
 
 import math
+import re
 
 import numpy as np
 import pandas as pd
@@ -124,6 +125,64 @@ def woe_encode(ds, *, key: str, target: str, out_col: str | None = None,
 
     def assign(b: pd.DataFrame) -> pd.DataFrame:
         b[out_col] = b[key].map(mapping).astype(np.float64)
+        return b
+
+    return ds.map_batches(assign, batch_format="pandas")
+
+
+def onehot_encode(ds, *, key: str, categories: list[str],
+                  drop_input: bool = False):
+    """One-hot (indicator) expansion of a categorical over a DECLARED
+    category list — same restriction as ``relational.pivot_sum``: an
+    undeclared-domain one-hot is a schema explosion, so the caller
+    pins the columns and anything outside the list simply encodes as
+    all-zeros. Purely stateless vectorized ``map_batches``; zero
+    shuffle, zero fit pass. Output columns are ``{key}_{slug(cat)}``
+    int64 0/1.
+    """
+    names = [(c, f"{key}_" + re.sub(r"[^0-9a-zA-Z]+", "_", c).strip("_").lower())
+             for c in categories]
+
+    def expand(b: pd.DataFrame) -> pd.DataFrame:
+        v = b[key].to_numpy()
+        for cat, out in names:
+            b[out] = (v == cat).astype(np.int64)
+        if drop_input:
+            b = b.drop(columns=[key])
+        return b
+
+    return ds.map_batches(expand, batch_format="pandas")
+
+
+_HASH_BASE = 1099511628211  # FNV-64 prime; same Horner kernel as
+_HASH_MOD = 1 << 64         # stages/text.fingerprint64 (SQL-replayable)
+
+
+def _horner64(s: str) -> int:
+    h = 0
+    for ch in s:
+        h = (h * _HASH_BASE + ord(ch)) % _HASH_MOD
+    return h
+
+
+def hash_encode(ds, *, key: str, n_buckets: int, out_col: str | None = None):
+    """The hashing trick: map an UNBOUNDED categorical into
+    ``n_buckets`` integer buckets via a pinned polynomial string hash
+    (Horner over codepoints, mod 2^64 — the same kernel as
+    ``stages/text.fingerprint64``, so the SQL oracle replays it with
+    ``list_reduce``). No fit pass, no vocabulary state, no shuffle:
+    the whole encode is one stateless ``map_batches`` that hashes each
+    DISTINCT value once per batch (category-bounded Python work) and
+    maps rows vectorized — exactly why feature hashing is the
+    scale-safe encode when the category domain is unbounded.
+    """
+    out_col = out_col or f"{key}_bucket"
+    B = int(n_buckets)
+
+    def assign(b: pd.DataFrame) -> pd.DataFrame:
+        cats = pd.unique(b[key])
+        lut = {c: _horner64(c) % B for c in cats}
+        b[out_col] = b[key].map(lut).astype(np.int64)
         return b
 
     return ds.map_batches(assign, batch_format="pandas")

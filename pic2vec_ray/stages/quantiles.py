@@ -301,3 +301,52 @@ def winsorize(ds, *, value: str, lo_q: float = 0.05, hi_q: float = 0.95,
         return batch
 
     return ds.map_batches(clip, batch_format="pandas")
+
+
+def ks_drift(ds, *, group_col: str, value: str, a: str, b: str,
+             n_bins: int = 1024, decimals: int = 6):
+    """Two-sample Kolmogorov–Smirnov drift statistic between groups
+    ``a`` and ``b`` of ``group_col`` over ``value`` — the standard
+    distribution-shift check between two corpus slices (old vs new
+    crawl, source A vs B) before mixing training data.
+
+    Computed on the same deterministic fixed-bin histogram sketch as
+    :func:`grouped_quantiles_approx`: exact shared min/max over both
+    groups, one per-batch partial histogram per (group, bin) — the
+    exchange is ≤ 2·``n_bins`` counter rows per batch, never raw rows
+    — then the empirical-CDF max-gap on the tiny merged table. The
+    discretization error is bounded by the histogram resolution; the
+    SQL oracle rebuilds the identical binning, cumulative sums and
+    max-gap. Returns a one-row dataset: ``ks_stat``, ``n_a``, ``n_b``.
+    """
+    import ray.data as rd
+    from ray.data.aggregate import Max, Min
+
+    B = int(n_bins)
+    two = ds.filter(expr=f"{group_col} == '{a}' or {group_col} == '{b}'")
+    stats = two.aggregate(Min(value), Max(value))
+    mn, mx = float(stats[f"min({value})"]), float(stats[f"max({value})"])
+    span = mx - mn
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        v = batch[value].to_numpy(dtype=np.float64)
+        if span > 0:
+            bins = np.minimum(np.floor((v - mn) * B / span), B - 1).astype(np.int64)
+        else:
+            bins = np.zeros(len(v), dtype=np.int64)
+        g = pd.DataFrame({"side": batch[group_col].to_numpy(), "bin": bins})
+        out = g.groupby(["side", "bin"], as_index=False).size()
+        return out.rename(columns={"size": "cnt"})
+
+    hist = two.map_batches(partial, batch_format="pandas").to_pandas() \
+              .groupby(["side", "bin"], as_index=False)["cnt"].sum()
+    grid = np.sort(hist["bin"].unique())
+    cdfs, ns = {}, {}
+    for side in (a, b):
+        h = hist[hist["side"] == side].set_index("bin")["cnt"] \
+            .reindex(grid, fill_value=0).to_numpy()
+        ns[side] = int(h.sum())
+        cdfs[side] = h.cumsum() / float(h.sum())
+    stat = round(float(np.max(np.abs(cdfs[a] - cdfs[b]))), decimals)
+    return rd.from_pandas(pd.DataFrame(
+        {"ks_stat": [stat], "n_a": [ns[a]], "n_b": [ns[b]]}))

@@ -289,3 +289,32 @@ def top_n_per_group(ds, *, by: str, order_cols: list[str], ascending: list[bool]
                   .groupby(by, sort=False).head(n))
 
     return partitioned_apply(ds, by, fn, num_partitions)
+
+
+def ntile(ds, *, by: str, order: str, tiebreak: str, n: int,
+          out_col: str = "tile", num_partitions: int = DEFAULT_PARTITIONS):
+    """SQL ``NTILE(n)`` per entity partition with a pinned total order
+    (``order`` then ``tiebreak``): the first ``count % n`` tiles get
+    ``count // n + 1`` rows, the rest ``count // n`` — bit-for-bit the
+    SQL remainder-to-leading-tiles rule. One hash shuffle on the
+    entity key; inside a partition the tile assignment is pure numpy
+    arithmetic on the row number (no loops, no quantile estimation).
+    """
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([by, order, tiebreak], kind="mergesort").copy()
+        rn0 = df.groupby(by, sort=False).cumcount().to_numpy()
+        c = df.groupby(by, sort=False)[order].transform("size").to_numpy()
+        small = c // n
+        n_large = c % n
+        boundary = n_large * (small + 1)
+        in_large = rn0 < boundary
+        small_safe = np.maximum(small, 1)
+        df[out_col] = np.where(
+            in_large,
+            rn0 // (small + 1) + 1,
+            n_large + (rn0 - boundary) // small_safe + 1,
+        ).astype(np.int64)
+        return df
+
+    return partitioned_apply(ds, by, fn, num_partitions)

@@ -552,3 +552,92 @@ def test_token_topk_by_group_exact_and_tiebreak(ray_session):
     fr = out[out.lang == "fr"]
     assert list(fr.token) == ["le", "la"] and list(fr.cnt) == [3, 2]
     assert list(out.rnk) == [1, 2, 1, 2]
+
+
+def test_onehot_declared_and_unknown(ray_session):
+    import ray.data as rd
+
+    from pic2vec_ray.stages.encode import onehot_encode
+
+    df = pd.DataFrame({"i": range(4), "k": ["a-b", "c d", "a-b", "zz"]})
+    out = (onehot_encode(rd.from_pandas(df), key="k",
+                         categories=["a-b", "c d"])
+           .to_pandas().sort_values("i").reset_index(drop=True))
+    assert list(out.k_a_b) == [1, 0, 1, 0]
+    assert list(out.k_c_d) == [0, 1, 0, 0]
+    # undeclared category -> all zeros, schema unchanged
+    assert out.loc[3, ["k_a_b", "k_c_d"]].sum() == 0
+
+
+def test_hash_encode_deterministic_and_bounded(ray_session):
+    import ray.data as rd
+
+    from pic2vec_ray.stages.encode import _horner64, hash_encode
+
+    df = pd.DataFrame({"i": range(100),
+                       "k": [f"cat{i % 17}" for i in range(100)]})
+    outs = []
+    for nb in (1, 9):
+        out = (hash_encode(rd.from_pandas(df).repartition(nb),
+                           key="k", n_buckets=8)
+               .to_pandas().sort_values("i").reset_index(drop=True))
+        outs.append(out)
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+    assert outs[0].k_bucket.between(0, 7).all()
+    assert (outs[0].k_bucket ==
+            outs[0].k.map(lambda s: _horner64(s) % 8)).all()
+
+
+def test_ntile_matches_duckdb(ray_session):
+    import duckdb
+    import ray.data as rd
+
+    from pic2vec_ray.temporal.windows import ntile
+
+    rng = np.random.default_rng(13)
+    df = pd.DataFrame({
+        "id": np.arange(500),
+        "g": rng.choice(list("xyz"), 500),
+        "v": rng.normal(0, 1, 500).round(3),  # rounded -> real ties
+    })
+    for n in (1, 3, 4, 7, 600):  # 600 > group size: one row per tile
+        got = (ntile(rd.from_pandas(df).repartition(4), by="g", order="v",
+                     tiebreak="id", n=n)
+               .to_pandas().sort_values("id").reset_index(drop=True))
+        exp = duckdb.sql(
+            f"SELECT id, NTILE({n}) OVER (PARTITION BY g ORDER BY v, id)"
+            " AS tile FROM df ORDER BY id").df()
+        assert np.array_equal(got.tile.to_numpy(), exp.tile.to_numpy()), n
+
+
+def test_ks_drift_sanity(ray_session):
+    import ray.data as rd
+
+    from pic2vec_ray.stages.quantiles import ks_drift
+
+    rng = np.random.default_rng(21)
+    same = pd.DataFrame({
+        "side": ["a"] * 2000 + ["b"] * 2000,
+        "v": np.concatenate([rng.normal(0, 1, 2000),
+                             rng.normal(0, 1, 2000)]),
+    })
+    out = ks_drift(rd.from_pandas(same).repartition(5), group_col="side",
+                   value="v", a="a", b="b").to_pandas()
+    assert out.ks_stat[0] < 0.1 and out.n_a[0] == 2000 and out.n_b[0] == 2000
+    # disjoint supports -> KS = 1
+    far = pd.DataFrame({
+        "side": ["a"] * 100 + ["b"] * 100,
+        "v": np.concatenate([rng.normal(0, 1, 100),
+                             rng.normal(100, 1, 100)]),
+    })
+    out2 = ks_drift(rd.from_pandas(far), group_col="side",
+                    value="v", a="a", b="b").to_pandas()
+    assert out2.ks_stat[0] == 1.0
+    # vs exact two-sample KS within histogram resolution
+    va = same[same.side == "a"].v.to_numpy()
+    vb = same[same.side == "b"].v.to_numpy()
+    allv = np.sort(np.concatenate([va, vb]))
+    exact = np.max(np.abs(
+        np.searchsorted(np.sort(va), allv, side="right") / len(va)
+        - np.searchsorted(np.sort(vb), allv, side="right") / len(vb)))
+    assert abs(out.ks_stat[0] - exact) < 0.02
