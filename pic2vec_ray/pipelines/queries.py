@@ -2737,6 +2737,138 @@ FROM d
 """
 
 
+def lm_score_docs(sf_dir: str):
+    """Bigram-LM quality scoring (stages/text.bigram_lm_score), the
+    CCNet-style perplexity signal: distributed bigram/context count
+    merges + shuffle joins — the count tables are never assumed
+    broadcastable. SQL rebuilds the identical smoothed -ln P mean."""
+    from ..stages.text import bigram_lm_score
+
+    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+    return bigram_lm_score(ds)
+
+
+SQL_LM_SCORE = r"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS ws
+  FROM documents
+), seq AS (
+  SELECT doc_id, unnest(ws) AS w, generate_subscripts(ws, 1) AS pos FROM t
+), big AS (
+  SELECT doc_id, w AS w1,
+         LEAD(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+  FROM seq QUALIFY w2 IS NOT NULL
+), cb AS (
+  SELECT w1, w2, COUNT(*) AS cb FROM big GROUP BY w1, w2
+), cu AS (
+  SELECT w1, SUM(cb) AS cu FROM cb GROUP BY w1
+), v AS (SELECT COUNT(*) AS v FROM cu)
+SELECT b.doc_id, COUNT(*) AS n_bigrams,
+       ROUND(AVG(-LN((cb.cb + 0.5) / (cu.cu + 0.5 * v.v))), 6) AS lm_score
+FROM big b JOIN cb USING (w1, w2) JOIN cu USING (w1), v
+GROUP BY b.doc_id
+"""
+
+
+def cooccur_topk_docs(sf_dir: str):
+    """Top-20 ordered co-occurrence pairs within a 2-token forward
+    window (stages/text.cooccur_topk): numpy-shift partial counts,
+    exact (w1, w2) hash-partition merge, per-partition top-k union →
+    tiny driver finish; tie-break (cnt DESC, w1, w2) is total."""
+    from ..stages.text import cooccur_topk
+
+    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+    return cooccur_topk(ds, window=2, k=20)
+
+
+SQL_COOCCUR = r"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS ws
+  FROM documents
+), seq AS (
+  SELECT doc_id, unnest(ws) AS w, generate_subscripts(ws, 1) AS pos FROM t
+), p AS (
+  SELECT a.w AS w1, b.w AS w2, COUNT(*) AS cnt
+  FROM seq a JOIN seq b
+    ON a.doc_id = b.doc_id AND b.pos > a.pos AND b.pos <= a.pos + 2
+  GROUP BY 1, 2
+)
+SELECT w1, w2, cnt FROM p ORDER BY cnt DESC, w1, w2 LIMIT 20
+"""
+
+
+CMS_PROBES = ["table", "value", "fast", "data", "row", "scan", "agg",
+              "key", "notinthecorpus"]
+
+
+def cms_counts_docs(sf_dir: str):
+    """Count-min-sketch token frequency estimates for a declared probe
+    list (stages/sketch.cms_token_counts): one streaming pass building
+    a 4×1024 register grid (pointwise-sum mergeable, low-cardinality
+    key), min-over-rows probe on the driver. The SQL oracle rebuilds
+    the registers from every corpus token through the identical
+    Horner → +r·GOLDEN → splitmix64 chain and probes via the same
+    chain (tagged UNION)."""
+    from ..stages.sketch import cms_token_counts
+
+    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["text"])
+    return cms_token_counts(ds, probes=CMS_PROBES, depth=4, width=1024)
+
+
+def robust_scale_price(sf_dir: str):
+    """Median/IQR robust scaling (stages/quantiles.robust_scale):
+    quantile edges from the deterministic fixed-bin histogram sketch,
+    rounded 6dp pre-use; transform is one stateless map_batches. SQL
+    rebuilds histogram, edges and arithmetic identically."""
+    from ..stages.quantiles import robust_scale
+
+    ds = _rd().read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_linenumber", "l_extendedprice"],
+    )
+    return robust_scale(ds, value="l_extendedprice", n_bins=1024)
+
+
+SQL_ROBUST_SCALE = """
+WITH s AS (
+  SELECT MIN(l_extendedprice) AS mn, MAX(l_extendedprice) AS mx,
+         COUNT(*) AS n
+  FROM lineitem
+), h AS (
+  SELECT CAST(LEAST(FLOOR((l_extendedprice - s.mn) * 1024
+                          / (s.mx - s.mn)), 1023) AS BIGINT) AS bin,
+         COUNT(*) AS cnt
+  FROM lineitem, s GROUP BY 1
+), c AS (
+  SELECT bin, SUM(cnt) OVER (ORDER BY bin) AS cum FROM h
+), e AS (
+  SELECT
+    ROUND(s.mn + (s.mx - s.mn)
+          * (SELECT MIN(bin) FROM c
+             WHERE cum >= GREATEST(1, CEIL(0.25 * s.n))) / 1024, 6) AS q25,
+    ROUND(s.mn + (s.mx - s.mn)
+          * (SELECT MIN(bin) FROM c
+             WHERE cum >= GREATEST(1, CEIL(0.50 * s.n))) / 1024, 6) AS q50,
+    ROUND(s.mn + (s.mx - s.mn)
+          * (SELECT MIN(bin) FROM c
+             WHERE cum >= GREATEST(1, CEIL(0.75 * s.n))) / 1024, 6) AS q75
+  FROM s
+)
+SELECT l_orderkey, l_linenumber, l_extendedprice,
+       ROUND((l_extendedprice - e.q50)
+             / (CASE WHEN e.q75 - e.q25 = 0 THEN 1.0
+                     ELSE e.q75 - e.q25 END), 6) AS l_extendedprice_rs
+FROM lineitem, e
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q2_top_customers": q2_top_customers,
@@ -2803,8 +2935,12 @@ QUERIES = {
     "ntile_events": ntile_events,
     "ks_drift_click_purchase": ks_drift_click_purchase,
     "winsorize_price": winsorize_price,
+    "robust_scale_price": robust_scale_price,
     "corr_qty_price": corr_qty_price,
     "top_tokens_by_lang": top_tokens_by_lang,
+    "lm_score_docs": lm_score_docs,
+    "cooccur_topk_docs": cooccur_topk_docs,
+    "cms_counts_docs": cms_counts_docs,
     "tfidf_topk_docs": tfidf_topk_docs,
     "redact_docs": redact_docs,
     "phash_verify": phash_verify,
@@ -2899,8 +3035,13 @@ ORACLE_SQL = {
     "ntile_events": SQL_NTILE,
     "ks_drift_click_purchase": SQL_KS_DRIFT,
     "winsorize_price": SQL_WINSORIZE,
+    "robust_scale_price": SQL_ROBUST_SCALE,
     "corr_qty_price": SQL_CORR,
     "top_tokens_by_lang": SQL_TOP_TOKENS_LANG,
+    "lm_score_docs": SQL_LM_SCORE,
+    "cooccur_topk_docs": SQL_COOCCUR,
+    "cms_counts_docs": _sketch_sql.cms_probe_sql(CMS_PROBES,
+                                                 depth=4, width=1024),
     "tfidf_topk_docs": SQL_TFIDF,
     "redact_docs": SQL_REDACT,
     "phash_verify": SQL_PHASH_VERIFY,

@@ -198,3 +198,45 @@ reach(id, r) AS (
   SELECT e.d, reach.r FROM reach JOIN e ON e.s = reach.id
 )
 SELECT id, MIN(r) AS group_id FROM reach GROUP BY id"""
+
+
+def cms_probe_sql(probes: list[str], depth: int = 4,
+                  width: int = 1024) -> str:
+    """Exact oracle for ``stages/sketch.cms_token_counts``: rebuild
+    the depth×width register grid from EVERY corpus token through the
+    same Horner → +r·GOLDEN → splitmix64 chain (HUGEINT arithmetic,
+    bit-for-bit the numpy kernel), then probe the declared tokens —
+    hashed by the SAME SQL chain via a tagged UNION, so the probe
+    addressing is verified too — with min over rows."""
+    vals = ", ".join(f"('{p}')" for p in sorted(probes))
+    return f"""WITH corpus AS (
+  SELECT 'c' AS src,
+         unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                t -> t <> '')) AS g
+  FROM documents
+), probes AS (
+  SELECT 'p' AS src, g FROM (VALUES {vals}) AS v(g)
+), allt AS (
+  SELECT * FROM corpus UNION ALL SELECT * FROM probes
+), rr AS (
+  SELECT src, g, unnest(range(0, {int(depth)})) AS r FROM allt
+), h0 AS (
+  SELECT src, g, r,
+    ((CASE WHEN length(g) = 0 THEN CAST(0 AS HUGEINT) ELSE list_reduce(
+        list_transform(string_split(g, ''), c -> CAST(unicode(c) AS HUGEINT)),
+        (a, b) -> (a * {FP_PRIME} + b) % {TWO64}) END
+      + CAST(r AS HUGEINT) * 11400714819323198485) % {TWO64}) AS hv
+  FROM rr
+),{_splitmix_ctes('h0', 'src, g, r')},
+cols AS (
+  SELECT src, g, r, CAST(hv % {int(width)} AS BIGINT) AS col FROM smx
+), regs AS (
+  SELECT r, col, COUNT(*) AS cnt FROM cols WHERE src = 'c' GROUP BY r, col
+), pr AS (
+  SELECT DISTINCT g, r, col FROM cols WHERE src = 'p'
+)
+SELECT pr.g AS token,
+       CAST(MIN(COALESCE(regs.cnt, 0)) AS BIGINT) AS est_cnt
+FROM pr LEFT JOIN regs ON regs.r = pr.r AND regs.col = pr.col
+GROUP BY pr.g
+ORDER BY token"""

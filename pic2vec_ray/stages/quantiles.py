@@ -350,3 +350,57 @@ def ks_drift(ds, *, group_col: str, value: str, a: str, b: str,
     stat = round(float(np.max(np.abs(cdfs[a] - cdfs[b]))), decimals)
     return rd.from_pandas(pd.DataFrame(
         {"ks_stat": [stat], "n_a": [ns[a]], "n_b": [ns[b]]}))
+
+
+def robust_scale(ds, *, value: str, n_bins: int = 1024,
+                 out_col: str | None = None, decimals: int = 6):
+    """Robust (median/IQR) scaling of a CONTINUOUS column:
+    ``out = (v - q50) / (q75 - q25)`` with the three quantiles taken
+    from the same deterministic fixed-bin histogram sketch as
+    :func:`winsorize` — outlier-insensitive where z-score
+    (:func:`~pic2vec_ray.stages.encode.standardize`) is not, and
+    scale-safe on unbounded float domains where the exact value-count
+    path is not. Edges are rounded to ``decimals`` BEFORE use so the
+    SQL oracle replays the transform bit-for-bit.
+    """
+    from ray.data.aggregate import Max, Min
+
+    out_col = out_col or f"{value}_rs"
+    B = int(n_bins)
+    stats = ds.aggregate(Min(value), Max(value))
+    mn, mx = float(stats[f"min({value})"]), float(stats[f"max({value})"])
+    span = mx - mn
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        v = batch[value].to_numpy(dtype=np.float64)
+        if span > 0:
+            b = np.minimum(np.floor((v - mn) * B / span), B - 1).astype(np.int64)
+        else:
+            b = np.zeros(len(v), dtype=np.int64)
+        u, c = np.unique(b, return_counts=True)
+        return pd.DataFrame({"bin": u, "cnt": c})
+
+    hist = (ds.map_batches(partial, batch_format="pandas")
+            .to_pandas()
+            .groupby("bin", as_index=False)["cnt"].sum()
+            .sort_values("bin"))
+    cum = hist["cnt"].to_numpy().cumsum()
+    n = int(cum[-1])
+    bins = hist["bin"].to_numpy()
+
+    def edge(q: float) -> float:
+        rank = max(1, math.ceil(q * n))
+        return round(mn + span * int(bins[int(np.searchsorted(cum, rank))]) / B,
+                     decimals)
+
+    q25, q50, q75 = edge(0.25), edge(0.50), edge(0.75)
+    iqr = q75 - q25
+    if iqr == 0:
+        iqr = 1.0  # degenerate distribution: pass values through centered
+
+    def scale(batch: pd.DataFrame) -> pd.DataFrame:
+        v = batch[value].to_numpy(dtype=np.float64)
+        batch[out_col] = np.round((v - q50) / iqr, decimals)
+        return batch
+
+    return ds.map_batches(scale, batch_format="pandas")

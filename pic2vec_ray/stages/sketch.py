@@ -190,3 +190,67 @@ def hll_distinct(ds, *, group_col: str, col: str, p: int = DEFAULT_P,
                 .groupby([group_col, "bucket"]).max("rho"))
     return merged.groupby(group_col).map_groups(
         hll_finalize(group_col, p, out_col=out_col), batch_format="pandas")
+
+
+# ------------------------------------------------- count-min sketch
+
+_GOLDEN = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _cms_cols(hashes: np.ndarray, r: int, width: int) -> np.ndarray:
+    """Row-``r`` counter column per token hash:
+    ``splitmix64((h + r·GOLDEN) mod 2^64) mod width`` — the standard
+    one-base-hash-per-row derivation, SQL-replayable through the same
+    HUGEINT splitmix chain as the HLL oracle."""
+    with np.errstate(over="ignore"):
+        return (_splitmix64(hashes + np.uint64(r) * _GOLDEN)
+                % np.uint64(width)).astype(np.int64)
+
+
+def cms_token_counts(ds, *, text_col: str = "text", probes: list[str],
+                     depth: int = 4, width: int = 1024):
+    """Count-min-sketch token frequency estimation: a ``depth`` ×
+    ``width`` counter grid built in ONE streaming pass (per-batch
+    partial registers, ≤ depth·width counter rows per batch cross the
+    exchange — never tokens), probed for a declared token list with
+    the classic ``min`` over rows. Estimates are biased high only
+    (counter collisions add, never subtract) — the fixed-footprint
+    complement to the exact ``token_topk`` merge when the vocabulary
+    itself is too large to materialize. Register merge is a pointwise
+    ``groupby(r, col).sum`` — (r, col) has ``depth·width`` distinct
+    values, squarely in Ray's low-cardinality sort-aggregate lane.
+    Output: one row per probe token — ``token``, ``est_cnt`` (int64).
+    """
+    import ray.data as rd
+
+    D, W = int(depth), int(width)
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        toks = batch[text_col].str.lower().str.findall(r"[a-z0-9]+")
+        flat = np.array([t for row in toks for t in row], dtype=object)
+        if len(flat) == 0:
+            return pd.DataFrame({"r": pd.Series([], dtype="int64"),
+                                 "col": pd.Series([], dtype="int64"),
+                                 "cnt": pd.Series([], dtype="int64")})
+        h = _token_hash64(flat)
+        frames = []
+        for r in range(D):
+            cols, cnts = np.unique(_cms_cols(h, r, W), return_counts=True)
+            frames.append(pd.DataFrame({"r": r, "col": cols, "cnt": cnts}))
+        return pd.concat(frames, ignore_index=True)
+
+    regs = (ds.map_batches(partial, batch_format="pandas")
+            .groupby(["r", "col"]).sum("cnt")
+            .to_pandas())  # ≤ depth·width rows by construction
+    lut = {(int(r), int(c)): int(n)
+           for r, c, n in zip(regs["r"], regs["col"], regs["sum(cnt)"])}
+    ph = _token_hash64(np.array(probes, dtype=object))
+    out = []
+    for i, tok in enumerate(probes):
+        est = min(lut.get((r, int(_cms_cols(ph[i:i + 1], r, W)[0])), 0)
+                  for r in range(D))
+        out.append((tok, est))
+    out.sort()
+    return rd.from_pandas(pd.DataFrame(
+        {"token": [t for t, _ in out],
+         "est_cnt": pd.Series([e for _, e in out], dtype="int64")}))

@@ -476,3 +476,157 @@ def token_topk_by_group(ds, *, group_col: str, k: int = 5,
 
     return partitioned_apply(merged, group_col, topk,
                              num_partitions=num_partitions)
+
+
+def _explode_tokens(batch: pd.DataFrame, id_col: str, text_col: str) -> pd.DataFrame:
+    """(id, token, pos) rows for every ``[a-z0-9]+`` token of the
+    lowercased text, vectorized via pandas explode (one findall per
+    row, no Python loop over tokens)."""
+    toks = batch[[id_col]].copy()
+    toks["w"] = batch[text_col].str.lower().str.findall(r"[a-z0-9]+")
+    ex = toks.explode("w").dropna(subset=["w"])
+    ex["pos"] = ex.groupby(level=0).cumcount()
+    return ex.reset_index(drop=True)
+
+
+def _doc_bigrams(batch: pd.DataFrame, id_col: str, text_col: str) -> pd.DataFrame:
+    """(id, w1, w2) adjacent-token bigram rows (multiplicity kept)."""
+    ex = (batch[[id_col]].copy()
+          .assign(w=batch[text_col].str.lower().str.findall(r"[a-z0-9]+"))
+          .explode("w").dropna(subset=["w"]))
+    idx = ex.index.to_numpy()
+    same = np.empty(len(ex), dtype=bool)
+    if len(ex):
+        same[:-1] = idx[:-1] == idx[1:]
+        same[-1] = False
+    w = ex["w"].to_numpy()
+    out = pd.DataFrame({
+        id_col: ex[id_col].to_numpy()[same],
+        "w1": w[same],
+        "w2": np.roll(w, -1)[same],
+    })
+    return out
+
+
+def bigram_lm_score(ds, *, id_col: str = "doc_id", text_col: str = "text",
+                    alpha: float = 0.5, decimals: int = 6,
+                    num_partitions: int = 16):
+    """Per-document bigram language-model score — the CCNet-style
+    perplexity quality signal: ``lm_score = mean over doc bigrams of
+    -ln P(w2|w1)`` with additive smoothing
+    ``P = (c(w1,w2) + α) / (c(w1) + α·V)`` where ``c(w1)`` is the
+    context count (sum of bigram counts with that ``w1``) and ``V``
+    the number of distinct contexts. High score = improbable text
+    under the corpus's own statistics (gibberish / boilerplate-mix).
+
+    Fully distributed — the bigram table is NEVER assumed
+    broadcastable (at 100 TB it is corpus-sized): per-batch partial
+    bigram counts → exact merge on the (w1, w2) hash-partition path →
+    context counts by the same path → the doc side re-joins its own
+    (doc, w1, w2, k) rows against both count tables with the engine's
+    shuffle ``hash_join`` → per-doc weighted mean on the ``id_col``
+    partition path. Docs with < 2 tokens produce no bigrams and are
+    absent from the output (the SQL oracle's inner joins agree).
+    Output: ``id_col``, ``n_bigrams`` (int64), ``lm_score`` (rounded).
+    """
+    from ..temporal.core import partitioned_apply
+    from ..temporal.join import hash_join
+
+    big = ds.map_batches(
+        lambda b: _doc_bigrams(b, id_col, text_col), batch_format="pandas")
+
+    def partial_counts(b: pd.DataFrame) -> pd.DataFrame:
+        return b.groupby(["w1", "w2"], as_index=False).size() \
+                .rename(columns={"size": "cb"})
+
+    cb = partitioned_apply(
+        big.map_batches(partial_counts, batch_format="pandas"),
+        ["w1", "w2"],
+        lambda df: df.groupby(["w1", "w2"], as_index=False)["cb"].sum(),
+        num_partitions=num_partitions)
+
+    cu = partitioned_apply(
+        cb, "w1",
+        lambda df: df.groupby("w1", as_index=False)["cb"].sum()
+                     .rename(columns={"cb": "cu"}),
+        num_partitions=num_partitions).materialize()
+    v = cu.count()
+
+    def doc_partial(b: pd.DataFrame) -> pd.DataFrame:
+        return b.groupby([id_col, "w1", "w2"], as_index=False).size() \
+                .rename(columns={"size": "k"})
+
+    doc = big.map_batches(doc_partial, batch_format="pandas")
+    joined = hash_join(doc, cb, on=["w1", "w2"], how="inner",
+                       num_partitions=num_partitions)
+    joined = hash_join(joined, cu, on="w1", how="inner",
+                       num_partitions=num_partitions)
+
+    def contrib(b: pd.DataFrame) -> pd.DataFrame:
+        p = (b["cb"].to_numpy(np.float64) + alpha) \
+            / (b["cu"].to_numpy(np.float64) + alpha * v)
+        return pd.DataFrame({
+            id_col: b[id_col].to_numpy(),
+            "k": b["k"].to_numpy(np.int64),
+            "s": -np.log(p) * b["k"].to_numpy(np.float64),
+        })
+
+    def per_doc(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(id_col, as_index=False).agg(
+            n_bigrams=("k", "sum"), s=("s", "sum"))
+        g["lm_score"] = np.round(g["s"] / g["n_bigrams"], decimals)
+        g["n_bigrams"] = g["n_bigrams"].astype("int64")
+        return g.drop(columns="s")
+
+    return partitioned_apply(
+        joined.map_batches(contrib, batch_format="pandas"),
+        id_col, per_doc, num_partitions=num_partitions)
+
+
+def cooccur_topk(ds, *, text_col: str = "text", id_col: str = "doc_id",
+                 window: int = 2, k: int = 20, num_partitions: int = 16):
+    """Global top-``k`` ordered token co-occurrence pairs within a
+    ``window``-token forward context (the skip-gram count table's
+    heavy hitters). Per-batch partial pair counts (numpy shifts, doc
+    boundaries masked) → exact merge on the (w1, w2) hash-partition
+    path → per-partition local top-k (each pair lives in exactly one
+    partition post-merge, so the union of partition top-ks contains
+    the global top-k) → tiny driver finish. Tie-break
+    (cnt DESC, w1 ASC, w2 ASC) is total, matching the SQL oracle.
+    """
+    import ray.data as rd
+
+    from ..temporal.core import partitioned_apply
+
+    def pairs(batch: pd.DataFrame) -> pd.DataFrame:
+        ex = _explode_tokens(batch, id_col, text_col)
+        ids = ex[id_col].to_numpy()
+        w = ex["w"].to_numpy()
+        parts = []
+        for d in range(1, window + 1):
+            if len(ex) <= d:
+                break
+            same = ids[:-d] == ids[d:]
+            parts.append(pd.DataFrame({"w1": w[:-d][same], "w2": w[d:][same]}))
+        if not parts:
+            return pd.DataFrame({"w1": pd.Series([], dtype=str),
+                                 "w2": pd.Series([], dtype=str),
+                                 "cnt": pd.Series([], dtype="int64")})
+        allp = pd.concat(parts, ignore_index=True)
+        return allp.groupby(["w1", "w2"], as_index=False).size() \
+                   .rename(columns={"size": "cnt"})
+
+    def merge_topk(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["w1", "w2"], as_index=False)["cnt"].sum()
+        g = g.sort_values(["cnt", "w1", "w2"],
+                          ascending=[False, True, True], kind="mergesort")
+        return g.head(k)
+
+    cand = partitioned_apply(
+        ds.map_batches(pairs, batch_format="pandas"),
+        ["w1", "w2"], merge_topk, num_partitions=num_partitions).to_pandas()
+    out = cand.sort_values(["cnt", "w1", "w2"],
+                           ascending=[False, True, True],
+                           kind="mergesort").head(k).reset_index(drop=True)
+    out["cnt"] = out["cnt"].astype("int64")
+    return rd.from_pandas(out)

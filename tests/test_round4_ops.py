@@ -641,3 +641,119 @@ def test_ks_drift_sanity(ray_session):
         np.searchsorted(np.sort(va), allv, side="right") / len(va)
         - np.searchsorted(np.sort(vb), allv, side="right") / len(vb)))
     assert abs(out.ks_stat[0] - exact) < 0.02
+
+
+def test_bigram_lm_score_matches_bruteforce(ray_session):
+    import math
+
+    import ray.data as rd
+
+    from pic2vec_ray.stages.text import bigram_lm_score
+
+    docs = pd.DataFrame({
+        "doc_id": [0, 1, 2, 3],
+        "text": ["a b a b c", "b c b c", "a a a", "x"],  # doc 3: no bigram
+    })
+    out = (bigram_lm_score(rd.from_pandas(docs).repartition(3), alpha=0.5)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    # brute force
+    from collections import Counter
+    bigs = {}
+    cb = Counter()
+    for _, r in docs.iterrows():
+        ws = r.text.split()
+        bigs[r.doc_id] = list(zip(ws, ws[1:]))
+        cb.update(bigs[r.doc_id])
+    cu = Counter()
+    for (w1, _), c in cb.items():
+        cu[w1] += c
+    V = len(cu)
+    assert list(out.doc_id) == [0, 1, 2]  # doc 3 absent (no bigrams)
+    for _, row in out.iterrows():
+        pairs = bigs[row.doc_id]
+        want = sum(-math.log((cb[p] + 0.5) / (cu[p[0]] + 0.5 * V))
+                   for p in pairs) / len(pairs)
+        assert row.n_bigrams == len(pairs)
+        assert abs(row.lm_score - want) < 1e-6
+    # gibberish scores worse than typical text
+    docs2 = pd.DataFrame({
+        "doc_id": range(20),
+        "text": ["the cat sat on the mat"] * 19 + ["zq xv qqq zk pw mm"],
+    })
+    o2 = (bigram_lm_score(rd.from_pandas(docs2)).to_pandas()
+          .sort_values("doc_id").reset_index(drop=True))
+    assert o2.lm_score.iloc[19] > o2.lm_score.iloc[:19].max()
+
+
+def test_cooccur_topk_bruteforce_and_boundaries(ray_session):
+    import ray.data as rd
+    from collections import Counter
+
+    from pic2vec_ray.stages.text import cooccur_topk
+
+    rng = np.random.default_rng(17)
+    vocab = list("abcdef")
+    texts = [" ".join(rng.choice(vocab, rng.integers(1, 12)))
+             for _ in range(60)]
+    docs = pd.DataFrame({"doc_id": range(60), "text": texts})
+    W, K = 3, 10
+    got = (cooccur_topk(rd.from_pandas(docs).repartition(4),
+                        window=W, k=K).to_pandas())
+    cnt = Counter()
+    for t in texts:
+        ws = t.split()
+        for i, w1 in enumerate(ws):
+            for j in range(i + 1, min(i + W, len(ws) - 1) + 1):
+                cnt[(w1, ws[j])] += 1
+    want = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:K]
+    assert [((r.w1, r.w2), r.cnt) for r in got.itertuples()] == want
+
+
+def test_cms_overestimates_only_and_tracks_truth(ray_session):
+    import ray.data as rd
+    from collections import Counter
+
+    from pic2vec_ray.stages.sketch import cms_token_counts
+
+    rng = np.random.default_rng(31)
+    vocab = [f"w{i}" for i in range(200)]
+    weights = np.arange(200, 0, -1, dtype=np.float64)
+    weights /= weights.sum()
+    texts = [" ".join(rng.choice(vocab, 50, p=weights)) for _ in range(80)]
+    truth = Counter(t for s in texts for t in s.split())
+    probes = ["w0", "w1", "w50", "w199", "absent"]
+    out = (cms_token_counts(rd.from_pandas(pd.DataFrame({"text": texts}))
+                            .repartition(5),
+                            probes=probes, depth=4, width=2048)
+           .to_pandas().set_index("token"))
+    total = sum(truth.values())
+    for p in probes:
+        est, true = out.loc[p, "est_cnt"], truth.get(p, 0)
+        assert est >= true  # CMS never undercounts
+        assert est - true <= 2 * total / 2048 + 1  # CM error bound-ish
+    assert list(out.index) == sorted(probes)
+
+
+def test_robust_scale_outlier_insensitive(ray_session):
+    import ray.data as rd
+
+    from pic2vec_ray.stages.quantiles import robust_scale
+
+    rng = np.random.default_rng(41)
+    v = rng.normal(50.0, 5.0, 3000)
+    v[:10] = 500.0  # outliers an order of magnitude out; the one-pass
+    # histogram needs the span to stay resolvable (a 1e6 outlier with
+    # 4096 bins puts the whole bulk in one bin - documented limitation)
+    df = pd.DataFrame({"i": np.arange(len(v)), "v": v})
+    out = (robust_scale(rd.from_pandas(df).repartition(6), value="v",
+                        n_bins=4096)
+           .to_pandas().sort_values("i").reset_index(drop=True))
+    med = np.median(v)
+    iqr = np.quantile(v, 0.75) - np.quantile(v, 0.25)
+    inner = out.v_rs[10:]
+    want = (v[10:] - med) / iqr
+    # histogram resolution on a 1e6 span is coarse; direction + scale
+    # must match and the bulk stays within a few units
+    assert np.corrcoef(inner, want)[0, 1] > 0.99
+    assert np.abs(np.median(out.v_rs)) < 0.5
+    assert np.abs(np.abs(inner - want).median()) < 0.5
