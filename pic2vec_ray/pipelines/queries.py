@@ -2822,6 +2822,82 @@ def cms_counts_docs(sf_dir: str):
     return cms_token_counts(ds, probes=CMS_PROBES, depth=4, width=1024)
 
 
+def temperature_mixture_docs(sf_dir: str):
+    """Temperature (α=0.5) domain mixing over the SKEWED lang
+    domain (stages/split
+    .temperature_mixture): one low-cardinality source-count fit, rates
+    rounded 4dp pre-use, zero-shuffle deterministic hash filter. SQL
+    reproduces counts → POWER rates → cut arithmetic."""
+    from ..stages.split import temperature_mixture
+
+    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "lang", "n_chars"])
+    return temperature_mixture(ds, id_col="doc_id", key_col="lang",
+                               alpha=0.5)
+
+
+SQL_TEMPERATURE = """
+WITH n AS (
+  SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang
+), r AS (
+  SELECT lang,
+         ROUND(POWER(n, -0.5) / MAX(POWER(n, -0.5)) OVER (), 4) AS rate
+  FROM n
+), b AS (
+  SELECT doc_id, lang, n_chars,
+         CAST(((doc_id::HUGEINT * 2654435761) % 4294967296) % 10000
+              AS BIGINT) AS bkt
+  FROM documents
+)
+SELECT doc_id, lang, n_chars
+FROM b JOIN r USING (lang)
+WHERE bkt < CAST(ROUND(rate * 10000, 0) AS BIGINT)
+"""
+
+
+def contamination_report_docs(sf_dir: str):
+    """Decontamination AUDIT (stages/decontam.contamination_report):
+    every (train doc, eval doc, shared distinct 8-gram count) pair,
+    eval side = source 'src0', gram attribution pinned to the MIN
+    eval doc id. Owners dict broadcast once via ray.put."""
+    from ..stages.decontam import contamination_report, eval_ngram_owners
+
+    rd = _rd()
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "source", "text"])
+    eval_ds = docs.filter(expr="source == 'src0'")
+    owners = eval_ngram_owners(eval_ds, n=8)
+    train = docs.filter(expr="source != 'src0'")
+    return contamination_report(train, owners, n=8)
+
+
+SQL_CONTAM_REPORT = """
+WITH toks AS (
+  SELECT doc_id, source,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     t -> t <> '') AS w
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, source,
+         unnest([array_to_string(w[i:i+7], ' ')
+                 FOR i IN range(1, len(w) - 8 + 2)]) AS g
+  FROM toks WHERE len(w) >= 8
+),
+eval_o AS (
+  SELECT g, MIN(doc_id) AS eval_doc
+  FROM (SELECT DISTINCT doc_id, g FROM grams WHERE source = 'src0')
+  GROUP BY g
+),
+tg AS (
+  SELECT DISTINCT doc_id, g FROM grams WHERE source <> 'src0'
+)
+SELECT t.doc_id, e.eval_doc, COUNT(*) AS shared_grams
+FROM tg t JOIN eval_o e USING (g)
+GROUP BY t.doc_id, e.eval_doc
+"""
+
+
 def robust_scale_price(sf_dir: str):
     """Median/IQR robust scaling (stages/quantiles.robust_scale):
     quantile edges from the deterministic fixed-bin histogram sketch,
@@ -2914,8 +2990,10 @@ QUERIES = {
     "split_train_test": split_train_test,
     "sample_docs": sample_docs,
     "mixture_sample_docs": mixture_sample_docs,
+    "temperature_mixture_docs": temperature_mixture_docs,
     "top_tokens_docs": top_tokens_docs,
     "decontaminate_docs": decontaminate_docs,
+    "contamination_report_docs": contamination_report_docs,
     "attribution_6h": attribution_6h,
     "quantiles_by_flag": quantiles_by_flag,
     "approx_quantiles_price": approx_quantiles_price,
@@ -3016,6 +3094,8 @@ ORACLE_SQL = {
     "mixture_sample_docs": SQL_MIXTURE,
     "top_tokens_docs": SQL_TOP_TOKENS,
     "decontaminate_docs": SQL_DECONTAMINATE,
+    "temperature_mixture_docs": SQL_TEMPERATURE,
+    "contamination_report_docs": SQL_CONTAM_REPORT,
     "attribution_6h": SQL_ATTRIBUTION,
     "quantiles_by_flag": SQL_QUANTILES,
     "approx_quantiles_price": SQL_APPROX_QUANTILES,

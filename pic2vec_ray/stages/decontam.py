@@ -215,3 +215,75 @@ def decontaminate(train_ds, eval_grams, *, col: str = "text", n: int = 8,
         return batch.iloc[mask]
 
     return train_ds.map_batches(keep_clean, batch_format="pandas")
+
+
+def eval_ngram_owners(eval_ds, *, id_col: str = "doc_id",
+                      col: str = "text", n: int = 8) -> dict:
+    """``gram -> min eval doc id`` over the (small) eval dataset — the
+    attribution counterpart of :func:`eval_ngram_set`, same
+    driver-memory bound and Bloom-swap caveat."""
+    def to_pairs(batch: pd.DataFrame) -> pd.DataFrame:
+        grams, doc_idx = word_ngrams_batch(batch[col], n)
+        if len(grams) == 0:
+            return pd.DataFrame({"g": pd.Series([], dtype=object),
+                                 "d": pd.Series([], dtype="int64")})
+        df = pd.DataFrame({"g": grams,
+                           "d": batch[id_col].to_numpy()[doc_idx]})
+        return df.groupby("g", as_index=False)["d"].min()
+
+    owners: dict = {}
+    for b in eval_ds.map_batches(to_pairs, batch_format="pandas") \
+                    .iter_batches(batch_format="pandas"):
+        for g, d in zip(b["g"], b["d"]):
+            cur = owners.get(g)
+            if cur is None or d < cur:
+                owners[g] = int(d)
+    return owners
+
+
+def contamination_report(train_ds, eval_owners, *, id_col: str = "doc_id",
+                         col: str = "text", n: int = 8):
+    """The AUDIT mode of decontamination: instead of silently dropping
+    contaminated rows, report every (train doc, eval doc, shared
+    distinct-gram count) pair — what a data audit actually needs
+    before deciding to drop. ``eval_owners`` is the
+    :func:`eval_ngram_owners` dict (or an ``ObjectRef`` to one),
+    ``ray.put`` once and read zero-copy per task; attribution pins
+    each gram to its MIN eval doc id so the pairing is deterministic.
+    Zero-shuffle on the train side except one bounded
+    (train_doc, eval_doc) pair merge.
+    Output: ``id_col``, ``eval_doc``, ``shared_grams`` (int64).
+    """
+    from ..temporal.core import partitioned_apply
+
+    ref = eval_owners if isinstance(eval_owners, ray.ObjectRef) \
+        else ray.put(eval_owners)
+
+    def pairs(batch: pd.DataFrame) -> pd.DataFrame:
+        owners = ray.get(ref)
+        grams, doc_idx = word_ngrams_batch(batch[col], n)
+        empty = pd.DataFrame({id_col: pd.Series([], dtype="int64"),
+                              "eval_doc": pd.Series([], dtype="int64"),
+                              "shared_grams": pd.Series([], dtype="int64")})
+        if len(grams) == 0:
+            return empty
+        df = pd.DataFrame({id_col: batch[id_col].to_numpy()[doc_idx],
+                           "g": grams}).drop_duplicates()
+        df["eval_doc"] = df["g"].map(owners)
+        df = df.dropna(subset=["eval_doc"])
+        if df.empty:
+            return empty
+        out = df.groupby([id_col, "eval_doc"], as_index=False).size() \
+                .rename(columns={"size": "shared_grams"})
+        out["eval_doc"] = out["eval_doc"].astype("int64")
+        out["shared_grams"] = out["shared_grams"].astype("int64")
+        return out
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby([id_col, "eval_doc"], as_index=False)["shared_grams"].sum()
+        g["shared_grams"] = g["shared_grams"].astype("int64")
+        return g
+
+    return partitioned_apply(
+        train_ds.map_batches(pairs, batch_format="pandas"),
+        [id_col, "eval_doc"], merge, num_partitions=16)

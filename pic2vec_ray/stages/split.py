@@ -196,3 +196,37 @@ def epoch_shuffle(ds, *, id_col: str, epoch: int, seed: int = 0,
     tagged = ds.map_batches(tag, batch_format="pandas")
     return partitioned_apply(tagged, "__bucket", assign,
                              num_partitions=num_partitions)
+
+
+def temperature_mixture(ds, *, id_col: str, key_col: str, alpha: float = 0.5,
+                        buckets: int = 10_000, size_decimals: int = 4):
+    """Temperature-based domain mixing (the unified-scaling /
+    multilingual α-sampling rule): source ``s`` with ``n_s`` rows is
+    kept at rate ``n_s^(α-1) / max_t n_t^(α-1)`` — for ``α < 1`` the
+    smallest source is kept whole and large sources are flattened
+    toward it; ``α = 1`` keeps everything (natural mixing). Upsampling
+    beyond rate 1 stays out of scope (repetition belongs at the data
+    loader, same rule as :func:`hash_sample_mixture`).
+
+    Fit = one low-cardinality source-count groupby (bounded by the
+    domain count); rates are rounded to ``size_decimals`` BEFORE use
+    so the SQL oracle reproduces the cut arithmetic exactly; transform
+    delegates to the zero-shuffle deterministic
+    :func:`hash_sample_mixture` filter.
+    """
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.groupby(key_col, as_index=False).size() \
+                    .rename(columns={"size": "n"})
+
+    sizes = (ds.map_batches(partial, batch_format="pandas")
+             .groupby(key_col).sum("n")
+             .to_pandas())  # ≤ |source domain| rows
+    w = np.power(sizes["sum(n)"].to_numpy(np.float64), alpha - 1.0)
+    rates = np.round(w / w.max(), size_decimals)
+    rate_map = dict(zip(sizes[key_col], rates))
+    return hash_sample_mixture(ds, id_col=id_col, key_col=key_col,
+                               rates=rate_map, default_rate=1.0,
+                               buckets=buckets)

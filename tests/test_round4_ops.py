@@ -757,3 +757,56 @@ def test_robust_scale_outlier_insensitive(ray_session):
     assert np.corrcoef(inner, want)[0, 1] > 0.99
     assert np.abs(np.median(out.v_rs)) < 0.5
     assert np.abs(np.abs(inner - want).median()) < 0.5
+
+
+def test_temperature_mixture_rates(ray_session):
+    import ray.data as rd
+
+    from pic2vec_ray.stages.split import temperature_mixture
+
+    df = pd.DataFrame({
+        "doc_id": np.arange(13000, dtype=np.int64),
+        "src": ["big"] * 10000 + ["mid"] * 2500 + ["small"] * 500,
+    })
+    out = (temperature_mixture(rd.from_pandas(df).repartition(5),
+                               id_col="doc_id", key_col="src", alpha=0.5)
+           .to_pandas())
+    kept = out.src.value_counts()
+    # alpha=0.5: rate_s = sqrt(n_small/n_s); small kept ~whole
+    assert kept["small"] == 500
+    for s, n in (("big", 10000), ("mid", 2500)):
+        want = n * (500 / n) ** 0.5
+        assert abs(kept[s] - want) / want < 0.15
+    # alpha=1 keeps everything
+    out1 = temperature_mixture(rd.from_pandas(df), id_col="doc_id",
+                               key_col="src", alpha=1.0).to_pandas()
+    assert len(out1) == len(df)
+    with pytest.raises(ValueError):
+        temperature_mixture(rd.from_pandas(df), id_col="doc_id",
+                            key_col="src", alpha=0.0)
+
+
+def test_contamination_report_pairs(ray_session):
+    import ray.data as rd
+
+    from pic2vec_ray.stages.decontam import (contamination_report,
+                                             eval_ngram_owners)
+
+    shared = "one two three four five six seven eight"
+    evald = pd.DataFrame({
+        "doc_id": [100, 101],
+        "text": [shared + " tail a", "nine ten" + " filler" * 8],
+    })
+    train = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": [shared + " extra",            # shares 1 gram w/ doc 100
+                 shared + " tail b",           # shares 2 grams w/ doc 100
+                 "clean words only here " * 3],
+    })
+    owners = eval_ngram_owners(rd.from_pandas(evald), n=8)
+    out = (contamination_report(rd.from_pandas(train).repartition(2),
+                                owners, n=8)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert list(out.doc_id) == [1, 2]
+    assert list(out.eval_doc) == [100, 100]
+    assert list(out.shared_grams) == [1, 2]
