@@ -2246,6 +2246,103 @@ WHERE role <= 16 AND (role = 15 OR cs % 3 IN (0, 1))
 """
 
 
+def augment_verify(sf_dir: str):
+    """Image-augmentation algebra proof at the query surface
+    (stages/augment.make_augment_verify_fn): flips/rotations are exact
+    involutions, rot180 = hflip∘vflip, crops equal the direct numpy
+    slice, flips preserve the pixel sum — on every losslessly-decoded
+    row. Oracle = the phash_verify closed-form surviving-row set,
+    all-TRUE."""
+    from ..stages.augment import make_augment_verify_fn
+
+    ds = _rd().read_parquet(
+        _images(sf_dir), columns=["image_id", "bytes", "fmt"],
+        filter=(pc.field("fmt") == "png") | (pc.field("fmt") == "bmp"))
+    return ds.map_batches(make_augment_verify_fn(), batch_format="pyarrow")
+
+
+SQL_AUGMENT_VERIFY = """
+WITH r AS (
+  SELECT p_partkey, p_partkey % 20 AS role,
+         CASE WHEN p_partkey % 20 = 13 THEN p_partkey - 1 ELSE p_partkey END AS cs
+  FROM part
+)
+SELECT printf('img_%08d', p_partkey) AS image_id, TRUE AS aug_ok
+FROM r
+WHERE role <= 16 AND (role = 15 OR cs % 3 IN (0, 1))
+"""
+
+
+def patch_embed_dims(sf_dir: str):
+    """ViT patch-embedding chain (patchify → PatchEmbedActor): tiles
+    projected to 64-float vectors by a per-actor seeded linear layer +
+    sinusoidal 2-D positions. The oracle predicts (image_id, n_tiles,
+    emb_dim, all-finite) closed-form from the part grid — certifying
+    the real decode → tile → matmul plumbing and output geometry
+    (embedding VALUES are seeded-weight outputs, the same
+    environment-blocked-weights disclosure as featurize_dims)."""
+    from ..stages.decode import make_patchify_fn
+    from ..stages.embed import PatchEmbedActor
+
+    ds = _rd().read_parquet(_images(sf_dir),
+                            columns=["image_id", "bytes"])
+    tiles = ds.map_batches(make_patchify_fn(patch=16),
+                           batch_format="pyarrow")
+    emb = tiles.map_batches(PatchEmbedActor,
+                            fn_constructor_kwargs={"patch": 16, "dim": 64},
+                            batch_format="pyarrow", concurrency=4,
+                            batch_size=4096)
+
+    def summarize(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = t.to_pandas()
+        vec = np.stack(df["embedding"].to_numpy()) if len(df) else \
+            np.zeros((0, 64), np.float32)
+        g = pd.DataFrame({
+            "image_id": df["image_id"],
+            "finite": np.isfinite(vec).all(axis=1) if len(df) else
+            np.array([], dtype=bool),
+        }).groupby("image_id", as_index=False).agg(
+            n_tiles=("finite", "size"), all_finite=("finite", "all"))
+        g["n_tiles"] = g["n_tiles"].astype("int64")
+        g["emb_dim"] = np.int64(vec.shape[1] if len(df) else 64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    from ..temporal.core import partitioned_apply
+
+    per_image = emb.map_batches(summarize, batch_format="pyarrow")
+
+    def merge(df):
+        g = df.groupby("image_id", as_index=False).agg(
+            n_tiles=("n_tiles", "sum"), all_finite=("all_finite", "all"),
+            emb_dim=("emb_dim", "max"))
+        g["n_tiles"] = g["n_tiles"].astype("int64")
+        g["emb_dim"] = g["emb_dim"].astype("int64")
+        return g[["image_id", "n_tiles", "all_finite", "emb_dim"]]
+
+    return partitioned_apply(per_image, "image_id", merge,
+                             num_partitions=8)
+
+
+SQL_PATCH_EMBED = """
+WITH r AS (
+  SELECT p_partkey, p_partkey % 20 AS role,
+         CASE WHEN p_partkey % 20 = 13 THEN p_partkey - 1 ELSE p_partkey END AS cs
+  FROM part
+), d AS (
+  SELECT p_partkey,
+         (64 + (cs % 4) * 16) // 16 AS gw,
+         (64 + (cs % 3) * 32) // 16 AS gh
+  FROM r WHERE role < 17
+)
+SELECT printf('img_%08d', p_partkey) AS image_id,
+       gw * gh AS n_tiles, TRUE AS all_finite,
+       CAST(64 AS BIGINT) AS emb_dim
+FROM d
+"""
+
+
 def hll_distinct_tokens(sf_dir: str):
     """Grouped HyperLogLog distinct-token estimate per document source
     (stages/sketch.py).  The registers derive from the same polynomial
@@ -3022,6 +3119,8 @@ QUERIES = {
     "tfidf_topk_docs": tfidf_topk_docs,
     "redact_docs": redact_docs,
     "phash_verify": phash_verify,
+    "augment_verify": augment_verify,
+    "patch_embed_dims": patch_embed_dims,
     "hll_distinct_tokens": hll_distinct_tokens,
     "window_ranks_events": window_ranks_events,
     "pivot_value_by_type": pivot_value_by_type,
@@ -3125,6 +3224,8 @@ ORACLE_SQL = {
     "tfidf_topk_docs": SQL_TFIDF,
     "redact_docs": SQL_REDACT,
     "phash_verify": SQL_PHASH_VERIFY,
+    "augment_verify": SQL_AUGMENT_VERIFY,
+    "patch_embed_dims": SQL_PATCH_EMBED,
     "hll_distinct_tokens": SQL_HLL,
     "window_ranks_events": SQL_WINDOW_RANKS,
     "pivot_value_by_type": SQL_PIVOT,

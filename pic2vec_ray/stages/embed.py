@@ -84,3 +84,73 @@ class EmbedActor:
         flat = pa.array(feats.ravel(), type=pa.float32())
         col = pa.FixedSizeListArray.from_arrays(flat, self.num_features)
         return out.append_column(self.features_col, col)
+
+
+class PatchEmbedActor:
+    """ViT-style patch embedding: project each ``patchify`` tile's raw
+    pixels (``P·P·3`` uint8) to a ``dim``-float vector with a seeded
+    linear layer plus learned-position-free sinusoidal 2-D positional
+    encoding — the stage between ``stages/decode.make_patchify_fn``
+    and a transformer trainer.
+
+    Actor-pool discipline: the projection matrix (and the positional
+    table cache) is built ONCE per actor in ``__init__`` from a fixed
+    seed (He-init — the same environment-blocked-weights disclosure as
+    ``model/zoo.py``; swap ``weights`` for a trained .npz when one
+    exists); ``__call__`` is one ``(tiles/255 − 0.5) @ W`` matmul per
+    batch. Zero-copy in: the fixed-size-binary tile buffer is
+    reinterpreted as a (n, P·P·3) uint8 view, never iterated.
+
+    Output: input columns minus the tile payload, plus ``embedding``
+    (FixedSizeList<float32, dim>).
+    """
+
+    def __init__(self, patch: int = 16, dim: int = 64, seed: int = 5102020,
+                 patch_col: str = "patch", weights: np.ndarray | None = None,
+                 pos_encode: bool = True):
+        self.P, self.dim = int(patch), int(dim)
+        self.patch_col = patch_col
+        self.pos_encode = pos_encode
+        d_in = self.P * self.P * 3
+        if weights is not None:
+            w = np.asarray(weights, dtype=np.float32)
+            if w.shape != (d_in, self.dim):
+                raise ValueError(f"weights must be {(d_in, self.dim)}, "
+                                 f"got {w.shape}")
+            self.W = w
+        else:
+            rng = np.random.default_rng(seed)
+            self.W = rng.normal(0.0, np.sqrt(2.0 / d_in),
+                                (d_in, self.dim)).astype(np.float32)
+
+    def _pos(self, py: np.ndarray, px: np.ndarray) -> np.ndarray:
+        """Standard sinusoidal encoding, half the dims on each axis."""
+        half = self.dim // 2
+        freq = np.exp(-np.log(10000.0) * np.arange(half, dtype=np.float32)
+                      / max(half, 1))
+        out = np.zeros((len(py), self.dim), dtype=np.float32)
+        ay = py[:, None].astype(np.float32) * freq[None, :]
+        ax = px[:, None].astype(np.float32) * freq[None, :]
+        out[:, 0:half:2] = np.sin(ay[:, ::2])
+        out[:, 1:half:2] = np.cos(ay[:, 1::2])
+        out[:, half::2] = np.sin(ax[:, : (self.dim - half + 1) // 2])
+        out[:, half + 1::2] = np.cos(ax[:, : (self.dim - half) // 2])
+        return out
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        col = batch[self.patch_col].combine_chunks()
+        n = len(col)
+        d_in = self.P * self.P * 3
+        if n:
+            buf = np.frombuffer(col.buffers()[1], dtype=np.uint8,
+                                count=n * d_in).reshape(n, d_in)
+            emb = ((buf.astype(np.float32) / 255.0) - 0.5) @ self.W
+            if self.pos_encode:
+                emb = emb + self._pos(batch["py"].to_numpy(),
+                                      batch["px"].to_numpy())
+        else:
+            emb = np.zeros((0, self.dim), dtype=np.float32)
+        out = batch.drop_columns([self.patch_col])
+        flat = pa.array(emb.ravel(), type=pa.float32())
+        return out.append_column(
+            "embedding", pa.FixedSizeListArray.from_arrays(flat, self.dim))

@@ -810,3 +810,83 @@ def test_contamination_report_pairs(ray_session):
     assert list(out.doc_id) == [1, 2]
     assert list(out.eval_doc) == [100, 100]
     assert list(out.shared_grams) == [1, 2]
+
+
+def test_augment_primitives_and_fn_roundtrip(ray_session, images_dir):
+    import ray.data as rd
+
+    from pic2vec_ray.codecs.png import decode_png, encode_png
+    from pic2vec_ray.stages.augment import (AUGMENTS, center_crop, hflip,
+                                            make_augment_fn, rotate90, vflip)
+
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, (24, 32, 3), dtype=np.uint8)
+    assert np.array_equal(hflip(img), img[:, ::-1])
+    assert np.array_equal(vflip(img), img[::-1])
+    assert np.array_equal(rotate90(img), np.rot90(img))
+    assert center_crop(img, 8, 8).shape == (8, 8, 3)
+    assert center_crop(img, 100, 100).shape == img.shape  # clamped
+
+    rows = pd.DataFrame({
+        "image_id": [f"im{i}" for i in range(6)],
+        "fmt": ["png"] * 6,
+        "bytes": [encode_png(rng.integers(0, 256, (16, 16, 3),
+                                          dtype=np.uint8))
+                  for _ in range(6)],
+    })
+    outs = []
+    for nb in (1, 3):
+        out = (rd.from_pandas(rows).repartition(nb)
+               .map_batches(make_augment_fn(), batch_format="pyarrow")
+               .to_pandas().sort_values("image_id").reset_index(drop=True))
+        outs.append(out)
+    # deterministic under partitioning (op choice hashes the id)
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+    # decoded augmented bytes == augment(decoded original)
+    for _, r in outs[0].iterrows():
+        src = decode_png(rows.set_index("image_id").loc[r.image_id, "bytes"])
+        want = AUGMENTS[r.aug](src)
+        assert np.array_equal(decode_png(bytes(r["bytes"])), want)
+    with pytest.raises(ValueError):
+        make_augment_fn(ops=["nope"])
+
+
+def test_patch_embed_matches_manual_matmul(ray_session):
+    import ray.data as rd
+
+    from pic2vec_ray.codecs.png import encode_png
+    from pic2vec_ray.stages.decode import make_patchify_fn
+    from pic2vec_ray.stages.embed import PatchEmbedActor
+
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, (32, 48, 3), dtype=np.uint8)  # 2x3 grid
+    ds = rd.from_pandas(pd.DataFrame({
+        "image_id": ["a"], "bytes": [encode_png(img)]}))
+    tiles = ds.map_batches(make_patchify_fn(patch=16),
+                           batch_format="pyarrow")
+    out = tiles.map_batches(
+        PatchEmbedActor, fn_constructor_kwargs={
+            "patch": 16, "dim": 32, "pos_encode": False},
+        batch_format="pyarrow", concurrency=1).to_pandas()
+    assert len(out) == 6
+    actor = PatchEmbedActor(patch=16, dim=32, pos_encode=False)
+    t00 = img[:16, :16].reshape(-1).astype(np.float32)
+    want = ((t00 / 255.0) - 0.5) @ actor.W
+    got = np.asarray(out.sort_values("patch_no").iloc[0].embedding,
+                     dtype=np.float32)
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+    # positional encoding separates identical tiles
+    flat = pd.DataFrame({
+        "image_id": ["b"],
+        "bytes": [encode_png(np.full((32, 32, 3), 128, np.uint8))]})
+    out2 = (rd.from_pandas(flat)
+            .map_batches(make_patchify_fn(patch=16), batch_format="pyarrow")
+            .map_batches(PatchEmbedActor,
+                         fn_constructor_kwargs={"patch": 16, "dim": 32},
+                         batch_format="pyarrow", concurrency=1)
+            .to_pandas())
+    vecs = np.stack(out2.embedding.to_numpy())
+    assert not np.allclose(vecs[0], vecs[1])
+    with pytest.raises(ValueError):
+        PatchEmbedActor(patch=16, dim=8,
+                        weights=np.zeros((3, 3), np.float32))
