@@ -2286,27 +2286,38 @@ def patch_embed_dims(sf_dir: str):
 
     ds = _rd().read_parquet(_images(sf_dir),
                             columns=["image_id", "bytes"])
+    # Ray fuses the task stage into the actor stage, so batch_size
+    # counts INPUT IMAGES for the fused pair: 4096 coalesced the read
+    # into 5 giant tasks and serialized the decode (measured 20 s).
+    # 256 images/batch over an AUTOSCALING (2, 24) pool keeps the
+    # decode-dominated fused stage saturated (26 -> ~10 s at
+    # sf0.1/32 CPUs) without deadlocking on small clusters (a FIXED
+    # pool larger than the cluster CPU count never finishes starting).
     tiles = ds.map_batches(make_patchify_fn(patch=16),
                            batch_format="pyarrow")
     emb = tiles.map_batches(PatchEmbedActor,
                             fn_constructor_kwargs={"patch": 16, "dim": 64},
-                            batch_format="pyarrow", concurrency=4,
-                            batch_size=4096)
+                            batch_format="pyarrow", concurrency=(2, 24),
+                            batch_size=256)
 
     def summarize(t: pa.Table) -> pa.Table:
         import pandas as pd
 
-        df = t.to_pandas()
-        vec = np.stack(df["embedding"].to_numpy()) if len(df) else \
-            np.zeros((0, 64), np.float32)
+        col = t["embedding"].combine_chunks()
+        n = len(col)
+        dim = col.type.list_size if n else 64
+        # zero-copy flat float32 view of the FixedSizeList values —
+        # never a per-row object conversion
+        flat = np.asarray(col.values) if n else np.zeros(0, np.float32)
+        finite = np.isfinite(flat).reshape(n, dim).all(axis=1) if n else \
+            np.array([], dtype=bool)
         g = pd.DataFrame({
-            "image_id": df["image_id"],
-            "finite": np.isfinite(vec).all(axis=1) if len(df) else
-            np.array([], dtype=bool),
+            "image_id": t["image_id"].to_pandas(),
+            "finite": finite,
         }).groupby("image_id", as_index=False).agg(
             n_tiles=("finite", "size"), all_finite=("finite", "all"))
         g["n_tiles"] = g["n_tiles"].astype("int64")
-        g["emb_dim"] = np.int64(vec.shape[1] if len(df) else 64)
+        g["emb_dim"] = np.int64(dim)
         return pa.Table.from_pandas(g, preserve_index=False)
 
     from ..temporal.core import partitioned_apply
