@@ -2246,6 +2246,33 @@ WHERE role <= 16 AND (role = 15 OR cs % 3 IN (0, 1))
 """
 
 
+def embedding_covariance_q(sf_dir: str):
+    """Distributed covariance of the embedding column
+    (stages/similarity.embedding_covariance): d²+d floats per batch
+    cross the exchange, driver merge bounded by d². Upper-triangle
+    (i, j, cov) rows; SQL computes the identical Σxy/n − mean·mean
+    expression from a pairwise unnest join."""
+    from ..stages.similarity import embedding_covariance
+
+    ds = _rd().read_parquet(f"{sf_dir}/embeddings.parquet",
+                            columns=["vec_id", "embedding"])
+    return embedding_covariance(ds)
+
+
+SQL_EMB_COV = """
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), u AS (
+  SELECT vec_id, unnest(v) AS x, generate_subscripts(v, 1) AS i FROM e
+)
+SELECT a.i - 1 AS i, b.i - 1 AS j,
+       ROUND(SUM(a.x * b.x) / COUNT(*)
+             - (SUM(a.x) / COUNT(*)) * (SUM(b.x) / COUNT(*)), 6) AS cov
+FROM u a JOIN u b ON a.vec_id = b.vec_id AND a.i <= b.i
+GROUP BY a.i, b.i
+"""
+
+
 def augment_verify(sf_dir: str):
     """Image-augmentation algebra proof at the query surface
     (stages/augment.make_augment_verify_fn): flips/rotations are exact
@@ -3132,6 +3159,7 @@ QUERIES = {
     "phash_verify": phash_verify,
     "augment_verify": augment_verify,
     "patch_embed_dims": patch_embed_dims,
+    "embedding_covariance": embedding_covariance_q,
     "hll_distinct_tokens": hll_distinct_tokens,
     "window_ranks_events": window_ranks_events,
     "pivot_value_by_type": pivot_value_by_type,
@@ -3237,6 +3265,7 @@ ORACLE_SQL = {
     "phash_verify": SQL_PHASH_VERIFY,
     "augment_verify": SQL_AUGMENT_VERIFY,
     "patch_embed_dims": SQL_PATCH_EMBED,
+    "embedding_covariance": SQL_EMB_COV,
     "hll_distinct_tokens": SQL_HLL,
     "window_ranks_events": SQL_WINDOW_RANKS,
     "pivot_value_by_type": SQL_PIVOT,

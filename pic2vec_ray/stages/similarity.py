@@ -192,3 +192,78 @@ class IvfIndex:
 
         out = ds.map_batches(fn, batch_format="pandas").to_pandas()
         return out.sort_values(["cosine", id_col], ascending=[False, True]).head(k).reset_index(drop=True)
+
+
+def embedding_covariance(ds, *, vec_col: str = "embedding",
+                         decimals: int = 6):
+    """Population covariance matrix of an embedding column via
+    distributed sufficient stats: per-batch ``(XᵀX, Σx, n)`` — the
+    exchange moves ``d² + d`` floats per batch regardless of row count
+    — merged pointwise on the driver (bounded by ``d²``). Output: one
+    row per upper-triangle entry ``(i, j, cov)`` (0-based, i ≤ j),
+    ``cov = Σ(x_i·x_j)/n − mean_i·mean_j`` rounded to ``decimals`` —
+    the same expression the SQL oracle computes from SUM()s. The PCA
+    fit (:func:`pca_project`) consumes these stats directly.
+    """
+    import ray.data as rd
+
+    stats = _suff_stats(ds, vec_col)
+    S, m, n = stats
+    cov = S / n - np.outer(m / n, m / n)
+    d = cov.shape[0]
+    iu, ju = np.triu_indices(d)
+    return rd.from_pandas(pd.DataFrame({
+        "i": iu.astype(np.int64),
+        "j": ju.astype(np.int64),
+        "cov": np.round(cov[iu, ju], decimals),
+    }))
+
+
+def _suff_stats(ds, vec_col: str):
+    """(XᵀX, Σx, n) accumulated across batches; one driver merge over
+    per-batch partials (each a single (d² + d + 1)-float row)."""
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        X = np.stack(b[vec_col].to_numpy()).astype(np.float64)
+        S = X.T @ X
+        return pd.DataFrame({
+            "S": [S.ravel()], "m": [X.sum(axis=0)], "n": [len(X)]})
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    S = np.sum(np.stack(parts["S"].to_numpy()), axis=0)
+    m = np.sum(np.stack(parts["m"].to_numpy()), axis=0)
+    n = float(parts["n"].sum())
+    d = int(np.sqrt(S.shape[0]))
+    return S.reshape(d, d), m, n
+
+
+def pca_project(ds, *, dim_out: int, vec_col: str = "embedding",
+                out_col: str = "pca"):
+    """PCA dimensionality reduction of an embedding column — the
+    standard pre-ANN compression step: fit = the same d×d sufficient
+    stats as :func:`embedding_covariance` (one streaming pass, driver
+    eigh on the tiny d×d matrix — NEVER the corpus), transform = one
+    stateless ``map_batches`` projecting each batch with the broadcast
+    ``(d, dim_out)`` component matrix. Component signs are pinned
+    (largest-|loading| entry positive) so the output is deterministic
+    under any partitioning. Returns the dataset with ``out_col`` =
+    centered projection (list<float64>), plus the fitted
+    ``(components, explained_var, mean)`` as a second return value.
+    """
+    S, m, n = _suff_stats(ds, vec_col)
+    mean = m / n
+    cov = S / n - np.outer(mean, mean)
+    w, v = np.linalg.eigh(cov)            # ascending
+    order = np.argsort(w)[::-1][:dim_out]
+    comps = v[:, order]                    # (d, dim_out)
+    flip = np.sign(comps[np.argmax(np.abs(comps), axis=0),
+                         np.arange(comps.shape[1])])
+    comps = comps * np.where(flip == 0, 1.0, flip)
+    evar = w[order]
+
+    def project(b: pd.DataFrame) -> pd.DataFrame:
+        X = np.stack(b[vec_col].to_numpy()).astype(np.float64)
+        P = (X - mean) @ comps
+        b[out_col] = list(P)
+        return b
+
+    return ds.map_batches(project, batch_format="pandas"), (comps, evar, mean)

@@ -890,3 +890,37 @@ def test_patch_embed_matches_manual_matmul(ray_session):
     with pytest.raises(ValueError):
         PatchEmbedActor(patch=16, dim=8,
                         weights=np.zeros((3, 3), np.float32))
+
+
+def test_pca_project_properties(ray_session):
+    import ray.data as rd
+
+    from pic2vec_ray.stages.similarity import pca_project
+
+    rng = np.random.default_rng(5)
+    # anisotropic cloud: variance concentrated on two known axes
+    basis = np.linalg.qr(rng.normal(size=(8, 8)))[0]
+    scales = np.array([10.0, 5.0, 1, 1, 1, 1, 1, 1])
+    X = rng.normal(size=(2000, 8)) * scales @ basis.T
+    df = pd.DataFrame({"vec_id": np.arange(2000),
+                       "embedding": list(X.astype(np.float32))})
+    outs = []
+    for nb in (1, 6):
+        out_ds, (comps, evar, mean) = pca_project(
+            rd.from_pandas(df).repartition(nb), dim_out=2)
+        out = out_ds.to_pandas().sort_values("vec_id").reset_index(drop=True)
+        outs.append((out, comps, evar))
+    # partition invariance of the fit and the projection
+    np.testing.assert_allclose(outs[0][1], outs[1][1], atol=1e-9)
+    p0 = np.stack(outs[0][0].pca.to_numpy())
+    p1 = np.stack(outs[1][0].pca.to_numpy())
+    np.testing.assert_allclose(p0, p1, atol=1e-9)
+    # explained variance ordering + magnitude
+    evar = outs[0][2]
+    assert evar[0] > evar[1] > 0
+    assert abs(np.sqrt(evar[0]) - 10.0) < 1.0
+    # projection variance equals the eigenvalues
+    np.testing.assert_allclose(p0.var(axis=0), evar, rtol=0.05)
+    # components orthonormal
+    comps = outs[0][1]
+    np.testing.assert_allclose(comps.T @ comps, np.eye(2), atol=1e-9)
