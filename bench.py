@@ -238,7 +238,8 @@ def run_secondary(sf_dir: str) -> dict:
                  "bucketed_join_revenue", "patchify_grid",
                  "epoch_shuffle_docs", "bpe_tokenize_docs",
                  "approx_quantiles_price", "winsorize_price",
-                 "top_tokens_by_lang"):
+                 "top_tokens_by_lang", "lm_score_docs",
+                 "patch_embed_dims"):
         t0 = time.perf_counter()
         res = Q.QUERIES[name](sf_dir)
         # consume: small results to pandas, large to count
