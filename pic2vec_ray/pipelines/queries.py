@@ -2246,6 +2246,20 @@ WHERE role <= 16 AND (role = 15 OR cs % 3 IN (0, 1))
 """
 
 
+def substring_dup_docs(sf_dir: str):
+    """Cross-document duplicated-span detection via content-defined
+    (winnowing) fingerprints (stages/dedup.substring_dup_pairs) — the
+    streaming substitute for suffix-array substring dedup: anchors
+    align by CONTENT so copies match at any byte offset; one fp-key
+    exchange of 8-byte rows, hot buckets capped + logged. SQL replays
+    anchors, window hashes and the pair join bit-for-bit."""
+    from ..stages.dedup import substring_dup_pairs
+
+    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+    return substring_dup_pairs(ds, k=8, sel_mod=16, window=64)
+
+
 def embedding_covariance_q(sf_dir: str):
     """Distributed covariance of the embedding column
     (stages/similarity.embedding_covariance): d²+d floats per batch
@@ -3160,6 +3174,7 @@ QUERIES = {
     "augment_verify": augment_verify,
     "patch_embed_dims": patch_embed_dims,
     "embedding_covariance": embedding_covariance_q,
+    "substring_dup_docs": substring_dup_docs,
     "hll_distinct_tokens": hll_distinct_tokens,
     "window_ranks_events": window_ranks_events,
     "pivot_value_by_type": pivot_value_by_type,
@@ -3266,6 +3281,8 @@ ORACLE_SQL = {
     "augment_verify": SQL_AUGMENT_VERIFY,
     "patch_embed_dims": SQL_PATCH_EMBED,
     "embedding_covariance": SQL_EMB_COV,
+    "substring_dup_docs": _sketch_sql.winnow_pairs_sql(k=8, sel_mod=16,
+                                                       window=64),
     "hll_distinct_tokens": SQL_HLL,
     "window_ranks_events": SQL_WINDOW_RANKS,
     "pivot_value_by_type": SQL_PIVOT,

@@ -240,3 +240,59 @@ SELECT pr.g AS token,
 FROM pr LEFT JOIN regs ON regs.r = pr.r AND regs.col = pr.col
 GROUP BY pr.g
 ORDER BY token"""
+
+
+def _splitmix_ctes_p(src: str, carry: str, p: str) -> str:
+    """Prefixed variant of :func:`_splitmix_ctes` so two chains can
+    coexist in one query; defines CTE ``{p}smx``."""
+    return f"""
+{p}m0 AS (SELECT {carry}, (hv + 11400714819323198485) % 18446744073709551616 AS z FROM {src}),
+{p}x1 AS (SELECT {carry}, xor(z, z // 1073741824) AS y FROM {p}m0),
+{p}m1 AS (SELECT {carry}, ((y % 4294967296) * 484763065
+        + (((y % 4294967296) * 3210233709
+            + (y // 4294967296) * 484763065) % 4294967296) * 4294967296)
+        % 18446744073709551616 AS z FROM {p}x1),
+{p}x2 AS (SELECT {carry}, xor(z, z // 134217728) AS y FROM {p}m1),
+{p}m2 AS (SELECT {carry}, ((y % 4294967296) * 321982955
+        + (((y % 4294967296) * 2496678331
+            + (y // 4294967296) * 321982955) % 4294967296) * 4294967296)
+        % 18446744073709551616 AS z FROM {p}x2),
+{p}smx AS (SELECT {carry}, xor(z, z // 2147483648) AS hv FROM {p}m2)"""
+
+
+def winnow_pairs_sql(k: int = 8, sel_mod: int = 16,
+                     window: int = 64) -> str:
+    """Exact oracle for ``stages/dedup.substring_dup_pairs``: replay
+    the content-defined anchors (k-gram splitmix64(Horner) hash ≡ 0
+    mod ``sel_mod``, window inside the doc), the window fingerprints
+    (same kernel over ``substr(text, pos, window)``), and the
+    distinct-shared-fingerprint pair join — bit-for-bit in HUGEINT."""
+    horner = (f"list_reduce(list_transform(string_split({{s}}, ''), "
+              f"c -> CAST(unicode(c) AS HUGEINT)), "
+              f"(a, b) -> (a * {FP_PRIME} + b) % {TWO64})")
+    return f"""WITH g AS (
+  SELECT doc_id, text,
+         unnest([substr(text, i, {k})
+                 FOR i IN range(1, length(text) - {k} + 2)]) AS sh,
+         unnest(range(1, length(text) - {k} + 2)) AS pos
+  FROM documents WHERE length(text) >= {k}
+), h0 AS (
+  SELECT doc_id, text, pos, {horner.format(s='sh')} AS hv FROM g
+),{_splitmix_ctes_p('h0', 'doc_id, text, pos', 'a')},
+anch AS (
+  SELECT doc_id, substr(text, pos, {window}) AS win
+  FROM asmx
+  WHERE hv % {sel_mod} = 0 AND pos + {window} - 1 <= length(text)
+), h1 AS (
+  SELECT doc_id, {horner.format(s='win')} AS hv FROM anch
+),{_splitmix_ctes_p('h1', 'doc_id', 'b')},
+fps AS (
+  SELECT DISTINCT doc_id,
+         CAST(CASE WHEN hv >= 9223372036854775808
+                   THEN hv - 18446744073709551616 ELSE hv END
+              AS BIGINT) AS fp
+  FROM bsmx
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared_spans
+FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY 1, 2"""

@@ -996,3 +996,108 @@ def dedup_incremental(new_ds, seen_ds, *, id_col: str = "doc_id",
                                DEFAULT_PARTITIONS).materialize()
     kwargs = {"num_partitions": num_partitions} if num_partitions else {}
     return hash_join(firsts, seen_fp, on="fingerprint", how="anti", **kwargs)
+
+
+# ---------------------------------------- duplicated-span detection
+# (content-defined fingerprinting / winnowing — Schleimer et al.'s
+# MOSS scheme: anchors selected by CONTENT (k-gram hash % sel_mod == 0)
+# align across copies of a span regardless of byte offset, which fixed
+# -stride sampling cannot do. The practical substitute for suffix-array
+# substring dedup at corpus scale: one streaming pass, no global sort.)
+
+
+def winnow_fingerprints_batch(texts: list[str], *, k: int = 8,
+                              sel_mod: int = 16, window: int = 64):
+    """Content-defined window fingerprints of a batch.
+
+    Anchors = positions whose k-gram hash (the SQL-pinned
+    splitmix64(Horner) shingle kernel) is ≡ 0 mod ``sel_mod`` and
+    whose ``window``-char window stays inside the doc; fingerprint =
+    the same kernel over the window text. Expected anchor density is
+    ``1/sel_mod`` per char, so a duplicated span of length ≥ roughly
+    ``window + sel_mod·k`` chars shares at least one fingerprint
+    between its copies with high probability — and EVERY shared
+    fingerprint is a true 64-bit window-hash match.
+
+    Returns ``(doc_idx, pos, fp)`` numpy arrays (pos 0-based).
+    """
+    from .sketch import _splitmix64, _token_hash64
+
+    hashes, offsets = _shingle_hashes_batch(texts, k)
+    n = len(texts)
+    lens = np.fromiter((len(t) for t in texts), count=n, dtype=np.int64)
+    counts = np.diff(offsets)
+    doc_of = np.repeat(np.arange(n, dtype=np.int64), counts)
+    pos = np.arange(len(hashes), dtype=np.int64) - np.repeat(offsets[:-1], counts)
+    valid = ((hashes % np.uint64(sel_mod) == 0)
+             & (lens[doc_of] >= k)
+             & (pos + window <= lens[doc_of]))
+    a_doc, a_pos = doc_of[valid], pos[valid]
+    wins = np.array([texts[d][p:p + window]
+                     for d, p in zip(a_doc, a_pos)], dtype=object)
+    with np.errstate(over="ignore"):
+        fp = _splitmix64(_token_hash64(wins)) if len(wins) else \
+            np.zeros(0, dtype=np.uint64)
+    return a_doc, a_pos, fp.view(np.int64)
+
+
+def substring_dup_pairs(ds, *, col: str = "text", id_col: str = "doc_id",
+                        k: int = 8, sel_mod: int = 16, window: int = 64,
+                        num_partitions: int = 64, edges: str = "all",
+                        max_bucket_pairs: int | None = 1_000_000):
+    """Cross-document duplicated-span candidate pairs: documents
+    sharing ≥ 1 content-defined window fingerprint, with the count of
+    DISTINCT shared fingerprints per pair (a proxy for total
+    duplicated length: ≈ ``shared_spans × sel_mod`` chars).
+
+    Plan: per-batch winnowing (vectorized shingle scan; anchors ~1/
+    ``sel_mod`` of chars) → dedupe (doc, fp) → one fp-key
+    hash-partition exchange (8-byte rows, never text) → per-bucket
+    pair emission under the SAME hot-bucket discipline as MinHash
+    (``_enumerate_bucket_pairs``: star edges or capped + logged) →
+    pair-key merge counting shared fingerprints. Output: ``id_a <
+    id_b``, ``shared_spans`` (int64). The SQL oracle replays anchors,
+    window hashes and the pair join bit-for-bit.
+    """
+    from ..temporal.core import partitioned_apply
+
+    def fps(batch: pd.DataFrame) -> pd.DataFrame:
+        texts = batch[col].tolist()
+        doc_idx, _pos, fp = winnow_fingerprints_batch(
+            texts, k=k, sel_mod=sel_mod, window=window)
+        out = pd.DataFrame({
+            id_col: batch[id_col].to_numpy()[doc_idx],
+            "fp": fp,
+        }).drop_duplicates()
+        return out
+
+    def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        pairs, dropped = [], 0
+        for _, g in group.groupby("fp", sort=False):
+            ids = np.sort(g[id_col].unique())
+            if len(ids) > 1:
+                pa_, pb_, d = _enumerate_bucket_pairs(
+                    ids, edges=edges, max_pairs=max_bucket_pairs)
+                dropped += d
+                pairs.append(pd.DataFrame({"id_a": pa_, "id_b": pb_}))
+        if dropped:
+            _LOG.warning("winnow pair enumeration truncated: %d pairs "
+                         "dropped (max_bucket_pairs=%s)", dropped,
+                         max_bucket_pairs)
+        if not pairs:
+            return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                                 "id_b": pd.Series([], dtype="int64")})
+        return pd.concat(pairs, ignore_index=True)
+
+    cand = partitioned_apply(
+        ds.map_batches(fps, batch_format="pandas"), "fp", bucket_pairs,
+        num_partitions=num_partitions)
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["id_a", "id_b"], as_index=False).size() \
+              .rename(columns={"size": "shared_spans"})
+        g["shared_spans"] = g["shared_spans"].astype("int64")
+        return g
+
+    return partitioned_apply(cand, ["id_a", "id_b"], merge,
+                             num_partitions=num_partitions)

@@ -924,3 +924,52 @@ def test_pca_project_properties(ray_session):
     # components orthonormal
     comps = outs[0][1]
     np.testing.assert_allclose(comps.T @ comps, np.eye(2), atol=1e-9)
+
+
+def test_substring_dup_detects_offset_copies(ray_session):
+    import ray.data as rd
+
+    from pic2vec_ray.stages.dedup import substring_dup_pairs
+
+    rng = np.random.default_rng(11)
+
+    def junk(n):
+        return "".join(rng.choice(list("abcdefghij "), n))
+
+    span = ("the quick brown fox jumps over the lazy dog while the "
+            "band plays on and the crowd cheers loudly forever " * 3)
+    docs = pd.DataFrame({
+        "doc_id": [0, 1, 2, 3],
+        "text": [junk(200) + span + junk(100),     # copy at offset ~200
+                 junk(37) + span + junk(250),      # copy at offset ~37
+                 junk(600),                        # unrelated
+                 junk(550)],                       # unrelated
+    })
+    outs = []
+    for nb in (1, 3):
+        out = (substring_dup_pairs(rd.from_pandas(docs).repartition(nb),
+                                   k=8, sel_mod=16, window=64,
+                                   num_partitions=8)
+               .to_pandas().sort_values(["id_a", "id_b"])
+               .reset_index(drop=True))
+        outs.append(out)
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+    got = outs[0]
+    # the offset copies share fingerprints; the junk docs pair with no one
+    assert (0, 1) in set(zip(got.id_a, got.id_b))
+    row = got[(got.id_a == 0) & (got.id_b == 1)].iloc[0]
+    assert row.shared_spans >= 2
+    assert not ((got.id_a.isin([2, 3])) | (got.id_b.isin([2, 3]))).any()
+
+
+def test_winnow_anchors_content_defined(ray_session):
+    """Identical spans yield identical fingerprints regardless of the
+    prefix length before them."""
+    from pic2vec_ray.stages.dedup import winnow_fingerprints_batch
+
+    span = "x" * 10 + "some very specific shared content here" * 4
+    texts = ["AAA" + span, "BBBBBBBBBBBBB" + span]
+    d, p, fp = winnow_fingerprints_batch(texts, k=8, sel_mod=8, window=32)
+    f0 = set(fp[d == 0])
+    f1 = set(fp[d == 1])
+    assert f0 and f0 & f1  # shared anchors survive the offset shift
