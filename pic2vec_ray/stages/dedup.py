@@ -1101,3 +1101,90 @@ def substring_dup_pairs(ds, *, col: str = "text", id_col: str = "doc_id",
 
     return partitioned_apply(cand, ["id_a", "id_b"], merge,
                              num_partitions=num_partitions)
+
+
+def image_neardup_pairs(ds, *, bytes_col: str = "bytes",
+                        id_col: str = "image_id", max_hamming: int = 3,
+                        num_partitions: int = 64, edges: str = "all",
+                        max_bucket_pairs: int | None = 1_000_000):
+    """Near-duplicate IMAGE pairs by perceptual-hash banding — the
+    image-axis counterpart of :func:`simhash_pairs`: decode each row
+    (from-scratch codecs), compute the 64-bit average hash, band it
+    4×16-bit (pigeonhole: lossless for hamming ≤ 3), one band-key
+    exchange of 8-byte rows, in-bucket exact hamming verify, the same
+    hot-bucket pair discipline as MinHash. Output: ``id_a < id_b``,
+    ``hamming`` (int64).
+
+    No driver oracle: the synthetic corpus's perceptual hashes collide
+    structurally (uniform/flat images share hashes), so there is no
+    closed-form expected pair set — correctness is pinned by pytest on
+    planted noisy duplicates instead (``test_round4_ops.py``).
+    """
+    from ..functions.image_ops import average_hash
+    from ..temporal.core import partitioned_apply
+    from .decode import BatchDecoder
+
+    if not 0 <= max_hamming <= 3:
+        raise ValueError("banded pigeonhole is lossless only for "
+                         f"max_hamming <= 3, got {max_hamming}")
+
+    class HashBand:
+        def __init__(self):
+            self.decoder = BatchDecoder(target_size=None)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            images, _ = self.decoder.decode_column(batch[bytes_col].tolist())
+            ids, hashes = [], []
+            for image_id, img in zip(batch[id_col].tolist(), images):
+                if img is None:
+                    continue
+                ids.append(image_id)
+                hashes.append(average_hash(img))
+            h = np.array(hashes, dtype=np.uint64) if hashes else \
+                np.zeros(0, dtype=np.uint64)
+            rows = {id_col: np.repeat(np.array(ids, dtype=object), 4),
+                    "band": np.tile(np.arange(4, dtype=np.int64),
+                                    len(ids)),
+                    "bh": np.zeros(4 * len(ids), dtype=np.int64),
+                    "sig": np.repeat(h.view(np.int64), 4)}
+            for b in range(4):
+                rows["bh"][b::4] = ((h >> np.uint64(16 * b))
+                                    & np.uint64(0xFFFF)).astype(np.int64)
+            return pd.DataFrame(rows)
+
+    banded = ds.map_batches(HashBand, batch_format="pandas",
+                            concurrency=(2, 8))
+
+    def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        sig_of = dict(zip(group[id_col], group["sig"].astype(np.int64)))
+        pairs, dropped = [], 0
+        for _, g in group.groupby(["band", "bh"], sort=False):
+            ids = np.sort(g[id_col].unique())
+            if len(ids) > 1:
+                pa_, pb_, d = _enumerate_bucket_pairs(
+                    ids, edges=edges, max_pairs=max_bucket_pairs)
+                dropped += d
+                pairs.append(pd.DataFrame({"id_a": pa_, "id_b": pb_}))
+        if dropped:
+            _LOG.warning("image neardup pair enumeration truncated: %d "
+                         "(max_bucket_pairs=%s)", dropped, max_bucket_pairs)
+        if not pairs:
+            return pd.DataFrame({"id_a": pd.Series([], dtype=object),
+                                 "id_b": pd.Series([], dtype=object),
+                                 "hamming": pd.Series([], dtype="int64")})
+        cand = pd.concat(pairs, ignore_index=True).drop_duplicates()
+        sa = cand["id_a"].map(sig_of).to_numpy(np.int64).view(np.uint64)
+        sb = cand["id_b"].map(sig_of).to_numpy(np.int64).view(np.uint64)
+        x = (sa ^ sb).view(np.uint8).reshape(len(cand), 8)
+        cand["hamming"] = np.unpackbits(x, axis=1).sum(axis=1).astype("int64")
+        return cand[cand["hamming"] <= max_hamming]
+
+    cand = partitioned_apply(banded, "bh", bucket_pairs,
+                             num_partitions=num_partitions)
+
+    # a pair can surface from several bands: keep one row
+    def dedupe(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates(["id_a", "id_b"])
+
+    return partitioned_apply(cand, ["id_a", "id_b"], dedupe,
+                             num_partitions=num_partitions)

@@ -973,3 +973,43 @@ def test_winnow_anchors_content_defined(ray_session):
     f0 = set(fp[d == 0])
     f1 = set(fp[d == 1])
     assert f0 and f0 & f1  # shared anchors survive the offset shift
+
+
+def test_image_neardup_pairs_planted(ray_session):
+    import ray.data as rd
+
+    from pic2vec_ray.codecs.png import encode_png
+    from pic2vec_ray.functions.image_ops import average_hash
+    from pic2vec_ray.stages.dedup import image_neardup_pairs
+
+    rng = np.random.default_rng(23)
+    # strongly-blocked images: average hash stable under small noise
+    def blocky(seed):
+        r = np.random.default_rng(seed)
+        blocks = r.integers(0, 2, (8, 8)) * 255
+        return np.repeat(np.repeat(blocks, 8, 0), 8, 1)[..., None] \
+            .repeat(3, 2).astype(np.uint8)
+
+    base = blocky(1)
+    noisy = base.copy()
+    noisy[:2, :2] ^= 4  # tiny perturbation
+    h0, h1 = average_hash(base), average_hash(noisy)
+    planted_ham = bin(h0 ^ h1).count("1")
+    assert planted_ham <= 3  # the pair is genuinely near-dup
+    rows = pd.DataFrame({
+        "image_id": ["a", "b", "c", "d"],
+        "bytes": [encode_png(base), encode_png(noisy),
+                  encode_png(blocky(2)), encode_png(blocky(3))],
+    })
+    out = (image_neardup_pairs(rd.from_pandas(rows).repartition(2),
+                               max_hamming=3, num_partitions=4)
+           .to_pandas().sort_values(["id_a", "id_b"]).reset_index(drop=True))
+    assert ("a", "b") in set(zip(out.id_a, out.id_b))
+    got = out[(out.id_a == "a") & (out.id_b == "b")].iloc[0]
+    assert got.hamming == planted_ham
+    # unrelated blocky images stay unpaired unless hashes truly collide
+    others = out[~((out.id_a == "a") & (out.id_b == "b"))]
+    for _, r in others.iterrows():
+        assert r.hamming <= 3  # any extra pair is a true near-collision
+    with pytest.raises(ValueError):
+        image_neardup_pairs(rd.from_pandas(rows), max_hamming=9)
