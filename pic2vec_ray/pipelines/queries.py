@@ -3047,6 +3047,59 @@ GROUP BY t.doc_id, e.eval_doc
 """
 
 
+def drift_daily_events(sf_dir: str):
+    """Windowed drift monitor (stages/quantiles.ks_drift_windows): KS
+    statistic between every consecutive DAY of event values — the
+    window-assignment × histogram-sketch composition an ingest
+    pipeline runs to catch upstream shifts. SQL rebuilds the shared
+    binning, per-day CDFs and consecutive-pair max-gaps."""
+    from ..stages.quantiles import ks_drift_windows
+
+    ds = _rd().read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["ts", "value"])
+    return ks_drift_windows(ds, ts_col="ts", value="value",
+                            freq="D", n_bins=1024)
+
+
+SQL_DRIFT_DAILY = """
+WITH s AS (
+  SELECT MIN(value) AS mn, MAX(value) AS mx FROM events
+), h AS (
+  SELECT date_trunc('day', ts) AS win,
+         CAST(LEAST(FLOOR((value - s.mn) * 1024 / (s.mx - s.mn)), 1023)
+              AS BIGINT) AS bin,
+         COUNT(*) AS cnt
+  FROM events, s GROUP BY 1, 2
+), wins AS (SELECT DISTINCT win FROM h),
+pairs AS (
+  SELECT win, LAG(win) OVER (ORDER BY win) AS prev_win FROM wins
+  QUALIFY prev_win IS NOT NULL
+), grid AS (
+  SELECT DISTINCT p.win, p.prev_win, h.bin
+  FROM pairs p JOIN h ON h.win IN (p.win, p.prev_win)
+), sides AS (
+  SELECT g.win, g.prev_win, g.bin,
+         COALESCE(hc.cnt, 0) AS c_cur, COALESCE(hp.cnt, 0) AS c_prev
+  FROM grid g
+  LEFT JOIN h hc ON hc.win = g.win AND hc.bin = g.bin
+  LEFT JOIN h hp ON hp.win = g.prev_win AND hp.bin = g.bin
+), c AS (
+  SELECT win, prev_win, bin,
+         SUM(c_cur) OVER (PARTITION BY win ORDER BY bin) AS cum_cur,
+         SUM(c_prev) OVER (PARTITION BY win ORDER BY bin) AS cum_prev,
+         SUM(c_cur) OVER (PARTITION BY win) AS tot_cur,
+         SUM(c_prev) OVER (PARTITION BY win) AS tot_prev
+  FROM sides
+)
+SELECT win, prev_win,
+       ROUND(MAX(ABS(CAST(cum_cur AS DOUBLE) / tot_cur
+                     - CAST(cum_prev AS DOUBLE) / tot_prev)), 6) AS ks_stat,
+       CAST(MAX(tot_prev) AS BIGINT) AS n_prev,
+       CAST(MAX(tot_cur) AS BIGINT) AS n_cur
+FROM c GROUP BY win, prev_win
+"""
+
+
 def robust_scale_price(sf_dir: str):
     """Median/IQR robust scaling (stages/quantiles.robust_scale):
     quantile edges from the deterministic fixed-bin histogram sketch,
@@ -3161,6 +3214,7 @@ QUERIES = {
     "hash_encode_parttype": hash_encode_parttype,
     "ntile_events": ntile_events,
     "ks_drift_click_purchase": ks_drift_click_purchase,
+    "drift_daily_events": drift_daily_events,
     "winsorize_price": winsorize_price,
     "robust_scale_price": robust_scale_price,
     "corr_qty_price": corr_qty_price,
@@ -3267,6 +3321,7 @@ ORACLE_SQL = {
     "hash_encode_parttype": SQL_HASH_ENCODE,
     "ntile_events": SQL_NTILE,
     "ks_drift_click_purchase": SQL_KS_DRIFT,
+    "drift_daily_events": SQL_DRIFT_DAILY,
     "winsorize_price": SQL_WINSORIZE,
     "robust_scale_price": SQL_ROBUST_SCALE,
     "corr_qty_price": SQL_CORR,

@@ -404,3 +404,58 @@ def robust_scale(ds, *, value: str, n_bins: int = 1024,
         return batch
 
     return ds.map_batches(scale, batch_format="pandas")
+
+
+def ks_drift_windows(ds, *, ts_col: str, value: str, freq: str = "D",
+                     n_bins: int = 1024, decimals: int = 6):
+    """Distribution-drift MONITOR: the two-sample KS statistic between
+    every pair of CONSECUTIVE event-time windows of ``value`` — the
+    composition of the engine's window assignment and the
+    :func:`ks_drift` histogram machinery that an ingest pipeline runs
+    daily to catch upstream shifts.
+
+    One global min/max pass, one per-(window, bin) partial-histogram
+    pass (exchange ≤ windows × n_bins counter rows), consecutive-pair
+    CDF max-gaps on the tiny merged table (driver work bounded by the
+    window count). Output per consecutive pair: ``win`` (later window
+    start), ``prev_win``, ``ks_stat``, ``n_prev``, ``n_cur``.
+    """
+    import ray.data as rd
+    from ray.data.aggregate import Max, Min
+
+    B = int(n_bins)
+    stats = ds.aggregate(Min(value), Max(value))
+    mn, mx = float(stats[f"min({value})"]), float(stats[f"max({value})"])
+    span = mx - mn
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        v = batch[value].to_numpy(dtype=np.float64)
+        if span > 0:
+            bins = np.minimum(np.floor((v - mn) * B / span), B - 1).astype(np.int64)
+        else:
+            bins = np.zeros(len(v), dtype=np.int64)
+        g = pd.DataFrame({"win": batch[ts_col].dt.floor(freq), "bin": bins})
+        return g.groupby(["win", "bin"], as_index=False).size() \
+                .rename(columns={"size": "cnt"})
+
+    hist = (ds.map_batches(partial, batch_format="pandas").to_pandas()
+            .groupby(["win", "bin"], as_index=False)["cnt"].sum())
+    wins = np.sort(hist["win"].unique())
+    out = []
+    for prev, cur in zip(wins[:-1], wins[1:]):
+        pair = hist[hist["win"].isin([prev, cur])]
+        grid = np.sort(pair["bin"].unique())
+        cdfs, ns = {}, {}
+        for w in (prev, cur):
+            h = pair[pair["win"] == w].set_index("bin")["cnt"] \
+                .reindex(grid, fill_value=0).to_numpy()
+            ns[w] = int(h.sum())
+            cdfs[w] = h.cumsum() / float(h.sum())
+        out.append({
+            "win": cur, "prev_win": prev,
+            "ks_stat": round(float(np.max(np.abs(cdfs[cur] - cdfs[prev]))),
+                             decimals),
+            "n_prev": ns[prev], "n_cur": ns[cur],
+        })
+    return rd.from_pandas(pd.DataFrame(
+        out, columns=["win", "prev_win", "ks_stat", "n_prev", "n_cur"]))

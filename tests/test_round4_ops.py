@@ -1013,3 +1013,27 @@ def test_image_neardup_pairs_planted(ray_session):
         assert r.hamming <= 3  # any extra pair is a true near-collision
     with pytest.raises(ValueError):
         image_neardup_pairs(rd.from_pandas(rows), max_hamming=9)
+
+
+def test_ks_drift_windows_detects_shift_day(ray_session):
+    import ray.data as rd
+
+    from pic2vec_ray.stages.quantiles import ks_drift_windows
+
+    rng = np.random.default_rng(29)
+    days, vals = [], []
+    for d in range(4):
+        n = 800
+        days.extend([pd.Timestamp("2026-01-01") + pd.Timedelta(days=d)] * n)
+        # day 2 shifts the distribution hard; others are iid
+        vals.extend(rng.normal(50.0 if d != 2 else 80.0, 5.0, n))
+    df = pd.DataFrame({"ts": pd.to_datetime(days), "value": vals})
+    out = (ks_drift_windows(rd.from_pandas(df).repartition(5),
+                            ts_col="ts", value="value", freq="D")
+           .to_pandas().sort_values("win").reset_index(drop=True))
+    assert len(out) == 3  # consecutive pairs
+    assert (out.n_prev == 800).all() and (out.n_cur == 800).all()
+    stats = out.ks_stat.to_numpy()
+    # 1->2 and 2->3 transitions show the shift; 0->1 does not
+    assert stats[1] > 0.9 and stats[2] > 0.9
+    assert stats[0] < 0.1
