@@ -2260,6 +2260,62 @@ def substring_dup_docs(sf_dir: str):
     return substring_dup_pairs(ds, k=8, sel_mod=16, window=64)
 
 
+def snapshot_diff_docs(sf_dir: str):
+    """Corpus snapshot diff (stages/dedup.snapshot_diff): old = docs
+    0-399, new = docs 100-499 with every 7th doc's text edited (a
+    simulated re-crawl: 100 removed, 100 added, the overlap's edited
+    docs changed). Both sides reduce to 8-byte fingerprints; one
+    full-outer id join classifies. SQL replays the edit, the Horner
+    fingerprints and the classification."""
+    from ..stages.dedup import snapshot_diff
+
+    docs = _rd().read_parquet(f"{sf_dir}/documents.parquet",
+                              columns=["doc_id", "text"])
+    old = docs.filter(expr="doc_id < 400")
+
+    def edit(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[(b["doc_id"] >= 100)].copy()
+        mask = (b["doc_id"] % 7 == 0)
+        b.loc[mask, "text"] = b.loc[mask, "text"].str.replace(
+            "data", "info", regex=False)
+        return b
+
+    new = docs.map_batches(edit, batch_format="pandas")
+    return snapshot_diff(old, new)
+
+
+SQL_SNAPSHOT_DIFF = r"""
+WITH norm AS (
+  SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+  FROM documents
+), fpo AS (
+  SELECT doc_id,
+    CASE WHEN length(t) = 0 THEN CAST(0 AS HUGEINT) ELSE list_reduce(
+      list_transform(string_split(t, ''), c -> CAST(unicode(c) AS HUGEINT)),
+      (a, b) -> (a * 1099511628211 + b) % 18446744073709551616) END AS fp
+  FROM norm WHERE doc_id < 400
+), newt AS (
+  SELECT doc_id,
+         trim(regexp_replace(lower(
+           CASE WHEN doc_id % 7 = 0 THEN replace(text, 'data', 'info')
+                ELSE text END), '\s+', ' ', 'g')) AS t
+  FROM documents WHERE doc_id >= 100
+), fpn AS (
+  SELECT doc_id,
+    CASE WHEN length(t) = 0 THEN CAST(0 AS HUGEINT) ELSE list_reduce(
+      list_transform(string_split(t, ''), c -> CAST(unicode(c) AS HUGEINT)),
+      (a, b) -> (a * 1099511628211 + b) % 18446744073709551616) END AS fp
+  FROM newt
+)
+SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+       CASE WHEN o.doc_id IS NULL THEN 'added'
+            WHEN n.doc_id IS NULL THEN 'removed'
+            ELSE 'changed' END AS status
+FROM fpo o FULL OUTER JOIN fpn n USING (doc_id)
+WHERE o.doc_id IS NULL OR n.doc_id IS NULL OR o.fp <> n.fp
+"""
+
+
 def embedding_covariance_q(sf_dir: str):
     """Distributed covariance of the embedding column
     (stages/similarity.embedding_covariance): d²+d floats per batch
@@ -3229,6 +3285,7 @@ QUERIES = {
     "patch_embed_dims": patch_embed_dims,
     "embedding_covariance": embedding_covariance_q,
     "substring_dup_docs": substring_dup_docs,
+    "snapshot_diff_docs": snapshot_diff_docs,
     "hll_distinct_tokens": hll_distinct_tokens,
     "window_ranks_events": window_ranks_events,
     "pivot_value_by_type": pivot_value_by_type,
@@ -3338,6 +3395,7 @@ ORACLE_SQL = {
     "embedding_covariance": SQL_EMB_COV,
     "substring_dup_docs": _sketch_sql.winnow_pairs_sql(k=8, sel_mod=16,
                                                        window=64),
+    "snapshot_diff_docs": SQL_SNAPSHOT_DIFF,
     "hll_distinct_tokens": SQL_HLL,
     "window_ranks_events": SQL_WINDOW_RANKS,
     "pivot_value_by_type": SQL_PIVOT,

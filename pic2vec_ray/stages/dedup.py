@@ -1188,3 +1188,45 @@ def image_neardup_pairs(ds, *, bytes_col: str = "bytes",
 
     return partitioned_apply(cand, ["id_a", "id_b"], dedupe,
                              num_partitions=num_partitions)
+
+
+def snapshot_diff(old_ds, new_ds, *, id_col: str = "doc_id",
+                  num_partitions: int = 64):
+    """Corpus snapshot diff — the data-versioning audit between two
+    crawl/ingest versions: classify every id as ``added`` (new only),
+    ``removed`` (old only) or ``changed`` (present in both with a
+    different content fingerprint); unchanged rows are dropped (the
+    diff, not the union). Both sides reduce to (id, 8-byte
+    fingerprint) rows shuffle-free (``stages/text.fingerprint64``),
+    then ONE full-outer hash join on the id classifies everything —
+    text never crosses an exchange. Output: ``id_col``, ``status``.
+    """
+    from ..temporal.join import hash_join
+    from .text import fingerprint64
+
+    def fp(ds, name):
+        def pick(df: pd.DataFrame) -> pd.DataFrame:
+            out = df[[id_col, "fingerprint"]].copy()
+            return out.rename(columns={"fingerprint": name})
+        return ds.map_batches(fingerprint64, batch_format="pandas") \
+                 .map_batches(pick, batch_format="pandas")
+
+    joined = hash_join(fp(old_ds, "fp_old"), fp(new_ds, "fp_new"),
+                       on=id_col, how="outer",
+                       num_partitions=num_partitions)
+
+    def classify(df: pd.DataFrame) -> pd.DataFrame:
+        # fingerprints arrive as NULLABLE Int64 (exact — the join's
+        # typed-null restore; a float64 upcast would corrupt hashes
+        # beyond 2^53); compare via plain bool arrays, never NA bools
+        added = df["fp_old"].isna().to_numpy()
+        removed = df["fp_new"].isna().to_numpy()
+        differ = (df["fp_old"].fillna(0) != df["fp_new"].fillna(0)).to_numpy()
+        status = np.where(added, "added",
+                          np.where(removed, "removed",
+                                   np.where(differ, "changed", "unchanged")))
+        out = pd.DataFrame({id_col: df[id_col].astype("int64"),
+                            "status": status})
+        return out[out["status"] != "unchanged"]
+
+    return joined.map_batches(classify, batch_format="pandas")

@@ -1037,3 +1037,23 @@ def test_ks_drift_windows_detects_shift_day(ray_session):
     # 1->2 and 2->3 transitions show the shift; 0->1 does not
     assert stats[1] > 0.9 and stats[2] > 0.9
     assert stats[0] < 0.1
+
+
+def test_snapshot_diff_classifies(ray_session):
+    import ray.data as rd
+
+    from pic2vec_ray.stages.dedup import snapshot_diff
+
+    old = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": ["alpha beta", "gamma delta", "epsilon", "zeta eta"],
+    })
+    new = pd.DataFrame({
+        "doc_id": [2, 3, 4, 5],
+        "text": ["gamma delta", "epsilon CHANGED", "zeta  eta ", "theta"],
+    })  # 4: whitespace-only edit -> normalized fingerprint UNCHANGED
+    out = (snapshot_diff(rd.from_pandas(old).repartition(2),
+                         rd.from_pandas(new).repartition(3))
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    got = dict(zip(out.doc_id, out.status))
+    assert got == {1: "removed", 3: "changed", 5: "added"}
