@@ -239,7 +239,8 @@ def run_secondary(sf_dir: str) -> dict:
                  "epoch_shuffle_docs", "bpe_tokenize_docs",
                  "approx_quantiles_price", "winsorize_price",
                  "top_tokens_by_lang", "lm_score_docs",
-                 "patch_embed_dims"):
+                 "patch_embed_dims", "substring_dup_docs",
+                 "snapshot_diff_docs", "drift_daily_events"):
         t0 = time.perf_counter()
         res = Q.QUERIES[name](sf_dir)
         # consume: small results to pandas, large to count
