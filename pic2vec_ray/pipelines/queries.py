@@ -3203,6 +3203,252 @@ FROM lineitem, e
 """
 
 
+# ------------------------------------------------- feature-eng additions (r4)
+
+
+def count_encode_source(sf_dir: str):
+    """Frequency (count) encoding of documents.source
+    (stages/encode.count_encode): two-phase fit bounded by the
+    category domain, stateless transform."""
+    from ..stages.encode import count_encode
+
+    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "source"])
+    return count_encode(ds, key="source")
+
+
+SQL_COUNT_ENCODE = """
+SELECT doc_id, source,
+       COUNT(*) OVER (PARTITION BY source) AS source_count
+FROM documents
+"""
+
+
+def cross_hash_orders(sf_dir: str):
+    """Hashed feature cross of (o_orderpriority × o_orderstatus)
+    (stages/encode.cross_hash_encode): the wide-and-deep crossed
+    column via the pinned Horner hash, zero fit state."""
+    from ..stages.encode import cross_hash_encode
+
+    ds = _rd().read_parquet(f"{sf_dir}/orders.parquet",
+                            columns=["o_orderkey", "o_orderpriority",
+                                     "o_orderstatus"])
+    return cross_hash_encode(ds, keys=["o_orderpriority", "o_orderstatus"],
+                             n_buckets=32)
+
+
+SQL_CROSS_HASH = r"""
+WITH h AS (
+  SELECT o_orderkey, o_orderpriority, o_orderstatus,
+    list_reduce(
+      list_transform(
+        string_split(o_orderpriority || chr(31) || o_orderstatus, ''),
+        c -> CAST(unicode(c) AS HUGEINT)),
+      (a, b) -> (a * 1099511628211 + b) % 18446744073709551616
+    ) AS v
+  FROM orders
+)
+SELECT o_orderkey, o_orderpriority, o_orderstatus,
+       CAST(v % 32 AS BIGINT) AS o_orderpriority_x_o_orderstatus_bucket
+FROM h
+"""
+
+
+def date_features_events(sf_dir: str):
+    """Calendar + cyclic-hour feature extraction from events.ts
+    (stages/encode.date_features): stateless vectorized datetime
+    decomposition, sin/cos rounded 6dp on both sides."""
+    from ..stages.encode import date_features
+
+    ds = _events(sf_dir, columns=["event_id", "ts"])
+    out = date_features(ds, ts="ts")
+
+    def project(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop(columns=["ts"])
+
+    return out.map_batches(project, batch_format="pandas")
+
+
+SQL_DATE_FEATURES = """
+SELECT event_id,
+       EXTRACT(year FROM ts) AS ts_year,
+       EXTRACT(month FROM ts) AS ts_month,
+       EXTRACT(day FROM ts) AS ts_day,
+       isodow(ts) AS ts_isodow,
+       EXTRACT(hour FROM ts) AS ts_hour,
+       ROUND(SIN(2 * PI() * EXTRACT(hour FROM ts) / 24.0), 6) AS ts_hour_sin,
+       ROUND(COS(2 * PI() * EXTRACT(hour FROM ts) / 24.0), 6) AS ts_hour_cos
+FROM events
+"""
+
+
+def kfold_docs(sf_dir: str):
+    """Deterministic 5-fold CV assignment over documents
+    (stages/split.kfold_assign): salted Knuth hash, zero shuffle,
+    partition-invariant."""
+    from ..stages.split import kfold_assign
+
+    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "n_chars"])
+    return kfold_assign(ds, id_col="doc_id", k=5)
+
+
+SQL_KFOLD = """
+SELECT doc_id, n_chars,
+       CAST(((doc_id::HUGEINT * 2246822519) % 4294967296) % 5
+            AS BIGINT) AS fold
+FROM documents
+"""
+
+
+def rfm_users(sf_dir: str):
+    """Recency/Frequency/Monetary behavioral features per user over
+    purchase events (stages/relational.rfm_features): hash-partitioned
+    per-entity merge (user_id is corpus-cardinality — never Ray's
+    sort-aggregate), recency as exact microseconds to the global last
+    purchase."""
+    from ..stages.relational import rfm_features
+
+    ds = _events(sf_dir, columns=["user_id", "ts", "event_type", "value"])
+
+    def purchases(t: pa.Table) -> pa.Table:
+        return (t.filter(pc.equal(t["event_type"], "purchase"))
+                .drop_columns(["event_type"]))
+
+    ds = ds.map_batches(purchases, batch_format="pyarrow")
+    out = rfm_features(ds, id_col="user_id", ts="ts", value="value",
+                       num_partitions=_nparts(sf_dir, "events"))
+
+    def project(df: pd.DataFrame) -> pd.DataFrame:
+        return df[["user_id", "frequency", "monetary", "recency_us"]]
+
+    return out.map_batches(project, batch_format="pandas")
+
+
+SQL_RFM = """
+WITH p AS (
+  SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'
+), g AS (SELECT MAX(ts) AS gmax FROM p)
+SELECT user_id,
+       COUNT(*) AS frequency,
+       ROUND(SUM(value), 2) AS monetary,
+       date_diff('microsecond', MAX(ts), g.gmax) AS recency_us
+FROM p, g
+GROUP BY user_id, g.gmax
+"""
+
+
+def mi_lang_source(sf_dir: str):
+    """Mutual information + marginal entropies between documents.lang
+    and documents.source (stages/featsel.mutual_information): the
+    categorical-dependency feature screen, computed from the exact
+    joint-counts cube (bounded exchange, one-row result)."""
+    from ..stages.featsel import mutual_information
+
+    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["lang", "source"])
+    return mutual_information(ds, x="lang", y="source")
+
+
+SQL_MI = """
+WITH cube AS (
+  SELECT lang, source, COUNT(*) AS w FROM documents GROUP BY 1, 2
+), t AS (SELECT CAST(SUM(w) AS DOUBLE) AS n FROM cube),
+cx AS (SELECT lang, CAST(SUM(w) AS DOUBLE) AS c FROM cube GROUP BY 1),
+cy AS (SELECT source, CAST(SUM(w) AS DOUBLE) AS c FROM cube GROUP BY 1),
+mi AS (
+  SELECT SUM((cube.w / t.n) * ln((cube.w * t.n) / (cx.c * cy.c))) AS v
+  FROM cube JOIN cx USING (lang) JOIN cy USING (source), t
+),
+hx AS (SELECT -SUM((c / t.n) * ln(c / t.n)) AS v FROM cx, t),
+hy AS (SELECT -SUM((c / t.n) * ln(c / t.n)) AS v FROM cy, t)
+SELECT ROUND(mi.v, 6) AS mi_nats, ROUND(hx.v, 6) AS h_x,
+       ROUND(hy.v, 6) AS h_y, CAST(t.n AS BIGINT) AS n_rows
+FROM mi, hx, hy, t
+"""
+
+
+def spearman_qty_lineno(sf_dir: str):
+    """Grouped Spearman rank correlation between l_quantity and
+    l_linenumber by returnflag (stages/featsel.spearman_counts):
+    tie-averaged ranks derived from the bounded counts cube — rank
+    correlation WITHOUT a corpus-wide sort (the scale-safe
+    construction for bounded-domain columns)."""
+    from ..stages.featsel import spearman_counts
+
+    ds = _rd().read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_quantity", "l_linenumber"])
+    return spearman_counts(ds, by="l_returnflag", x="l_quantity",
+                           y="l_linenumber")
+
+
+SQL_SPEARMAN = """
+WITH cube AS (
+  SELECT l_returnflag AS f, l_quantity AS x, l_linenumber AS y,
+         COUNT(*) AS w
+  FROM lineitem GROUP BY 1, 2, 3
+),
+cx AS (SELECT f, x, SUM(w) AS c FROM cube GROUP BY 1, 2),
+rx AS (SELECT f, x,
+       SUM(c) OVER (PARTITION BY f ORDER BY x) - c + (c + 1) / 2.0 AS r
+       FROM cx),
+cy AS (SELECT f, y, SUM(w) AS c FROM cube GROUP BY 1, 2),
+ry AS (SELECT f, y,
+       SUM(c) OVER (PARTITION BY f ORDER BY y) - c + (c + 1) / 2.0 AS r
+       FROM cy),
+j AS (
+  SELECT cube.f, CAST(cube.w AS DOUBLE) AS w, rx.r AS rx, ry.r AS ry
+  FROM cube
+  JOIN rx ON cube.f = rx.f AND cube.x = rx.x
+  JOIN ry ON cube.f = ry.f AND cube.y = ry.y
+),
+s AS (
+  SELECT f, SUM(w) AS n, SUM(w * rx) AS sx, SUM(w * ry) AS sy,
+         SUM(w * rx * rx) AS sxx, SUM(w * ry * ry) AS syy,
+         SUM(w * rx * ry) AS sxy
+  FROM j GROUP BY f
+)
+SELECT f AS l_returnflag,
+       ROUND((n * sxy - sx * sy)
+             / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+         AS spearman,
+       CAST(n AS BIGINT) AS n_rows
+FROM s
+"""
+
+
+def hashvec_docs(sf_dir: str):
+    """Signed feature-hashing vectorizer over the document corpus
+    (stages/text.hash_vectorize): hashed bag-of-words into 256
+    dimensions with ±1 sign bits — vocabulary-free text
+    featurization; the SQL oracle replays the hash per token."""
+    from ..stages.text import hash_vectorize
+
+    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    return hash_vectorize(ds, n_dims=256)
+
+
+SQL_HASHVEC = r"""
+WITH toks AS (
+  SELECT unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                            t -> t <> '')) AS t
+  FROM documents
+), h AS (
+  SELECT list_reduce(
+    list_transform(string_split(t, ''), c -> CAST(unicode(c) AS HUGEINT)),
+    (a, b) -> (a * 1099511628211 + b) % 18446744073709551616
+  ) AS v
+  FROM toks
+)
+SELECT CAST(v % 256 AS BIGINT) AS dim,
+       CAST(SUM(CASE WHEN (v // 256) % 2 = 0 THEN 1 ELSE -1 END)
+            AS BIGINT) AS signed_sum,
+       COUNT(*) AS n_tokens
+FROM h GROUP BY 1
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q2_top_customers": q2_top_customers,
@@ -3290,6 +3536,14 @@ QUERIES = {
     "window_ranks_events": window_ranks_events,
     "pivot_value_by_type": pivot_value_by_type,
     "hll_users_daily": hll_users_daily,
+    "count_encode_source": count_encode_source,
+    "cross_hash_orders": cross_hash_orders,
+    "date_features_events": date_features_events,
+    "kfold_docs": kfold_docs,
+    "rfm_users": rfm_users,
+    "mi_lang_source": mi_lang_source,
+    "spearman_qty_lineno": spearman_qty_lineno,
+    "hashvec_docs": hashvec_docs,
     # rows-only (not SQL-expressible; see module docstring)
     "featurize_flagship": featurize_flagship,
     "minhash_neardup_docs": minhash_neardup_docs,
@@ -3400,6 +3654,14 @@ ORACLE_SQL = {
     "window_ranks_events": SQL_WINDOW_RANKS,
     "pivot_value_by_type": SQL_PIVOT,
     "hll_users_daily": SQL_HLL_USERS,
+    "count_encode_source": SQL_COUNT_ENCODE,
+    "cross_hash_orders": SQL_CROSS_HASH,
+    "date_features_events": SQL_DATE_FEATURES,
+    "kfold_docs": SQL_KFOLD,
+    "rfm_users": SQL_RFM,
+    "mi_lang_source": SQL_MI,
+    "spearman_qty_lineno": SQL_SPEARMAN,
+    "hashvec_docs": SQL_HASHVEC,
     "simhash_neardup_docs": _sketch_sql.simhash_pairs_sql(),
     "minhash_neardup_docs": _sketch_sql.minhash_pairs_sql(*_mh_params),
     "minhash_dedup_groups": _sketch_sql.minhash_groups_sql(*_mh_params),

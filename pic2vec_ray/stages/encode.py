@@ -165,6 +165,83 @@ def _horner64(s: str) -> int:
     return h
 
 
+def count_encode(ds, *, key: str, out_col: str | None = None):
+    """Frequency (count) encoding: annotate each row with the GLOBAL
+    occurrence count of its category — the classic high-cardinality
+    alternative to one-hot that preserves rarity information.
+
+    Same two-phase shape as :func:`target_encode`: per-batch partial
+    (key, count) rows → one category-bounded ``groupby(key).sum`` —
+    the exchange moves one row per category per batch, never raw rows.
+    Counts are exact integers so there is no rounding contract."""
+    out_col = out_col or f"{key}_count"
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.groupby(key, as_index=False).size()
+        return g.rename(columns={"size": "n"})
+
+    agg = (ds.map_batches(partial, batch_format="pandas")
+           .groupby(key).sum(["n"])
+           .to_pandas())  # ≤ |category domain| rows by construction
+    mapping = dict(zip(agg[key], agg["sum(n)"]))
+
+    def assign(b: pd.DataFrame) -> pd.DataFrame:
+        b[out_col] = b[key].map(mapping).astype(np.int64)
+        return b
+
+    return ds.map_batches(assign, batch_format="pandas")
+
+
+def cross_hash_encode(ds, *, keys: list[str], n_buckets: int,
+                      out_col: str | None = None, sep: str = "\x1f"):
+    """Hashed feature cross: combine N categorical columns into one
+    interaction feature by hashing the separator-joined tuple string
+    through the pinned Horner kernel, mod ``n_buckets`` — the
+    wide-and-deep "crossed column" primitive.  Stateless, zero fit
+    pass, zero shuffle; per batch the DISTINCT tuples are hashed once
+    (category-product-bounded Python work) and rows map vectorized.
+    The SQL oracle replays ``concat_ws(sep, a, b, ...)`` through the
+    same ``list_reduce`` hash."""
+    out_col = out_col or "_x_".join(keys) + "_bucket"
+    B = int(n_buckets)
+
+    def assign(b: pd.DataFrame) -> pd.DataFrame:
+        joined = b[keys[0]].astype(str)
+        for k in keys[1:]:
+            joined = joined + sep + b[k].astype(str)
+        cats = pd.unique(joined)
+        lut = {c: _horner64(c) % B for c in cats}
+        b[out_col] = joined.map(lut).astype(np.int64)
+        return b
+
+    return ds.map_batches(assign, batch_format="pandas")
+
+
+def date_features(ds, *, ts: str, cyclic: bool = True, decimals: int = 6):
+    """Calendar feature extraction from a timestamp column — the
+    standard temporal feature block (year / month / day / ISO weekday /
+    hour) plus cyclic sin–cos hour encoding so midnight and 23:00 sit
+    adjacent in feature space.  Purely stateless vectorized
+    ``map_batches``; the SQL oracle replays EXTRACT + the identical
+    ``sin(2π·hour/24)`` expression (identical integer operands → the
+    platform libm on identical doubles), rounded to ``decimals``."""
+
+    def extract(b: pd.DataFrame) -> pd.DataFrame:
+        d = pd.DatetimeIndex(b[ts])
+        b[f"{ts}_year"] = d.year.astype(np.int64)
+        b[f"{ts}_month"] = d.month.astype(np.int64)
+        b[f"{ts}_day"] = d.day.astype(np.int64)
+        b[f"{ts}_isodow"] = (d.dayofweek + 1).astype(np.int64)
+        b[f"{ts}_hour"] = d.hour.astype(np.int64)
+        if cyclic:
+            ang = 2.0 * np.pi * d.hour.to_numpy(np.float64) / 24.0
+            b[f"{ts}_hour_sin"] = np.round(np.sin(ang), decimals)
+            b[f"{ts}_hour_cos"] = np.round(np.cos(ang), decimals)
+        return b
+
+    return ds.map_batches(extract, batch_format="pandas")
+
+
 def hash_encode(ds, *, key: str, n_buckets: int, out_col: str | None = None):
     """The hashing trick: map an UNBOUNDED categorical into
     ``n_buckets`` integer buckets via a pinned polynomial string hash

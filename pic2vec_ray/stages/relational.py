@@ -12,6 +12,7 @@ merges them.  No driver-side state, no second pass over the input.
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 
 
@@ -163,6 +164,40 @@ def unpivot(ds, *, id_cols: list[str], value_cols: list[str],
                         var_name=var_col, value_name=val_col)
 
     return ds.map_batches(melt, batch_format="pandas")
+
+
+def rfm_features(ds, *, id_col: str, ts: str, value: str,
+                 decimals: int = 2, num_partitions: int = 64):
+    """Recency / Frequency / Monetary features per entity — the
+    classic behavioral feature block.  Per entity: ``frequency`` =
+    row count, ``monetary`` = Σ value (rounded), ``recency_us`` =
+    microseconds between the entity's last event and the GLOBAL last
+    event (exact integers on both sides — second-granularity
+    date_diff semantics differ between engines, microsecond deltas
+    don't).
+
+    Entity keys are high-cardinality, so the merge runs on the
+    hash-partition path (``temporal/core.partitioned_apply``:
+    vectorized pandas groupby per partition), never Ray's
+    sort-aggregate.  The global max timestamp is one column-pruned
+    aggregate pass broadcast into the closure."""
+    from ..temporal.core import partitioned_apply
+
+    gmax = pd.Timestamp(ds.max(ts))
+
+    def per_partition(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(id_col, as_index=False).agg(
+            frequency=(value, "size"),
+            monetary=(value, "sum"),
+            last_ts=(ts, "max"),
+        )
+        g["monetary"] = g.monetary.round(decimals)
+        delta = gmax - pd.DatetimeIndex(g.last_ts)
+        g["recency_us"] = (delta // pd.Timedelta(microseconds=1)).astype(np.int64)
+        return g.drop(columns=["last_ts"])
+
+    return partitioned_apply(ds, id_col, per_partition,
+                             num_partitions=num_partitions)
 
 
 def grouped_corr(ds, *, keys, x: str, y: str, decimals: int = 6):

@@ -59,6 +59,30 @@ def hash_split(ds, *, id_col: str, weights: dict[str, int] | None = None,
     return ds.map_batches(assign, batch_format="pandas")
 
 
+_KFOLD_MULT = np.uint64(2246822519)  # xxHash PRIME32_2 — NOT the Knuth
+# constant: the multiplicative hash is linear, so an additive salt on the
+# SAME multiplier stays affinely tied to hash_split's buckets; a distinct
+# odd multiplier decorrelates the fold and split assignments.
+
+
+def kfold_assign(ds, *, id_col: str, k: int, fold_col: str = "fold"):
+    """Deterministic k-fold cross-validation assignment:
+    ``fold = ((id * 2246822519) mod 2^32) mod k`` — zero-shuffle,
+    reproducible under any partitioning, and independent of
+    :func:`hash_split`'s train/valid/test buckets (distinct
+    multiplier), so CV folds cut across the holdout split instead of
+    mirroring it.  The SQL oracle replays the 32-bit multiply."""
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+
+    def assign(batch: pd.DataFrame) -> pd.DataFrame:
+        h = (batch[id_col].to_numpy().astype(np.uint64) * _KFOLD_MULT) & _MOD32
+        batch[fold_col] = (h % np.uint64(k)).astype(np.int64)
+        return batch
+
+    return ds.map_batches(assign, batch_format="pandas")
+
+
 def hash_sample_mixture(ds, *, id_col: str, key_col: str,
                         rates: dict[str, float], default_rate: float = 1.0,
                         buckets: int = 10_000):

@@ -269,6 +269,50 @@ def token_topk(ds, *, col: str = "text", k: int = 20):
                .limit(k))
 
 
+def hash_vectorize(ds, *, col: str = "text", n_dims: int = 256):
+    """Signed feature hashing (the "hashing trick" vectorizer) over
+    corpus tokens: every token hashes through the pinned Horner
+    kernel; ``dim = h mod n_dims`` and the NEXT hash bit supplies a
+    ±1 sign so collisions cancel in expectation (Weinberger et al.'s
+    signed construction).  Output is the corpus-level hashed
+    bag-of-words: one row per dimension with the signed sum and the
+    raw token count.
+
+    Scale shape: tokens are counted per DISTINCT token inside each
+    batch (vocabulary-bounded hashing work), partials are already
+    dimension-bounded (≤ n_dims rows per batch) before the one tiny
+    groupby — corpus token count never crosses the exchange.  The SQL
+    oracle replays the identical hash via list_reduce."""
+    from .encode import _horner64
+
+    D = int(n_dims)
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        toks = batch[col].str.lower().str.findall(r"[a-z0-9]+")
+        vc = toks.explode().dropna().value_counts()
+        if not len(vc):
+            return pd.DataFrame({"dim": pd.Series([], dtype=np.int64),
+                                 "signed_sum": pd.Series([], dtype=np.int64),
+                                 "n_tokens": pd.Series([], dtype=np.int64)})
+        h = np.fromiter((_horner64(t) for t in vc.index), dtype=np.uint64,
+                        count=len(vc))
+        dim = (h % np.uint64(D)).astype(np.int64)
+        sign = np.where((h // np.uint64(D)) % np.uint64(2) == 0, 1, -1)
+        cnt = vc.to_numpy(np.int64)
+        g = pd.DataFrame({"dim": dim, "signed_sum": sign * cnt,
+                          "n_tokens": cnt})
+        return g.groupby("dim", as_index=False).sum()
+
+    agg = (ds.map_batches(partial, batch_format="pandas")
+           .groupby("dim").sum(["signed_sum", "n_tokens"]))
+
+    def finish(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.rename(columns={"sum(signed_sum)": "signed_sum",
+                                     "sum(n_tokens)": "n_tokens"})
+
+    return agg.map_batches(finish, batch_format="pandas")
+
+
 def repetition_stats(batch, *, id_col: str = "doc_id", col: str = "text"):
     """Gopher-style within-document repetition filters (one map_batches
     body — each doc is independent, so NO shuffle at any scale).

@@ -1,0 +1,175 @@
+"""Round-4 feature-engineering additions: count encoding, hashed
+feature crosses, calendar features, k-fold assignment, RFM features,
+mutual information, count-based Spearman, signed feature hashing."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+
+def _cats(n=400, seed=3):
+    rng = np.random.default_rng(seed)
+    return pd.DataFrame({
+        "id": np.arange(n, dtype=np.int64),
+        "a": rng.choice(["x", "y", "z"], n),
+        "b": rng.choice(["p", "q"], n),
+        "v": rng.normal(10.0, 2.0, n).round(2),
+    })
+
+
+def test_count_encode_matches_value_counts(ray_session):
+    import ray.data as rd
+    from pic2vec_ray.stages.encode import count_encode
+
+    df = _cats()
+    out = (count_encode(rd.from_pandas(df).repartition(5), key="a")
+           .to_pandas().sort_values("id").reset_index(drop=True))
+    vc = df.a.value_counts()
+    expect = df.a.map(vc).to_numpy()
+    assert (out.a_count.to_numpy() == expect).all()
+    assert out.a_count.dtype == np.int64
+
+
+def test_cross_hash_encode_is_tuple_hash(ray_session):
+    import ray.data as rd
+    from pic2vec_ray.stages.encode import _horner64, cross_hash_encode
+
+    df = _cats()
+    out = (cross_hash_encode(rd.from_pandas(df).repartition(4),
+                             keys=["a", "b"], n_buckets=16)
+           .to_pandas().sort_values("id").reset_index(drop=True))
+    col = "a_x_b_bucket"
+    expect = [(_horner64(f"{a}\x1f{b}") % 16) for a, b in zip(df.a, df.b)]
+    assert out[col].tolist() == expect
+    # the cross distinguishes tuples that share one component
+    assert out[col].nunique() > df.a.nunique()
+
+
+def test_date_features_matches_pandas(ray_session):
+    import ray.data as rd
+    from pic2vec_ray.stages.encode import date_features
+
+    ts = pd.date_range("2024-03-30 21:15:00", periods=200, freq="137min")
+    df = pd.DataFrame({"id": np.arange(200, dtype=np.int64), "ts": ts})
+    out = (date_features(rd.from_pandas(df).repartition(3), ts="ts")
+           .to_pandas().sort_values("id").reset_index(drop=True))
+    assert (out.ts_year.to_numpy() == ts.year.to_numpy()).all()
+    assert (out.ts_month.to_numpy() == ts.month.to_numpy()).all()
+    assert (out.ts_isodow.to_numpy() == (ts.dayofweek + 1).to_numpy()).all()
+    assert (out.ts_hour.to_numpy() == ts.hour.to_numpy()).all()
+    # cyclic encoding: unit circle (up to the 6dp rounding contract)
+    r = out.ts_hour_sin ** 2 + out.ts_hour_cos ** 2
+    assert np.allclose(r, 1.0, atol=1e-5)
+
+
+def test_kfold_assign_balanced_and_decorrelated(ray_session):
+    import ray.data as rd
+    from pic2vec_ray.stages.split import hash_split, kfold_assign
+
+    df = pd.DataFrame({"id": np.arange(5000, dtype=np.int64)})
+    ds = rd.from_pandas(df).repartition(6)
+    out = (kfold_assign(ds, id_col="id", k=5)
+           .to_pandas().sort_values("id").reset_index(drop=True))
+    sizes = out.fold.value_counts()
+    assert set(out.fold.unique()) == set(range(5))
+    assert sizes.max() / sizes.min() < 1.3
+    # folds cut across the train/valid/test split, not mirror it
+    sp = (hash_split(ds, id_col="id").to_pandas()
+          .sort_values("id").reset_index(drop=True))
+    joint = pd.crosstab(out.fold, sp.split)
+    assert (joint > 0).all().all()
+    with pytest.raises(ValueError):
+        kfold_assign(ds, id_col="id", k=1)
+
+
+def test_rfm_features_match_pandas(ray_session):
+    import ray.data as rd
+    from pic2vec_ray.stages.relational import rfm_features
+
+    rng = np.random.default_rng(11)
+    n = 600
+    df = pd.DataFrame({
+        "user": rng.integers(0, 40, n),
+        "ts": pd.Timestamp("2024-01-01")
+        + pd.to_timedelta(rng.integers(0, 10**9, n), unit="us"),
+        "value": rng.uniform(1, 50, n).round(2),
+    })
+    out = (rfm_features(rd.from_pandas(df).repartition(5), id_col="user",
+                        ts="ts", value="value", num_partitions=4)
+           .to_pandas().sort_values("user").reset_index(drop=True))
+    gmax = df.ts.max()
+    ref = df.groupby("user").agg(frequency=("value", "size"),
+                                 monetary=("value", "sum"),
+                                 last=("ts", "max")).reset_index()
+    assert (out.frequency.to_numpy() == ref.frequency.to_numpy()).all()
+    assert np.allclose(out.monetary, ref.monetary.round(2))
+    expect_us = ((gmax - ref["last"]) // pd.Timedelta(microseconds=1))
+    assert (out.recency_us.to_numpy() == expect_us.to_numpy()).all()
+
+
+def test_mutual_information_known_values(ray_session):
+    import ray.data as rd
+    from pic2vec_ray.stages.featsel import mutual_information
+
+    # perfectly dependent: MI == H(X) == H(Y) == ln 2
+    df = pd.DataFrame({"x": ["a", "b"] * 500, "y": ["u", "v"] * 500})
+    out = mutual_information(rd.from_pandas(df).repartition(4), x="x", y="y")
+    assert out.mi_nats[0] == pytest.approx(np.log(2), abs=1e-6)
+    assert out.h_x[0] == pytest.approx(np.log(2), abs=1e-6)
+    # independent: MI == 0
+    rng = np.random.default_rng(5)
+    df2 = pd.DataFrame({"x": np.repeat(["a", "b"], 500),
+                        "y": np.tile(["u", "v"], 500)})
+    out2 = mutual_information(rd.from_pandas(df2).repartition(3),
+                              x="x", y="y")
+    assert abs(out2.mi_nats[0]) < 1e-9
+    assert out2.n_rows[0] == 1000
+
+
+def test_spearman_counts_matches_pandas_rank_corr(ray_session):
+    import ray.data as rd
+    from pic2vec_ray.stages.featsel import spearman_counts
+
+    rng = np.random.default_rng(9)
+    n = 2000
+    df = pd.DataFrame({
+        "g": rng.choice(["A", "B"], n),
+        "x": rng.integers(1, 20, n),
+    })
+    # y correlated with x in A, anti-correlated in B (ties everywhere)
+    noise = rng.integers(-3, 4, n)
+    df["y"] = np.where(df.g == "A", df.x + noise, 20 - df.x + noise)
+    out = spearman_counts(rd.from_pandas(df).repartition(6),
+                          by="g", x="x", y="y")
+    for _, row in out.iterrows():
+        grp = df[df.g == row.g]
+        ref = grp.x.rank().corr(grp.y.rank())  # average-rank Pearson
+        assert row.spearman == pytest.approx(ref, abs=1e-6)
+    assert out.loc[out.g == "A", "spearman"].iloc[0] > 0.8
+    assert out.loc[out.g == "B", "spearman"].iloc[0] < -0.8
+
+
+def test_hash_vectorize_matches_bruteforce(ray_session):
+    import ray.data as rd
+    from pic2vec_ray.stages.encode import _horner64
+    from pic2vec_ray.stages.text import hash_vectorize
+
+    docs = ["the cat sat", "a dog! A DOG", "", "cat 42 cat"]
+    df = pd.DataFrame({"text": docs})
+    D = 32
+    out = (hash_vectorize(rd.from_pandas(df).repartition(3), n_dims=D)
+           .to_pandas().sort_values("dim").reset_index(drop=True))
+    ref: dict[int, list[int]] = {}
+    import re
+    for t in docs:
+        for tok in re.findall(r"[a-z0-9]+", t.lower()):
+            h = _horner64(tok)
+            d, s = h % D, 1 if (h // D) % 2 == 0 else -1
+            acc = ref.setdefault(d, [0, 0])
+            acc[0] += s
+            acc[1] += 1
+    assert dict(zip(out.dim, out.signed_sum)) == {d: v[0] for d, v in ref.items()}
+    assert dict(zip(out.dim, out.n_tokens)) == {d: v[1] for d, v in ref.items()}
+    assert int(out.n_tokens.sum()) == 10
