@@ -3449,6 +3449,93 @@ FROM h GROUP BY 1
 """
 
 
+def multimodal_dedup_groups(sf_dir: str):
+    """Cross-modal joint dedup: duplicates found through EITHER the
+    text channel (exact content fingerprint, stages/dedup.
+    exact_dup_edges star edges) OR the embedding channel (cosine ≥
+    0.95 — exact mode pins the oracle, LSH is the documented scale
+    default, same rationale as ``embedding_neardup``) are merged into
+    one duplicate group by distributed connected components.  Planted
+    rows guarantee deterministic multi-modal merges at every sf:
+    text clones (doc_id+200000, doc_id<10) and embedding clones
+    (vec_id+100000, vec_id<20) chain {i, i+200000, i+100000} into one
+    component only via BOTH edge types (vec_id aligns with doc_id)."""
+    from ..stages.dedup import (embedding_neardup_pairs, exact_dup_edges,
+                                neardup_groups)
+
+    rd = _rd()
+    p = _nparts(sf_dir, "documents")
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+
+    def tclones(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.less(t["doc_id"], 10))
+        return t.set_column(0, "doc_id", pc.add(t["doc_id"], 200000))
+
+    tds = docs.union(docs.map_batches(tclones, batch_format="pyarrow"))
+    t_edges = exact_dup_edges(tds, num_partitions=p)
+
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
+
+    def eclones(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.less(t["vec_id"], 20))
+        return t.set_column(0, "vec_id", pc.add(t["vec_id"], 100000))
+
+    eds = emb.union(emb.map_batches(eclones, batch_format="pyarrow"))
+    e_pairs = embedding_neardup_pairs(eds, threshold=0.95, mode="exact")
+
+    def strip(df: pd.DataFrame) -> pd.DataFrame:
+        return df[["id_a", "id_b"]]
+
+    pairs = t_edges.union(e_pairs.map_batches(strip, batch_format="pandas"))
+    return neardup_groups(pairs, num_partitions=p)
+
+
+SQL_MULTIMODAL_GROUPS = r"""
+WITH RECURSIVE du AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL SELECT doc_id + 200000, text FROM documents WHERE doc_id < 10
+), n AS (
+  SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+  FROM du
+), f AS (
+  SELECT doc_id,
+    CASE WHEN length(t) = 0 THEN CAST(0 AS HUGEINT) ELSE list_reduce(
+      list_transform(string_split(t, ''), c -> CAST(unicode(c) AS HUGEINT)),
+      (a, b) -> (a * 1099511628211 + b) % 18446744073709551616
+    ) END AS v
+  FROM n
+), m AS (SELECT v, MIN(doc_id) AS mn FROM f GROUP BY v),
+t_edges AS (
+  SELECT m.mn AS id_a, f.doc_id AS id_b FROM f JOIN m USING (v)
+  WHERE f.doc_id > m.mn
+),
+eu AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000, CAST(embedding AS DOUBLE[])
+  FROM embeddings WHERE vec_id < 20
+),
+e_edges AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM eu a JOIN eu b ON a.vec_id < b.vec_id
+  WHERE list_cosine_similarity(a.e, b.e) >= 0.95
+),
+edges AS (SELECT id_a, id_b FROM t_edges
+          UNION SELECT id_a, id_b FROM e_edges),
+e AS (SELECT id_a AS s, id_b AS d FROM edges
+      UNION ALL SELECT id_b, id_a FROM edges),
+nodes AS (SELECT DISTINCT s AS id FROM e),
+reach(id, r) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT e.d, reach.r FROM reach JOIN e ON e.s = reach.id
+)
+SELECT id, MIN(r) AS group_id FROM reach GROUP BY id
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q2_top_customers": q2_top_customers,
@@ -3544,6 +3631,7 @@ QUERIES = {
     "mi_lang_source": mi_lang_source,
     "spearman_qty_lineno": spearman_qty_lineno,
     "hashvec_docs": hashvec_docs,
+    "multimodal_dedup_groups": multimodal_dedup_groups,
     # rows-only (not SQL-expressible; see module docstring)
     "featurize_flagship": featurize_flagship,
     "minhash_neardup_docs": minhash_neardup_docs,
@@ -3662,6 +3750,7 @@ ORACLE_SQL = {
     "mi_lang_source": SQL_MI,
     "spearman_qty_lineno": SQL_SPEARMAN,
     "hashvec_docs": SQL_HASHVEC,
+    "multimodal_dedup_groups": SQL_MULTIMODAL_GROUPS,
     "simhash_neardup_docs": _sketch_sql.simhash_pairs_sql(),
     "minhash_neardup_docs": _sketch_sql.minhash_pairs_sql(*_mh_params),
     "minhash_dedup_groups": _sketch_sql.minhash_groups_sql(*_mh_params),

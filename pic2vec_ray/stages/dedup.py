@@ -118,6 +118,39 @@ def dedup_exact(ds, *, col: str = "text", id_col: str = "doc_id", num_partitions
     )
 
 
+def exact_dup_edges(ds, *, col: str = "text", id_col: str = "doc_id",
+                    num_partitions: int = 64):
+    """Exact-duplicate STAR edges ``(id_a=group min, id_b=other)`` per
+    distinct fingerprint — the edge-producing complement of
+    :func:`dedup_exact`, for feeding connected components together
+    with edges from OTHER modalities (see query
+    ``multimodal_dedup_groups``).
+
+    Identity is the SQL-replayable 64-bit content fingerprint
+    (``stages/text.fingerprint64``: Horner over normalized codepoints;
+    collision probability ~2⁻⁶⁴ per pair).  Scale shape: per-batch
+    fingerprinting, one hash-partition exchange on the fingerprint,
+    vectorized per-partition min-anchor edge emit — m−1 edges per
+    duplicate group, never m(m−1)/2."""
+    from ..temporal.core import partitioned_apply
+    from .text import fingerprint64
+
+    def fp(batch: pd.DataFrame) -> pd.DataFrame:
+        out = fingerprint64(batch[[id_col, col]].rename(columns={col: "text"}))
+        return out[[id_col, "fingerprint"]]
+
+    fps = ds.map_batches(fp, batch_format="pandas")
+
+    def edges(df: pd.DataFrame) -> pd.DataFrame:
+        mn = df.groupby("fingerprint")[id_col].transform("min")
+        dup = df[df[id_col] != mn]
+        return pd.DataFrame({"id_a": mn[df[id_col] != mn].to_numpy(),
+                             "id_b": dup[id_col].to_numpy()})
+
+    return partitioned_apply(fps, "fingerprint", edges,
+                             num_partitions=num_partitions)
+
+
 # --------------------------------------------------------------- shingles
 
 

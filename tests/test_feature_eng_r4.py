@@ -173,3 +173,36 @@ def test_hash_vectorize_matches_bruteforce(ray_session):
     assert dict(zip(out.dim, out.signed_sum)) == {d: v[0] for d, v in ref.items()}
     assert dict(zip(out.dim, out.n_tokens)) == {d: v[1] for d, v in ref.items()}
     assert int(out.n_tokens.sum()) == 10
+
+
+def test_exact_dup_edges_and_crossmodal_merge(ray_session):
+    """Star edges from exact text dups + embedding pairs merge into one
+    component only via the union of BOTH modalities."""
+    import ray.data as rd
+    from pic2vec_ray.stages.dedup import (embedding_neardup_pairs,
+                                          exact_dup_edges, neardup_groups)
+
+    docs = pd.DataFrame({
+        "doc_id": np.array([1, 2, 3, 4, 5], dtype=np.int64),
+        "text": ["same text", "Same  TEXT", "other", "unrelated", "third"],
+    })
+    t_edges = (exact_dup_edges(rd.from_pandas(docs).repartition(3),
+                               num_partitions=4)
+               .to_pandas().sort_values(["id_a", "id_b"]))
+    # 1 and 2 are exact dups after normalization; star edge (1, 2)
+    assert t_edges.values.tolist() == [[1, 2]]
+
+    v = np.eye(8, dtype=np.float32)
+    emb = pd.DataFrame({
+        "vec_id": np.array([2, 3, 4, 5], dtype=np.int64),
+        "embedding": [v[0], v[0], v[1], v[2]],  # 2 ~ 3 only
+    })
+    e_pairs = embedding_neardup_pairs(rd.from_pandas(emb), threshold=0.95,
+                                      mode="exact")
+    e_pairs = e_pairs.map_batches(lambda df: df[["id_a", "id_b"]],
+                                  batch_format="pandas")
+    t_edges_ds = rd.from_pandas(t_edges.reset_index(drop=True))
+    groups = (neardup_groups(t_edges_ds.union(e_pairs), num_partitions=4)
+              .to_pandas().sort_values("id").reset_index(drop=True))
+    # {1,2} via text, {2,3} via embedding -> one component {1,2,3}
+    assert dict(zip(groups.id, groups.group_id)) == {1: 1, 2: 1, 3: 1}
