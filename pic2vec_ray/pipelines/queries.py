@@ -1117,6 +1117,32 @@ FROM part WHERE p_partkey % 20 < 17
 """
 
 
+def box_features_verify(sf_dir: str):
+    """Integral-image (summed-area-table) Haar box features over every
+    decodable image (stages/decode.make_box_features_fn), with the
+    O(1)-corner sums checked against direct pixel-slice sums per
+    quadrant — the oracle predicts the exact surviving row set and
+    all-TRUE equality (the phash_verify pattern, extended to the
+    feature-extraction algebra).  Haar contrast values themselves are
+    noise-dependent (not SQL-predictable) and are projected out here;
+    they are pytest-verified."""
+    from ..stages.decode import make_box_features_fn
+
+    ds = _rd().read_parquet(_images(sf_dir), columns=["image_id", "bytes"])
+    out = ds.map_batches(make_box_features_fn(), batch_format="pyarrow")
+
+    def project(t: pa.Table) -> pa.Table:
+        return t.select(["image_id", "box_ok"])
+
+    return out.map_batches(project, batch_format="pyarrow")
+
+
+SQL_BOX_FEATURES = """
+SELECT printf('img_%08d', p_partkey) AS image_id, TRUE AS box_ok
+FROM part WHERE p_partkey % 20 < 17
+"""
+
+
 def tar_ingest_dims(sf_dir: str):
     """Ingest the corpus from webdataset-style tar shards and decode.
 
@@ -3632,6 +3658,7 @@ QUERIES = {
     "spearman_qty_lineno": spearman_qty_lineno,
     "hashvec_docs": hashvec_docs,
     "multimodal_dedup_groups": multimodal_dedup_groups,
+    "box_features_verify": box_features_verify,
     # rows-only (not SQL-expressible; see module docstring)
     "featurize_flagship": featurize_flagship,
     "minhash_neardup_docs": minhash_neardup_docs,
@@ -3751,6 +3778,7 @@ ORACLE_SQL = {
     "spearman_qty_lineno": SQL_SPEARMAN,
     "hashvec_docs": SQL_HASHVEC,
     "multimodal_dedup_groups": SQL_MULTIMODAL_GROUPS,
+    "box_features_verify": SQL_BOX_FEATURES,
     "simhash_neardup_docs": _sketch_sql.simhash_pairs_sql(),
     "minhash_neardup_docs": _sketch_sql.minhash_pairs_sql(*_mh_params),
     "minhash_dedup_groups": _sketch_sql.minhash_groups_sql(*_mh_params),

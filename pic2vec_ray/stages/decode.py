@@ -269,6 +269,57 @@ def make_patchify_fn(patch: int = 16, bytes_col: str = "bytes",
     return patchify
 
 
+def make_box_features_fn(bytes_col: str = "bytes"):
+    """Factory for a map_batches fn computing integral-image box
+    features — the Viola–Jones-style Haar primitive: decode → integer
+    intensity (r+g+b, exact int64 math) → 2D summed-area table → the
+    2×2 quadrant box sums plus horizontal/vertical Haar contrasts
+    (left−right, top−bottom).
+
+    Every quadrant sum is computed BOTH ways — O(1) from the integral
+    image corners and directly from the pixel slice — and ``box_ok``
+    records their equality, so the driver oracle (closed-form
+    decodable-row set from ``part``, all-TRUE expected — the
+    phash_verify pattern) certifies the summed-area-table algebra on
+    real decoded pixels at the query surface.  Undecodable rows drop;
+    the oracle predicts exactly which rows survive.
+    """
+
+    def feats(batch: pa.Table) -> pa.Table:
+        ids: list[str] = []
+        oks: list[bool] = []
+        haar_h: list[int] = []
+        haar_v: list[int] = []
+        for image_id, data in zip(batch["image_id"].to_pylist(),
+                                  batch[bytes_col].to_pylist()):
+            img = decode_rgb(bytes(data) if data is not None else b"")
+            if img is None:
+                continue
+            inten = img.astype(np.int64).sum(axis=2)
+            h, w = inten.shape
+            sat = np.zeros((h + 1, w + 1), np.int64)
+            sat[1:, 1:] = inten.cumsum(0).cumsum(1)
+            ys, xs = (0, h // 2, h), (0, w // 2, w)
+            ok = True
+            q = np.empty((2, 2), np.int64)
+            for i in range(2):
+                for j in range(2):
+                    y0, y1, x0, x1 = ys[i], ys[i + 1], xs[j], xs[j + 1]
+                    q[i, j] = (sat[y1, x1] - sat[y0, x1]
+                               - sat[y1, x0] + sat[y0, x0])
+                    ok = ok and q[i, j] == inten[y0:y1, x0:x1].sum()
+            ids.append(image_id)
+            oks.append(bool(ok))
+            haar_h.append(int(q[:, 0].sum() - q[:, 1].sum()))
+            haar_v.append(int(q[0, :].sum() - q[1, :].sum()))
+        return pa.table({"image_id": pa.array(ids, pa.string()),
+                         "box_ok": pa.array(oks, pa.bool_()),
+                         "haar_h": pa.array(haar_h, pa.int64()),
+                         "haar_v": pa.array(haar_v, pa.int64())})
+
+    return feats
+
+
 def make_decode_stats_fn(bytes_col: str = "bytes"):
     """Factory for a map_batches fn emitting per-row decode metadata.
 

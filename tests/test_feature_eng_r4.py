@@ -206,3 +206,24 @@ def test_exact_dup_edges_and_crossmodal_merge(ray_session):
               .to_pandas().sort_values("id").reset_index(drop=True))
     # {1,2} via text, {2,3} via embedding -> one component {1,2,3}
     assert dict(zip(groups.id, groups.group_id)) == {1: 1, 2: 1, 3: 1}
+
+
+def test_box_features_match_manual(ray_session):
+    import ray.data as rd
+    from pic2vec_ray.codecs.png import encode_png
+    from pic2vec_ray.stages.decode import make_box_features_fn
+
+    rng = np.random.default_rng(21)
+    img = rng.integers(0, 256, (10, 6, 3), dtype=np.uint8)
+    tbl = pd.DataFrame({"image_id": ["a", "bad"],
+                        "bytes": [encode_png(img), b"junk"]})
+    out = (rd.from_pandas(tbl)
+           .map_batches(make_box_features_fn(), batch_format="pyarrow")
+           .to_pandas())
+    assert out.image_id.tolist() == ["a"]  # junk row drops
+    assert bool(out.box_ok[0])
+    inten = img.astype(np.int64).sum(axis=2)
+    left, right = inten[:, :3].sum(), inten[:, 3:].sum()
+    top, bottom = inten[:5, :].sum(), inten[5:, :].sum()
+    assert out.haar_h[0] == left - right
+    assert out.haar_v[0] == top - bottom
