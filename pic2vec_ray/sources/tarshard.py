@@ -33,7 +33,8 @@ import tarfile
 
 import pyarrow as pa
 
-__all__ = ["read_tar_shards", "write_tar_shards"]
+__all__ = ["read_tar_shards", "write_tar_shards",
+           "convert_tar_shards_to_parquet"]
 
 
 def _parse_shard(raw: bytes, ext_to_col: dict[str, str]):
@@ -93,35 +94,119 @@ def read_tar_shards(
     ds = rd.read_binary_files(paths, file_extensions=["tar"])
 
     def shard_to_rows(batch: pa.Table) -> pa.Table:
-        rows: dict[str, list] = {key_col: []}
-        for c in out_cols:
-            rows[c] = []
-        if ext_col_for is not None:
-            rows["fmt"] = []
-        for raw in batch["bytes"]:
-            samples = _parse_shard(raw.as_py(), ext_to_col)
-            for stem in sorted(samples):
-                sample = samples[stem]
-                rows[key_col].append(stem)
-                for c in out_cols:
-                    v = sample.get(c)
-                    if v is not None and c in text_cols:
-                        v = v.decode("utf-8")
-                    rows[c].append(v)
-                if ext_col_for is not None:
-                    e = sample.get("__ext__" + ext_col_for)
-                    rows["fmt"].append(e.decode() if e is not None else None)
-        fields = [pa.field(key_col, pa.string())]
-        for c in out_cols:
-            fields.append(pa.field(c, pa.string() if c in text_cols else pa.binary()))
-        if ext_col_for is not None:
-            fields.append(pa.field("fmt", pa.string()))
-        return pa.table(
-            {f.name: pa.array(rows[f.name], type=f.type) for f in fields},
-            schema=pa.schema(fields),
-        )
+        return _shards_to_table([raw.as_py() for raw in batch["bytes"]],
+                                ext_to_col, out_cols, text_cols, key_col,
+                                ext_col_for)
 
     return ds.map_batches(shard_to_rows, batch_format="pyarrow")
+
+
+def _shards_to_table(raws: list[bytes], ext_to_col, out_cols, text_cols,
+                     key_col, ext_col_for) -> pa.Table:
+    """Raw tar shard payloads → one Arrow table with the declared
+    fixed schema (shared by the source and the parquet converter)."""
+    rows: dict[str, list] = {key_col: []}
+    for c in out_cols:
+        rows[c] = []
+    if ext_col_for is not None:
+        rows["fmt"] = []
+    for raw in raws:
+        samples = _parse_shard(raw, ext_to_col)
+        for stem in sorted(samples):
+            sample = samples[stem]
+            rows[key_col].append(stem)
+            for c in out_cols:
+                v = sample.get(c)
+                if v is not None and c in text_cols:
+                    v = v.decode("utf-8")
+                rows[c].append(v)
+            if ext_col_for is not None:
+                e = sample.get("__ext__" + ext_col_for)
+                rows["fmt"].append(e.decode() if e is not None else None)
+    fields = [pa.field(key_col, pa.string())]
+    for c in out_cols:
+        fields.append(pa.field(c, pa.string() if c in text_cols else pa.binary()))
+    if ext_col_for is not None:
+        fields.append(pa.field("fmt", pa.string()))
+    return pa.table(
+        {f.name: pa.array(rows[f.name], type=f.type) for f in fields},
+        schema=pa.schema(fields),
+    )
+
+
+def convert_tar_shards_to_parquet(
+    paths: str | list[str],
+    out_dir: str,
+    extensions: dict[str, str],
+    *,
+    key_col: str = "key",
+    text_cols: set[str] | None = None,
+    ext_col_for: str | None = None,
+    on_shard=None,
+):
+    """Resumable streaming tar→parquet corpus conversion: one parquet
+    file per input shard, written ATOMICALLY (tmp + rename), with
+    already-converted shards SKIPPED — so a killed 100-TB conversion
+    rerun only pays for the unfinished tail, and a partial run is
+    always a valid (smaller) parquet dataset.
+
+    Shape: the pending shard list becomes a Dataset of paths
+    (``from_items`` — tiny), and each map task reads its shard from
+    storage, parses, and writes its own output file; the only thing
+    returned through the object store is the per-shard manifest row
+    (shard, output, rows, skipped).  Returns the manifest Dataset —
+    call ``.to_pandas()`` on it freely (one row per shard).
+
+    ``on_shard(shard_path)`` is an optional hook invoked before each
+    write — used by tests for fault injection mid-conversion.
+    """
+    import ray.data as rd
+
+    text_cols = text_cols or set()
+    ext_to_col = {e.lower().lstrip("."): c for e, c in extensions.items()}
+    out_cols = list(dict.fromkeys(ext_to_col.values()))
+
+    if isinstance(paths, str):
+        shard_files = sorted(
+            os.path.join(paths, f) for f in os.listdir(paths)
+            if f.endswith(".tar"))
+    else:
+        shard_files = sorted(paths)
+    os.makedirs(out_dir, exist_ok=True)
+
+    def convert(batch: pa.Table) -> pa.Table:
+        import pyarrow.parquet as pq
+
+        shards, outs, nrows, skipped = [], [], [], []
+        for shard in batch["shard"].to_pylist():
+            stem = os.path.splitext(os.path.basename(shard))[0]
+            out_path = os.path.join(out_dir, f"{stem}.parquet")
+            shards.append(shard)
+            outs.append(out_path)
+            if os.path.exists(out_path):  # finished by a previous run
+                nrows.append(pq.read_metadata(out_path).num_rows)
+                skipped.append(True)
+                continue
+            if on_shard is not None:
+                on_shard(shard)
+            with open(shard, "rb") as f:
+                raw = f.read()
+            table = _shards_to_table([raw], ext_to_col, out_cols,
+                                     text_cols, key_col, ext_col_for)
+            tmp = out_path + f".tmp.{os.getpid()}"
+            pq.write_table(table, tmp)
+            os.replace(tmp, out_path)  # atomic: readers never see partials
+            nrows.append(table.num_rows)
+            skipped.append(False)
+        return pa.table({"shard": pa.array(shards, pa.string()),
+                         "output": pa.array(outs, pa.string()),
+                         "rows": pa.array(nrows, pa.int64()),
+                         "skipped": pa.array(skipped, pa.bool_())})
+
+    manifest = rd.from_items([{"shard": s} for s in shard_files],
+                             override_num_blocks=max(1, len(shard_files)))
+    return manifest.map_batches(convert, batch_format="pyarrow",
+                                batch_size=1)
 
 
 def write_tar_shards(

@@ -107,11 +107,21 @@ class PatchEmbedActor:
 
     def __init__(self, patch: int = 16, dim: int = 64, seed: int = 5102020,
                  patch_col: str = "patch", weights: np.ndarray | None = None,
-                 pos_encode: bool = True):
+                 weights_path: str | None = None, pos_encode: bool = True):
         self.P, self.dim = int(patch), int(dim)
         self.patch_col = patch_col
         self.pos_encode = pos_encode
         d_in = self.P * self.P * 3
+        if weights_path is not None:
+            # trained projection from .npz (key "W") — loaded ONCE per
+            # actor from shared storage, so the array never rides the
+            # task closure (the loaded_weights idiom of model/zoo.py)
+            if weights is not None:
+                raise ValueError("pass weights or weights_path, not both")
+            with np.load(weights_path) as z:
+                if "W" not in z:
+                    raise ValueError(f"{weights_path} has no 'W' array")
+                weights = z["W"]
         if weights is not None:
             w = np.asarray(weights, dtype=np.float32)
             if w.shape != (d_in, self.dim):

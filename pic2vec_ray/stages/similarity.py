@@ -236,6 +236,61 @@ def _suff_stats(ds, vec_col: str):
     return S.reshape(d, d), m, n
 
 
+def pca_project_by(ds, *, by: str, dim_out: int,
+                   vec_col: str = "embedding", out_col: str = "pca"):
+    """Per-GROUP PCA: an independent PCA basis per category (e.g. one
+    per language/domain/label) — the grouped variant of
+    :func:`pca_project` for corpora whose clusters have different
+    principal subspaces.
+
+    Fit: per-batch partial sufficient stats PER GROUP (one
+    ``(d²+d+1)``-float row per (batch, group) — bounded by the
+    category domain, never corpus rows), merged pointwise on the
+    driver, one tiny ``d×d`` eigh per group with the same
+    sign-pinning as :func:`pca_project`.  Transform: one stateless
+    ``map_batches`` looking up each row's group basis.  Requires a
+    BOUNDED ``by`` domain (same contract as ``relational.pivot_sum``).
+    Returns ``(dataset, {group: (components, explained_var, mean)})``.
+    """
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for g, grp in b.groupby(by, sort=False):
+            X = np.stack(grp[vec_col].to_numpy()).astype(np.float64)
+            rows.append({by: g, "S": (X.T @ X).ravel(),
+                         "m": X.sum(axis=0), "n": len(X)})
+        return pd.DataFrame(rows)
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    fits: dict = {}
+    for g, grp in parts.groupby(by, sort=True):
+        S = np.sum(np.stack(grp["S"].to_numpy()), axis=0)
+        m = np.sum(np.stack(grp["m"].to_numpy()), axis=0)
+        n = float(grp["n"].sum())
+        d = int(np.sqrt(S.shape[0]))
+        mean = m / n
+        cov = S.reshape(d, d) / n - np.outer(mean, mean)
+        w, v = np.linalg.eigh(cov)
+        order = np.argsort(w)[::-1][:dim_out]
+        comps = v[:, order]
+        flip = np.sign(comps[np.argmax(np.abs(comps), axis=0),
+                             np.arange(comps.shape[1])])
+        comps = comps * np.where(flip == 0, 1.0, flip)
+        fits[g] = (comps, w[order], mean)
+
+    def project(b: pd.DataFrame) -> pd.DataFrame:
+        X = np.stack(b[vec_col].to_numpy()).astype(np.float64)
+        out = np.empty((len(X), dim_out), dtype=np.float64)
+        gv = b[by].to_numpy()
+        for g in pd.unique(gv):
+            comps, _, mean = fits[g]
+            sel = gv == g
+            out[sel] = (X[sel] - mean) @ comps
+        b[out_col] = list(out)
+        return b
+
+    return ds.map_batches(project, batch_format="pandas"), fits
+
+
 def pca_project(ds, *, dim_out: int, vec_col: str = "embedding",
                 out_col: str = "pca"):
     """PCA dimensionality reduction of an embedding column — the

@@ -227,3 +227,42 @@ def test_box_features_match_manual(ray_session):
     top, bottom = inten[:5, :].sum(), inten[5:, :].sum()
     assert out.haar_h[0] == left - right
     assert out.haar_v[0] == top - bottom
+
+
+def test_pca_project_by_groups_independent(ray_session):
+    import ray.data as rd
+    from pic2vec_ray.stages.similarity import pca_project, pca_project_by
+
+    rng = np.random.default_rng(31)
+    # group A varies along axis 0, group B along axis 1
+    a = np.zeros((300, 4)); a[:, 0] = rng.normal(0, 5, 300); a += rng.normal(0, .1, (300, 4))
+    b = np.zeros((300, 4)); b[:, 1] = rng.normal(0, 5, 300); b += rng.normal(0, .1, (300, 4))
+    df = pd.DataFrame({"g": ["A"] * 300 + ["B"] * 300,
+                       "embedding": list(np.vstack([a, b]))})
+    out, fits = pca_project_by(rd.from_pandas(df).repartition(5),
+                               by="g", dim_out=1)
+    compA, compB = fits["A"][0][:, 0], fits["B"][0][:, 0]
+    assert abs(compA[0]) > 0.99 and abs(compB[1]) > 0.99
+    # per-group projection equals a single-group PCA run on that group
+    solo, _ = pca_project(rd.from_pandas(df[df.g == "A"].reset_index(drop=True)),
+                          dim_out=1)
+    got = (out.to_pandas().query("g == 'A'").pca
+           .map(lambda v: v[0]).to_numpy())
+    want = solo.to_pandas().pca.map(lambda v: v[0]).to_numpy()
+    assert np.allclose(np.sort(got), np.sort(want), atol=1e-9)
+
+
+def test_patch_embed_weights_path_npz(ray_session, tmp_path):
+    from pic2vec_ray.stages.embed import PatchEmbedActor
+
+    rng = np.random.default_rng(7)
+    W = rng.normal(0, 0.02, (4 * 4 * 3, 8)).astype(np.float32)
+    p = str(tmp_path / "w.npz")
+    np.savez(p, W=W)
+    actor = PatchEmbedActor(patch=4, dim=8, weights_path=p, pos_encode=False)
+    assert np.allclose(actor.W, W)
+    with pytest.raises(ValueError):
+        PatchEmbedActor(patch=4, dim=8, weights=W, weights_path=p)
+    np.savez(str(tmp_path / "bad.npz"), other=W)
+    with pytest.raises(ValueError):
+        PatchEmbedActor(patch=4, dim=8, weights_path=str(tmp_path / "bad.npz"))
