@@ -3562,6 +3562,59 @@ SELECT id, MIN(r) AS group_id FROM reach GROUP BY id
 """
 
 
+def dup_spans_docs(sf_dir: str):
+    """Exhaustive cross-document duplicated-span detection
+    (stages/dedup.dup_ngram_spans): every 8-token gram shared by ≥ 2
+    docs marks a position; maximal marked runs merge to spans — the
+    find-everything complement of the winnowing pass
+    (``substring_dup_docs``), with the whole chain (token Horner
+    hashes → gram composition → distinct-doc filter →
+    gaps-and-islands) replayed in SQL."""
+    from ..stages.dedup import dup_ngram_spans
+
+    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+    return dup_ngram_spans(ds, n=8,
+                           num_partitions=_nparts(sf_dir, "documents"))
+
+
+SQL_DUP_SPANS = r"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), th AS (
+  SELECT doc_id, list_transform(t, tok ->
+    CASE WHEN length(tok) = 0 THEN CAST(0 AS HUGEINT) ELSE
+      list_reduce(
+        list_transform(string_split(tok, ''),
+                       c -> CAST(unicode(c) AS HUGEINT)),
+        (a, b) -> (a * 1099511628211 + b) % 18446744073709551616)
+    END) AS hs
+  FROM toks
+), pos AS (
+  SELECT doc_id, hs,
+         unnest(range(1, len(hs) - 8 + 2)) AS i
+  FROM th WHERE len(hs) >= 8
+), g AS (
+  SELECT doc_id, i - 1 AS pos,
+         list_reduce(hs[i : i + 7],
+                     (a, b) -> (a * 1099511628211 + b)
+                               % 18446744073709551616) AS gh
+  FROM pos
+), dup AS (
+  SELECT gh FROM g GROUP BY gh HAVING COUNT(DISTINCT doc_id) >= 2
+), d AS (
+  SELECT g.doc_id, g.pos FROM g JOIN dup USING (gh)
+), isl AS (
+  SELECT doc_id, pos,
+         pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+  FROM d
+)
+SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + 7 AS span_end,
+       COUNT(*) AS n_grams
+FROM isl GROUP BY doc_id, grp
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q2_top_customers": q2_top_customers,
@@ -3659,6 +3712,7 @@ QUERIES = {
     "hashvec_docs": hashvec_docs,
     "multimodal_dedup_groups": multimodal_dedup_groups,
     "box_features_verify": box_features_verify,
+    "dup_spans_docs": dup_spans_docs,
     # rows-only (not SQL-expressible; see module docstring)
     "featurize_flagship": featurize_flagship,
     "minhash_neardup_docs": minhash_neardup_docs,
@@ -3779,6 +3833,7 @@ ORACLE_SQL = {
     "hashvec_docs": SQL_HASHVEC,
     "multimodal_dedup_groups": SQL_MULTIMODAL_GROUPS,
     "box_features_verify": SQL_BOX_FEATURES,
+    "dup_spans_docs": SQL_DUP_SPANS,
     "simhash_neardup_docs": _sketch_sql.simhash_pairs_sql(),
     "minhash_neardup_docs": _sketch_sql.minhash_pairs_sql(*_mh_params),
     "minhash_dedup_groups": _sketch_sql.minhash_groups_sql(*_mh_params),

@@ -151,6 +151,96 @@ def exact_dup_edges(ds, *, col: str = "text", id_col: str = "doc_id",
                              num_partitions=num_partitions)
 
 
+_GRAM_PRIME = np.uint64(1099511628211)  # FNV prime; same kernel family as
+# fingerprint64, composed over token hashes (SQL replays with list_reduce)
+
+
+def dup_ngram_spans(ds, *, col: str = "text", id_col: str = "doc_id",
+                    n: int = 8, num_partitions: int = 64):
+    """EXHAUSTIVE cross-document duplicated-span detection — the exact
+    complement of the sampled winnowing pass (`substring_dup_pairs`):
+    every word n-gram occurring in ≥ 2 distinct documents marks its
+    start position, and maximal runs of marked positions merge into
+    spans ``(doc_id, span_start, span_end, n_grams)`` in token
+    coordinates.  This is the gram-granular form of exact substring
+    dedup for training corpora (find-everything, not find-probably).
+
+    Scale shape (two bounded exchanges, no joins):
+    1. per-batch VECTORIZED gram hashing — tokens split on single
+       spaces (the chunking convention), each DISTINCT token Horner-
+       hashed once (vocabulary-bounded Python), gram hash = Horner
+       composition over the n token hashes via n shifted-slice fused
+       multiply-adds (uint64 wraparound IS mod 2⁶⁴);
+    2. hash-partition by gram: all occurrences of a gram co-locate, so
+       "≥ 2 distinct docs" is a partition-local groupby — duplicated
+       positions come out, unique grams (the overwhelming majority)
+       die here and never shuffle again;
+    3. hash-partition by doc: gaps-and-islands merge of consecutive
+       duplicated starts, vectorized across all docs in the partition.
+    """
+    from ..temporal.core import partitioned_apply
+    from .encode import _horner64
+
+    N = int(n)
+    if N < 2:
+        raise ValueError(f"n must be >= 2, got {N}")
+
+    def grams(batch: pd.DataFrame) -> pd.DataFrame:
+        toks = batch[col].str.split(" ")
+        lens = toks.str.len().to_numpy(np.int64)
+        ex = toks.explode()
+        vals = ex.to_numpy()
+        lut = {t: _horner64(t) for t in pd.unique(vals)}
+        th = pd.Series(vals).map(lut).to_numpy(np.uint64)
+        total = th.shape[0]
+        if total < N:
+            return pd.DataFrame({id_col: pd.Series([], dtype=np.int64),
+                                 "pos": pd.Series([], dtype=np.int64),
+                                 "gram": pd.Series([], dtype=np.uint64)})
+        L = total - N + 1
+        g = np.zeros(L, dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            for k in range(N):
+                g = g * _GRAM_PRIME + th[k:k + L]
+        doc_idx = np.repeat(np.arange(len(lens)), lens)
+        valid = doc_idx[:L] == doc_idx[N - 1:]
+        starts = np.repeat(np.cumsum(lens) - lens, lens)
+        pos_local = np.arange(total, dtype=np.int64) - starts
+        ids = batch[id_col].to_numpy()
+        return pd.DataFrame({id_col: ids[doc_idx[:L][valid]],
+                             "pos": pos_local[:L][valid],
+                             "gram": g[valid]})
+
+    gram_rows = ds.map_batches(grams, batch_format="pandas")
+
+    def dup_positions(df: pd.DataFrame) -> pd.DataFrame:
+        ndocs = df.groupby("gram")[id_col].transform("nunique")
+        return df.loc[ndocs >= 2, [id_col, "pos"]]
+
+    dup = partitioned_apply(gram_rows, "gram", dup_positions,
+                            num_partitions=num_partitions)
+
+    def islands(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([id_col, "pos"])
+        ids = df[id_col].to_numpy()
+        pos = df["pos"].to_numpy()
+        new = np.ones(len(df), dtype=bool)
+        if len(df) > 1:
+            new[1:] = (ids[1:] != ids[:-1]) | (pos[1:] != pos[:-1] + 1)
+        grp = np.cumsum(new) - 1
+        agg = (pd.DataFrame({id_col: ids, "pos": pos, "g": grp})
+               .groupby("g", as_index=False)
+               .agg(**{id_col: (id_col, "first"),
+                       "span_start": ("pos", "min"),
+                       "span_end": ("pos", "max"),
+                       "n_grams": ("pos", "size")}))
+        agg["span_end"] = agg.span_end + N - 1
+        return agg.drop(columns=["g"]) if "g" in agg.columns else agg
+
+    return partitioned_apply(dup, id_col, islands,
+                             num_partitions=num_partitions)
+
+
 # --------------------------------------------------------------- shingles
 
 

@@ -266,3 +266,28 @@ def test_patch_embed_weights_path_npz(ray_session, tmp_path):
     np.savez(str(tmp_path / "bad.npz"), other=W)
     with pytest.raises(ValueError):
         PatchEmbedActor(patch=4, dim=8, weights_path=str(tmp_path / "bad.npz"))
+
+
+def test_dup_ngram_spans_exact_coordinates(ray_session):
+    import ray.data as rd
+    from pic2vec_ray.stages.dedup import dup_ngram_spans
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = pd.DataFrame({
+        "doc_id": np.array([1, 2, 3], dtype=np.int64),
+        "text": [
+            f"unique one two three {shared} tail words here now",   # pos 4..13
+            f"{shared} completely different ending text",            # pos 0..9
+            "no overlap with anything else at all in this document",
+        ],
+    })
+    out = (dup_ngram_spans(rd.from_pandas(docs).repartition(3), n=8,
+                           num_partitions=4)
+           .to_pandas().sort_values(["doc_id", "span_start"])
+           .reset_index(drop=True))
+    # the 10 shared tokens yield 3 dup 8-gram starts -> one span each
+    by_doc = {r.doc_id: (r.span_start, r.span_end, r.n_grams)
+              for r in out.itertuples()}
+    assert by_doc[1] == (4, 13, 3)
+    assert by_doc[2] == (0, 9, 3)
+    assert 3 not in by_doc
