@@ -3615,6 +3615,89 @@ FROM isl GROUP BY doc_id, grp
 """
 
 
+def char_entropy_docs(sf_dir: str):
+    """Per-document Shannon character entropy (stages/text.
+    char_entropy): the gibberish/low-diversity quality signal —
+    shuffle-free vectorized map, exact-count SQL replay."""
+    from ..stages.text import char_entropy
+
+    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+    return ds.map_batches(char_entropy, batch_format="pandas")
+
+
+SQL_CHAR_ENTROPY = """
+WITH ch AS (
+  SELECT doc_id, unnest(string_split(text, '')) AS c
+  FROM documents WHERE length(text) > 0
+), cnt AS (
+  SELECT doc_id, c, COUNT(*) AS k FROM ch GROUP BY 1, 2
+), l AS (
+  SELECT doc_id, length(text) AS L FROM documents
+), h AS (
+  SELECT cnt.doc_id,
+         -SUM((k / CAST(L AS DOUBLE)) * ln(k / CAST(L AS DOUBLE))) AS e
+  FROM cnt JOIN l USING (doc_id) GROUP BY 1
+)
+SELECT l.doc_id, ROUND(COALESCE(h.e, 0), 6) + 0.0 AS char_entropy,
+       CAST(l.L AS BIGINT) AS n_chars_text
+FROM l LEFT JOIN h USING (doc_id)
+"""
+
+
+def aspect_bucket_batches(sf_dir: str):
+    """Aspect-ratio bucketed micro-batch assignment over REAL decoded
+    dimensions (stages/decode.make_decode_stats_fn →
+    stages/pack.bucket_batches): images bucket by decoded WxH, shard
+    by id hash (no corpus-wide order — the scale contract), and get
+    contiguous per-(bucket, shard) batch numbers.  The oracle predicts
+    buckets from the part table's closed-form dims and replays the
+    shard hash + ROW_NUMBER assignment."""
+    from ..stages.decode import make_decode_stats_fn
+    from ..stages.pack import bucket_batches
+    from ..stages.split import hash_bucket
+
+    ds = _rd().read_parquet(_images(sf_dir), columns=["image_id", "bytes"])
+    stats = ds.map_batches(make_decode_stats_fn(), batch_format="pyarrow")
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[~df.missing].copy()
+        pk = df.image_id.str.slice(4).astype(np.int64).to_numpy()
+        df["bucket"] = (df.decoded_w.astype(str) + "x"
+                        + df.decoded_h.astype(str))
+        df["shard"] = hash_bucket(pk, 4)
+        return df[["image_id", "bucket", "shard"]]
+
+    prepped = stats.map_batches(prep, batch_format="pandas")
+    return bucket_batches(prepped, by=["bucket", "shard"],
+                          order="image_id", batch_size=8,
+                          num_partitions=_nparts(sf_dir, "part"))
+
+
+SQL_ASPECT_BUCKETS = """
+WITH r AS (
+  SELECT p_partkey, p_partkey % 20 AS role,
+         CASE WHEN p_partkey % 20 = 13 THEN p_partkey - 1
+              ELSE p_partkey END AS cs
+  FROM part
+), d AS (
+  SELECT p_partkey, 64 + (cs % 4) * 16 AS w, 64 + (cs % 3) * 32 AS h
+  FROM r WHERE role < 17
+), s AS (
+  SELECT printf('img_%08d', p_partkey) AS image_id,
+         printf('%dx%d', w, h) AS bucket,
+         CAST(((p_partkey::HUGEINT * 2654435761) % 4294967296) % 4
+              AS BIGINT) AS shard
+  FROM d
+)
+SELECT image_id, bucket, shard,
+       CAST((ROW_NUMBER() OVER (PARTITION BY bucket, shard
+                                ORDER BY image_id) - 1) // 8
+            AS BIGINT) AS batch_no
+FROM s
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q2_top_customers": q2_top_customers,
@@ -3713,6 +3796,8 @@ QUERIES = {
     "multimodal_dedup_groups": multimodal_dedup_groups,
     "box_features_verify": box_features_verify,
     "dup_spans_docs": dup_spans_docs,
+    "char_entropy_docs": char_entropy_docs,
+    "aspect_bucket_batches": aspect_bucket_batches,
     # rows-only (not SQL-expressible; see module docstring)
     "featurize_flagship": featurize_flagship,
     "minhash_neardup_docs": minhash_neardup_docs,
@@ -3834,6 +3919,8 @@ ORACLE_SQL = {
     "multimodal_dedup_groups": SQL_MULTIMODAL_GROUPS,
     "box_features_verify": SQL_BOX_FEATURES,
     "dup_spans_docs": SQL_DUP_SPANS,
+    "char_entropy_docs": SQL_CHAR_ENTROPY,
+    "aspect_bucket_batches": SQL_ASPECT_BUCKETS,
     "simhash_neardup_docs": _sketch_sql.simhash_pairs_sql(),
     "minhash_neardup_docs": _sketch_sql.minhash_pairs_sql(*_mh_params),
     "minhash_dedup_groups": _sketch_sql.minhash_groups_sql(*_mh_params),

@@ -82,3 +82,27 @@ def stratified_sample(ds, *, group_col: str, id_col: str, n: int,
                           ascending=[True, True], n=n,
                           num_partitions=num_partitions)
     return out.drop_columns(["__h"])
+
+
+def bucket_batches(ds, *, by: list[str], order: str, batch_size: int,
+                   num_partitions: int = DEFAULT_PARTITIONS,
+                   out_col: str = "batch_no"):
+    """Deterministic micro-batch assignment within co-partitioned
+    groups — the aspect-ratio-bucketing step of image training
+    pipelines (same-shape images share a batch so the collate needs no
+    padding), generalized to any bounded (bucket, shard) key.
+
+    Scale contract: ``by`` must include a shard component (e.g.
+    ``hash(id) % S``) so no group needs a corpus-wide ordering — batch
+    numbers are contiguous per (bucket, shard), which is exactly what
+    a per-worker data loader consumes.  One hash exchange on ``by``,
+    then a vectorized sort + cumcount per partition."""
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(list(by) + [order])
+        df[out_col] = (df.groupby(list(by), sort=False).cumcount()
+                       // batch_size).astype(np.int64)
+        return df
+
+    return partitioned_apply(ds, list(by), assign,
+                             num_partitions=num_partitions)

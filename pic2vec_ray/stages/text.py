@@ -313,6 +313,46 @@ def hash_vectorize(ds, *, col: str = "text", n_dims: int = 256):
     return agg.map_batches(finish, batch_format="pandas")
 
 
+def char_entropy(batch: pd.DataFrame, *, id_col: str = "doc_id",
+                 col: str = "text", decimals: int = 6) -> pd.DataFrame:
+    """Per-document Shannon character entropy (nats) — the classic
+    gibberish / low-diversity quality signal (near-zero for repeated
+    filler, high for natural text).  One map_batches body, NO shuffle
+    at any scale: all batch texts are concatenated once, decoded to
+    codepoints via utf-32, and per-(doc, char) run counts come from a
+    single argsort + reduceat — no per-document Python loop.  Empty
+    docs get entropy 0 by convention.  The SQL oracle recomputes
+    ``−Σ (c/L)·ln(c/L)`` from exact character counts (identical
+    integer operands → identical libm), rounded to ``decimals``."""
+    texts = batch[col]
+    lens = texts.str.len().to_numpy(np.int64)
+    H = np.zeros(len(batch), dtype=np.float64)
+    nonempty = lens > 0
+    if nonempty.any():
+        cat = "".join(texts[nonempty])
+        cps = np.frombuffer(cat.encode("utf-32-le"), dtype="<u4").astype(np.uint64)
+        ne_lens = lens[nonempty]
+        did = np.repeat(np.arange(len(ne_lens), dtype=np.uint64), ne_lens)
+        key = (did << np.uint64(21)) | cps  # codepoints < 2^21 (Unicode max)
+        order = np.argsort(key, kind="stable")
+        sk = key[order]
+        run_start = np.ones(len(sk), dtype=bool)
+        run_start[1:] = sk[1:] != sk[:-1]
+        starts = np.flatnonzero(run_start)
+        counts = np.diff(np.append(starts, len(sk))).astype(np.float64)
+        run_doc = (sk[starts] >> np.uint64(21)).astype(np.int64)
+        L = ne_lens[run_doc].astype(np.float64)
+        p = counts / L
+        terms = -p * np.log(p)
+        doc_bounds = np.flatnonzero(np.r_[True, run_doc[1:] != run_doc[:-1]])
+        h = np.add.reduceat(terms, doc_bounds)
+        H[np.flatnonzero(nonempty)[run_doc[doc_bounds]]] = h
+    out = batch[[id_col]].copy()
+    out["char_entropy"] = np.round(H, decimals) + 0.0  # fold −0.0 → +0.0
+    out["n_chars_text"] = lens
+    return out
+
+
 def repetition_stats(batch, *, id_col: str = "doc_id", col: str = "text"):
     """Gopher-style within-document repetition filters (one map_batches
     body — each doc is independent, so NO shuffle at any scale).

@@ -291,3 +291,43 @@ def test_dup_ngram_spans_exact_coordinates(ray_session):
     assert by_doc[1] == (4, 13, 3)
     assert by_doc[2] == (0, 9, 3)
     assert 3 not in by_doc
+
+
+def test_char_entropy_known_values(ray_session):
+    import ray.data as rd
+    from pic2vec_ray.stages.text import char_entropy
+
+    df = pd.DataFrame({
+        "doc_id": np.array([1, 2, 3, 4], dtype=np.int64),
+        "text": ["aaaa", "abab", "", "abcd"],
+    })
+    out = (rd.from_pandas(df).repartition(2)
+           .map_batches(char_entropy, batch_format="pandas")
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert out.char_entropy[0] == 0.0           # constant -> zero entropy
+    assert out.char_entropy[1] == pytest.approx(np.log(2), abs=1e-6)
+    assert out.char_entropy[2] == 0.0           # empty by convention
+    assert out.char_entropy[3] == pytest.approx(np.log(4), abs=1e-6)
+    assert out.n_chars_text.tolist() == [4, 4, 0, 4]
+    assert not np.signbit(out.char_entropy).any()  # no -0.0 leaks
+
+
+def test_bucket_batches_contiguous_per_group(ray_session):
+    import ray.data as rd
+    from pic2vec_ray.stages.pack import bucket_batches
+
+    rng = np.random.default_rng(13)
+    n = 300
+    df = pd.DataFrame({
+        "id": [f"k{i:04d}" for i in range(n)],
+        "bucket": rng.choice(["64x64", "96x128"], n),
+        "shard": rng.integers(0, 3, n),
+    })
+    out = (bucket_batches(rd.from_pandas(df).repartition(5),
+                          by=["bucket", "shard"], order="id", batch_size=4,
+                          num_partitions=4)
+           .to_pandas())
+    for (_, _), grp in out.groupby(["bucket", "shard"]):
+        grp = grp.sort_values("id").reset_index(drop=True)
+        expect = np.arange(len(grp)) // 4
+        assert (grp.batch_no.to_numpy() == expect).all()
