@@ -240,7 +240,10 @@ def run_secondary(sf_dir: str) -> dict:
                  "approx_quantiles_price", "winsorize_price",
                  "top_tokens_by_lang", "lm_score_docs",
                  "patch_embed_dims", "substring_dup_docs",
-                 "snapshot_diff_docs", "drift_daily_events"):
+                 "snapshot_diff_docs", "drift_daily_events",
+                 "dup_spans_docs", "multimodal_dedup_groups",
+                 "hashvec_docs", "rfm_users", "char_entropy_docs",
+                 "aspect_bucket_batches", "box_features_verify"):
         t0 = time.perf_counter()
         res = Q.QUERIES[name](sf_dir)
         # consume: small results to pandas, large to count
