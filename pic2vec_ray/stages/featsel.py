@@ -23,16 +23,17 @@ import pandas as pd
 
 def _counts_cube(ds, cols: list[str]):
     """Corpus → exact counts per value tuple (bounded by the domain
-    product).  One bounded shuffle; partials combine within batches."""
+    product).  Per-batch partials (≤ domain-product rows each) merge
+    in ONE driver pandas groupby — the bounded-driver-merge pattern
+    (Ray's sort-aggregate pays ~10 s of fixed multi-key sort cost here
+    for no benefit; the partials are already tiny)."""
 
     def partial(b: pd.DataFrame) -> pd.DataFrame:
         g = b.groupby(cols, as_index=False).size()
         return g.rename(columns={"size": "w"})
 
-    return (ds.map_batches(partial, batch_format="pandas")
-            .groupby(cols).sum(["w"])
-            .to_pandas()
-            .rename(columns={"sum(w)": "w"}))
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    return parts.groupby(cols, as_index=False).w.sum()
 
 
 def mutual_information(ds, *, x: str, y: str, decimals: int = 6):
