@@ -3698,6 +3698,101 @@ FROM s
 """
 
 
+def weighted_sample_docs(sf_dir: str):
+    """Deterministic weighted sampling without replacement
+    (stages/split.weighted_sample): Efraimidis–Spirakis keys from
+    splitmix64-derived uniforms, weight = n_chars, k = 50 — longer
+    docs proportionally likelier, same sample every run, distributed
+    top-k selection.  The SQL oracle replays the splitmix chain, the
+    uniform construction, and ``pow(u, 1/w)`` ordering."""
+    from ..stages.split import weighted_sample
+
+    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "n_chars"])
+    return weighted_sample(ds, id_col="doc_id", weight_col="n_chars", k=50)
+
+
+def _weighted_sample_sql() -> str:
+    from . import sketch_sql as S
+
+    return f"""WITH h0 AS (
+  SELECT doc_id, n_chars, CAST(doc_id AS HUGEINT) AS hv FROM documents
+),{S._splitmix_ctes('h0', 'doc_id, n_chars')}
+SELECT doc_id, n_chars FROM smx
+ORDER BY pow((hv // 2048 + 0.5) / 9007199254740992.0, 1.0 / n_chars) DESC,
+         doc_id
+LIMIT 50"""
+
+
+def collapse_rare_parttype(sf_dir: str):
+    """Rare-category collapsing of part.p_type
+    (stages/encode.collapse_rare): categories under 12 occurrences
+    fold into '__other__' — the pre-encode cardinality guard."""
+    from ..stages.encode import collapse_rare
+
+    ds = _rd().read_parquet(f"{sf_dir}/part.parquet",
+                            columns=["p_partkey", "p_type"])
+    return collapse_rare(ds, key="p_type", min_count=12)
+
+
+SQL_COLLAPSE_RARE = """
+SELECT p_partkey, p_type,
+       CASE WHEN COUNT(*) OVER (PARTITION BY p_type) >= 12
+            THEN p_type ELSE '__other__' END AS p_type_collapsed
+FROM part
+"""
+
+
+BM25_TERMS = ("hash", "join", "window", "scan")
+
+
+def bm25_docs(sf_dir: str):
+    """Okapi BM25 relevance of every document against a fixed query
+    (stages/text.bm25_score): Lucene-style idf from exact corpus
+    document frequencies, two corpus-stat passes + a stateless scorer.
+    The oracle recomputes tf/df/avgdl/idf and every addend in SQL."""
+    from ..stages.text import bm25_score
+
+    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+    return bm25_score(ds, query_terms=list(BM25_TERMS))
+
+
+SQL_BM25 = """
+WITH q(term) AS (VALUES ('hash'), ('join'), ('window'), ('scan')),
+toks AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                             t -> t <> '') AS ts
+  FROM documents
+), d AS (SELECT doc_id, len(ts) AS dl FROM toks),
+stats AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(len(ts)) AS DOUBLE) / COUNT(*) AS avgdl
+  FROM toks
+), tf AS (
+  SELECT doc_id, t AS term, COUNT(*) AS tf
+  FROM (SELECT doc_id, unnest(ts) AS t FROM toks)
+  WHERE t IN (SELECT term FROM q) GROUP BY 1, 2
+), dfq AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY 1),
+idf AS (
+  SELECT q.term,
+         ln(1 + (stats.n - COALESCE(dfq.df, 0) + 0.5)
+               / (COALESCE(dfq.df, 0) + 0.5)) AS idf
+  FROM q LEFT JOIN dfq USING (term), stats
+), sc AS (
+  SELECT tf.doc_id,
+         SUM(idf.idf * (tf.tf * (1.2 + 1.0))
+             / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * d.dl / stats.avgdl)))
+           AS s
+  FROM tf JOIN idf USING (term) JOIN d USING (doc_id), stats
+  GROUP BY 1
+)
+SELECT d.doc_id, CAST(d.dl AS BIGINT) AS dl,
+       ROUND(COALESCE(sc.s, 0), 6) + 0.0 AS bm25
+FROM d LEFT JOIN sc USING (doc_id)
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q2_top_customers": q2_top_customers,
@@ -3798,6 +3893,9 @@ QUERIES = {
     "dup_spans_docs": dup_spans_docs,
     "char_entropy_docs": char_entropy_docs,
     "aspect_bucket_batches": aspect_bucket_batches,
+    "weighted_sample_docs": weighted_sample_docs,
+    "collapse_rare_parttype": collapse_rare_parttype,
+    "bm25_docs": bm25_docs,
     # rows-only (not SQL-expressible; see module docstring)
     "featurize_flagship": featurize_flagship,
     "minhash_neardup_docs": minhash_neardup_docs,
@@ -3921,6 +4019,9 @@ ORACLE_SQL = {
     "dup_spans_docs": SQL_DUP_SPANS,
     "char_entropy_docs": SQL_CHAR_ENTROPY,
     "aspect_bucket_batches": SQL_ASPECT_BUCKETS,
+    "weighted_sample_docs": _weighted_sample_sql(),
+    "collapse_rare_parttype": SQL_COLLAPSE_RARE,
+    "bm25_docs": SQL_BM25,
     "simhash_neardup_docs": _sketch_sql.simhash_pairs_sql(),
     "minhash_neardup_docs": _sketch_sql.minhash_pairs_sql(*_mh_params),
     "minhash_dedup_groups": _sketch_sql.minhash_groups_sql(*_mh_params),

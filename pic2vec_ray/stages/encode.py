@@ -192,6 +192,33 @@ def count_encode(ds, *, key: str, out_col: str | None = None):
     return ds.map_batches(assign, batch_format="pandas")
 
 
+def collapse_rare(ds, *, key: str, min_count: int,
+                  out_col: str | None = None, other: str = "__other__"):
+    """Rare-category collapsing: categories seen fewer than
+    ``min_count`` times map to one ``other`` label — the standard
+    pre-encode step that keeps one-hot/target encodings from
+    overfitting singleton categories.  Same two-phase shape as
+    :func:`count_encode`: category-bounded count fit, stateless
+    vectorized transform."""
+    out_col = out_col or f"{key}_collapsed"
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.groupby(key, as_index=False).size()
+        return g.rename(columns={"size": "n"})
+
+    agg = (ds.map_batches(partial, batch_format="pandas")
+           .groupby(key).sum(["n"])
+           .to_pandas())  # ≤ |category domain| rows by construction
+    keep = set(agg.loc[agg["sum(n)"] >= min_count, key])
+
+    def assign(b: pd.DataFrame) -> pd.DataFrame:
+        v = b[key]
+        b[out_col] = v.where(v.isin(keep), other)
+        return b
+
+    return ds.map_batches(assign, batch_format="pandas")
+
+
 def cross_hash_encode(ds, *, keys: list[str], n_buckets: int,
                       out_col: str | None = None, sep: str = "\x1f"):
     """Hashed feature cross: combine N categorical columns into one

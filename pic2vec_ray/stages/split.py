@@ -111,6 +111,36 @@ def hash_sample_mixture(ds, *, id_col: str, key_col: str,
     return ds.map_batches(keep, batch_format="pandas")
 
 
+def weighted_sample(ds, *, id_col: str, weight_col: str, k: int):
+    """Deterministic weighted sampling WITHOUT replacement
+    (Efraimidis–Spirakis): each row gets key ``u^(1/w)`` where ``u``
+    is a uniform derived from ``splitmix64(id)`` (no RNG state — the
+    same id always draws the same uniform), and the k largest keys win.
+    P(row i in sample) follows the classic weighted-reservoir result,
+    but the draw is reproducible under any partitioning and replayable
+    in SQL (the splitmix chain + ``pow`` + ORDER BY ... LIMIT k).
+
+    Scale shape: key assignment is stateless map_batches; selection is
+    the engine's distributed top-k (sort + limit — per-block top-k
+    prune, never a full materialization).  Weights must be > 0."""
+    from .sketch import _splitmix64
+
+    def key(batch: pd.DataFrame) -> pd.DataFrame:
+        w = batch[weight_col].to_numpy(np.float64)
+        if (w <= 0).any():
+            raise ValueError(f"{weight_col!r} must be strictly positive")
+        h = _splitmix64(batch[id_col].to_numpy().astype(np.uint64))
+        u = ((h >> np.uint64(11)).astype(np.float64) + 0.5) / float(1 << 53)
+        batch["__wskey"] = u ** (1.0 / w)
+        return batch
+
+    out = (ds.map_batches(key, batch_format="pandas")
+           .sort(["__wskey", id_col], descending=[True, False])
+           .limit(k))
+    return out.map_batches(lambda df: df.drop(columns="__wskey"),
+                           batch_format="pandas")
+
+
 def hash_sample(ds, *, id_col: str, rate: float, buckets: int = 10_000):
     """Deterministic ~``rate`` subsample: keep ids whose hash bucket
     falls below ``rate * buckets``. Same rows every run, any partition

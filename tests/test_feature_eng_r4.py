@@ -331,3 +331,66 @@ def test_bucket_batches_contiguous_per_group(ray_session):
         grp = grp.sort_values("id").reset_index(drop=True)
         expect = np.arange(len(grp)) // 4
         assert (grp.batch_no.to_numpy() == expect).all()
+
+
+def test_weighted_sample_deterministic_and_biased(ray_session):
+    import ray.data as rd
+    from pic2vec_ray.stages.split import weighted_sample
+
+    n = 2000
+    df = pd.DataFrame({"id": np.arange(n, dtype=np.int64)})
+    # first half weight 1, second half weight 50
+    df["w"] = np.where(df.id < n // 2, 1.0, 50.0)
+    outs = []
+    for nblocks in (2, 9):
+        out = (weighted_sample(rd.from_pandas(df).repartition(nblocks),
+                               id_col="id", weight_col="w", k=100)
+               .to_pandas().sort_values("id").reset_index(drop=True))
+        outs.append(out)
+    pd.testing.assert_frame_equal(outs[0], outs[1])  # partition-invariant
+    heavy = (outs[0].id >= n // 2).sum()
+    assert heavy > 85  # overwhelmingly from the weight-50 half
+    with pytest.raises(Exception):
+        weighted_sample(rd.from_pandas(pd.DataFrame({"id": [1], "w": [0.0]})),
+                        id_col="id", weight_col="w", k=1).to_pandas()
+
+
+def test_collapse_rare_threshold(ray_session):
+    import ray.data as rd
+    from pic2vec_ray.stages.encode import collapse_rare
+
+    df = pd.DataFrame({"k": ["a"] * 10 + ["b"] * 3 + ["c"] * 1,
+                       "id": np.arange(14)})
+    out = (collapse_rare(rd.from_pandas(df).repartition(3), key="k",
+                         min_count=3)
+           .to_pandas().sort_values("id").reset_index(drop=True))
+    got = dict(zip(out.k, out.k_collapsed))
+    assert got == {"a": "a", "b": "b", "c": "__other__"}
+
+
+def test_bm25_matches_hand_formula(ray_session):
+    import math
+
+    import ray.data as rd
+    from pic2vec_ray.stages.text import bm25_score
+
+    docs = pd.DataFrame({
+        "doc_id": np.array([0, 1, 2], dtype=np.int64),
+        "text": ["cat dog cat", "dog mouse", "bird bird bird bird"],
+    })
+    out = (bm25_score(rd.from_pandas(docs).repartition(2),
+                      query_terms=["cat", "dog"])
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    N, avgdl = 3.0, (3 + 2 + 4) / 3.0
+    k1, b = 1.2, 0.75
+
+    def idf(dfc):
+        return math.log(1.0 + (N - dfc + 0.5) / (dfc + 0.5))
+
+    def w(tf, dl, dfc):
+        return idf(dfc) * (tf * (k1 + 1.0)) / (tf + k1 * (1.0 - b + b * dl / avgdl))
+
+    assert out.bm25[0] == pytest.approx(w(2, 3, 1) + w(1, 3, 2), abs=1e-6)
+    assert out.bm25[1] == pytest.approx(w(1, 2, 2), abs=1e-6)
+    assert out.bm25[2] == 0.0
+    assert out.dl.tolist() == [3, 2, 4]
