@@ -3793,6 +3793,37 @@ FROM d LEFT JOIN sc USING (doc_id)
 """
 
 
+def funnel_view_click_purchase(sf_dir: str):
+    """view → click → purchase funnel with first-touch ordering
+    (stages/relational.funnel_counts): entity histories co-locate in
+    one hash exchange, stage chain is vectorized per partition, only
+    stage counts reach the driver."""
+    from ..stages.relational import funnel_counts
+
+    ds = _events(sf_dir, columns=["user_id", "ts", "event_type"])
+    return funnel_counts(ds, id_col="user_id", ts="ts",
+                         type_col="event_type",
+                         stages=["view", "click", "purchase"],
+                         num_partitions=_nparts(sf_dir, "events"))
+
+
+SQL_FUNNEL = """
+WITH v AS (
+  SELECT user_id, MIN(ts) AS tv FROM events
+  WHERE event_type = 'view' GROUP BY 1
+), c AS (
+  SELECT e.user_id, MIN(e.ts) AS tc FROM events e JOIN v USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts >= v.tv GROUP BY 1
+), p AS (
+  SELECT e.user_id, MIN(e.ts) AS tp FROM events e JOIN c USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts >= c.tc GROUP BY 1
+)
+SELECT 'view' AS stage, COUNT(*) AS users FROM v
+UNION ALL SELECT 'click', COUNT(*) FROM c
+UNION ALL SELECT 'purchase', COUNT(*) FROM p
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q2_top_customers": q2_top_customers,
@@ -3896,6 +3927,7 @@ QUERIES = {
     "weighted_sample_docs": weighted_sample_docs,
     "collapse_rare_parttype": collapse_rare_parttype,
     "bm25_docs": bm25_docs,
+    "funnel_view_click_purchase": funnel_view_click_purchase,
     # rows-only (not SQL-expressible; see module docstring)
     "featurize_flagship": featurize_flagship,
     "minhash_neardup_docs": minhash_neardup_docs,
@@ -4022,6 +4054,7 @@ ORACLE_SQL = {
     "weighted_sample_docs": _weighted_sample_sql(),
     "collapse_rare_parttype": SQL_COLLAPSE_RARE,
     "bm25_docs": SQL_BM25,
+    "funnel_view_click_purchase": SQL_FUNNEL,
     "simhash_neardup_docs": _sketch_sql.simhash_pairs_sql(),
     "minhash_neardup_docs": _sketch_sql.minhash_pairs_sql(*_mh_params),
     "minhash_dedup_groups": _sketch_sql.minhash_groups_sql(*_mh_params),

@@ -200,6 +200,51 @@ def rfm_features(ds, *, id_col: str, ts: str, value: str,
                              num_partitions=num_partitions)
 
 
+def funnel_counts(ds, *, id_col: str, ts: str, type_col: str,
+                  stages: list[str], num_partitions: int = 64):
+    """Ordered funnel conversion: how many entities reached stage k
+    having passed stages 1..k−1 IN TIME ORDER (first-touch semantics:
+    stage k's timestamp is the earliest event of that type at or after
+    the entity's stage-(k−1) timestamp) — the product-analytics funnel
+    as one distributed pass.
+
+    Scale shape: one hash exchange on the entity key co-locates each
+    entity's history; within a partition the stage chain is a
+    vectorized sequence of per-entity min-reductions (no per-entity
+    Python loop); only per-partition stage COUNTS (len(stages) ints)
+    reach the driver.  Output: one row per stage ``(stage, users)``."""
+    from ..temporal.core import partitioned_apply
+
+    stages = list(stages)
+
+    def per_partition(df: pd.DataFrame) -> pd.DataFrame:
+        reached: pd.Series | None = None  # entity -> ts of current stage
+        counts = []
+        for k, st in enumerate(stages):
+            ev = df[df[type_col] == st]
+            if k == 0:
+                reached = ev.groupby(id_col)[ts].min()
+            else:
+                ev = ev.merge(reached.rename("prev"), left_on=id_col,
+                              right_index=True)
+                ev = ev[ev[ts] >= ev.prev]
+                reached = ev.groupby(id_col)[ts].min()
+            counts.append(len(reached))
+        return pd.DataFrame({"stage": stages, "users": counts})
+
+    parts = partitioned_apply(ds, id_col, per_partition,
+                              num_partitions=num_partitions)
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("stage", as_index=False).users.sum()
+        order = {s: i for i, s in enumerate(stages)}
+        return (g.assign(__o=g.stage.map(order)).sort_values("__o")
+                .drop(columns="__o").reset_index(drop=True))
+
+    merged = parts.to_pandas()
+    return combine(merged)
+
+
 def grouped_corr(ds, *, keys, x: str, y: str, decimals: int = 6):
     """Grouped Pearson correlation via distributed sufficient stats:
     per-batch partial (n, Σx, Σy, Σx², Σy², Σxy) per group — six

@@ -394,3 +394,30 @@ def test_bm25_matches_hand_formula(ray_session):
     assert out.bm25[1] == pytest.approx(w(1, 2, 2), abs=1e-6)
     assert out.bm25[2] == 0.0
     assert out.dl.tolist() == [3, 2, 4]
+
+
+def test_funnel_counts_first_touch_ordering(ray_session):
+    import ray.data as rd
+    from pic2vec_ray.stages.relational import funnel_counts
+
+    t = pd.Timestamp("2024-01-01")
+    h = pd.Timedelta(hours=1)
+    rows = [
+        # u1: full ordered funnel
+        (1, t, "view"), (1, t + h, "click"), (1, t + 2 * h, "purchase"),
+        # u2: click BEFORE view -> stops at view stage
+        (2, t, "click"), (2, t + h, "view"),
+        # u3: view+purchase but no click -> stops after view
+        (3, t, "view"), (3, t + h, "purchase"),
+        # u4: purchase before click (click after view, purchase too early)
+        (4, t, "view"), (4, t + h, "purchase"), (4, t + 2 * h, "click"),
+        # u5: never views
+        (5, t, "click"), (5, t + h, "purchase"),
+    ]
+    df = pd.DataFrame(rows, columns=["user_id", "ts", "event_type"])
+    out = funnel_counts(rd.from_pandas(df).repartition(4), id_col="user_id",
+                        ts="ts", type_col="event_type",
+                        stages=["view", "click", "purchase"],
+                        num_partitions=3)
+    got = dict(zip(out.stage, out.users))
+    assert got == {"view": 4, "click": 2, "purchase": 1}
