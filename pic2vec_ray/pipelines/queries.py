@@ -3824,6 +3824,51 @@ UNION ALL SELECT 'purchase', COUNT(*) FROM p
 """
 
 
+def pmi_topk_docs(sf_dir: str):
+    """Top collocations by pointwise mutual information over the same
+    window-2 skip-gram counts as ``cooccur_topk_docs``
+    (stages/text.pmi_topk): PMI surfaces strongly-associated pairs
+    where raw counts surface merely frequent ones; min_count=5 guards
+    against rare-pair noise.  Selection orders by the unrounded double
+    on both sides; output PMI rounds to 6dp."""
+    from ..stages.text import pmi_topk
+
+    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+    return pmi_topk(ds, window=2, k=20, min_count=5,
+                    num_partitions=_nparts(sf_dir, "documents"))
+
+
+SQL_PMI = r"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS ws
+  FROM documents
+), seq AS (
+  SELECT doc_id, unnest(ws) AS w, generate_subscripts(ws, 1) AS pos FROM t
+), p AS (
+  SELECT a.w AS w1, b.w AS w2, COUNT(*) AS cnt
+  FROM seq a JOIN seq b
+    ON a.doc_id = b.doc_id AND b.pos > a.pos AND b.pos <= a.pos + 2
+  GROUP BY 1, 2
+), tot AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS T FROM p),
+m AS (
+  SELECT w1, w2, cnt,
+         SUM(cnt) OVER (PARTITION BY w1) AS cx,
+         SUM(cnt) OVER (PARTITION BY w2) AS cy
+  FROM p
+), s AS (
+  SELECT w1, w2, cnt,
+         ln(cnt * tot.T / (CAST(cx AS DOUBLE) * CAST(cy AS DOUBLE)))
+           AS pmi_raw
+  FROM m, tot WHERE cnt >= 5
+)
+SELECT w1, w2, cnt, ROUND(pmi_raw, 6) AS pmi
+FROM s ORDER BY pmi_raw DESC, w1, w2 LIMIT 20
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q2_top_customers": q2_top_customers,
@@ -3928,6 +3973,7 @@ QUERIES = {
     "collapse_rare_parttype": collapse_rare_parttype,
     "bm25_docs": bm25_docs,
     "funnel_view_click_purchase": funnel_view_click_purchase,
+    "pmi_topk_docs": pmi_topk_docs,
     # rows-only (not SQL-expressible; see module docstring)
     "featurize_flagship": featurize_flagship,
     "minhash_neardup_docs": minhash_neardup_docs,
@@ -4055,6 +4101,7 @@ ORACLE_SQL = {
     "collapse_rare_parttype": SQL_COLLAPSE_RARE,
     "bm25_docs": SQL_BM25,
     "funnel_view_click_purchase": SQL_FUNNEL,
+    "pmi_topk_docs": SQL_PMI,
     "simhash_neardup_docs": _sketch_sql.simhash_pairs_sql(),
     "minhash_neardup_docs": _sketch_sql.minhash_pairs_sql(*_mh_params),
     "minhash_dedup_groups": _sketch_sql.minhash_groups_sql(*_mh_params),

@@ -784,3 +784,85 @@ def cooccur_topk(ds, *, text_col: str = "text", id_col: str = "doc_id",
                            kind="mergesort").head(k).reset_index(drop=True)
     out["cnt"] = out["cnt"].astype("int64")
     return rd.from_pandas(out)
+
+
+def pmi_topk(ds, *, text_col: str = "text", id_col: str = "doc_id",
+             window: int = 2, k: int = 20, min_count: int = 5,
+             num_partitions: int = 16, decimals: int = 6):
+    """Top-``k`` token pairs by pointwise mutual information
+    ``ln(c_xy·T / (c_x·c_y))`` over the same forward-window skip-gram
+    counts as :func:`cooccur_topk` — the collocation detector (PMI
+    surfaces "strongly associated" pairs where raw counts surface
+    merely frequent ones).  ``min_count`` drops rare pairs whose PMI
+    is noise (the standard guard).
+
+    Scale shape: exact pair counts on the (w1, w2) hash-partition
+    path, then marginals attach via two more single-key exchanges
+    (all rows of a w1 — then a w2 — co-locate, so each marginal is a
+    partition-local transform('sum')); ``T`` is one scalar aggregate.
+    Selection sorts by the UNROUNDED double (identical on both sides)
+    with a total tie-break; only the output rounds."""
+    import ray.data as rd
+
+    from ..temporal.core import partitioned_apply
+
+    def pairs(batch: pd.DataFrame) -> pd.DataFrame:
+        ex = _explode_tokens(batch, id_col, text_col)
+        ids = ex[id_col].to_numpy()
+        w = ex["w"].to_numpy()
+        parts = []
+        for d in range(1, window + 1):
+            if len(ex) <= d:
+                break
+            same = ids[:-d] == ids[d:]
+            parts.append(pd.DataFrame({"w1": w[:-d][same], "w2": w[d:][same]}))
+        if not parts:
+            return pd.DataFrame({"w1": pd.Series([], dtype=str),
+                                 "w2": pd.Series([], dtype=str),
+                                 "cnt": pd.Series([], dtype="int64")})
+        allp = pd.concat(parts, ignore_index=True)
+        return allp.groupby(["w1", "w2"], as_index=False).size() \
+                   .rename(columns={"size": "cnt"})
+
+    merged = partitioned_apply(
+        ds.map_batches(pairs, batch_format="pandas"), ["w1", "w2"],
+        lambda df: df.groupby(["w1", "w2"], as_index=False)["cnt"].sum(),
+        num_partitions=num_partitions).materialize()  # T + reuse below:
+    # one execution, not a re-derivation per consumer
+
+    T = float(merged.sum("cnt"))
+
+    def attach_cx(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["cx"] = df.groupby("w1", sort=False)["cnt"].transform("sum")
+        return df
+
+    withx = partitioned_apply(merged, "w1", attach_cx,
+                              num_partitions=num_partitions)
+
+    def local_topk(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["cy"] = df.groupby("w2", sort=False)["cnt"].transform("sum")
+        df = df[df.cnt >= min_count]
+        if not len(df):
+            return pd.DataFrame({"w1": pd.Series([], dtype=str),
+                                 "w2": pd.Series([], dtype=str),
+                                 "cnt": pd.Series([], dtype="int64"),
+                                 "pmi_raw": pd.Series([], dtype="float64")})
+        c = df.cnt.to_numpy(np.float64)
+        df["pmi_raw"] = np.log(c * T / (df.cx.to_numpy(np.float64)
+                                        * df.cy.to_numpy(np.float64)))
+        df = df.sort_values(["pmi_raw", "w1", "w2"],
+                            ascending=[False, True, True], kind="mergesort")
+        return df.head(k)[["w1", "w2", "cnt", "pmi_raw"]]
+
+    # every pair lives in exactly one partition (keyed by w2), so the
+    # union of partition top-ks contains the global top-k
+    cand = partitioned_apply(withx, "w2", local_topk,
+                             num_partitions=num_partitions).to_pandas()
+    out = cand.sort_values(["pmi_raw", "w1", "w2"],
+                           ascending=[False, True, True],
+                           kind="mergesort").head(k).reset_index(drop=True)
+    out["pmi"] = np.round(out.pmi_raw, decimals)
+    out["cnt"] = out["cnt"].astype("int64")
+    return rd.from_pandas(out.drop(columns="pmi_raw"))

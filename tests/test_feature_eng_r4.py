@@ -421,3 +421,26 @@ def test_funnel_counts_first_touch_ordering(ray_session):
                         num_partitions=3)
     got = dict(zip(out.stage, out.users))
     assert got == {"view": 4, "click": 2, "purchase": 1}
+
+
+def test_pmi_topk_prefers_exclusive_pairs(ray_session):
+    import ray.data as rd
+    from pic2vec_ray.stages.text import pmi_topk
+
+    # "x y" co-occur exclusively; "a b" frequent but promiscuous
+    docs = (["x y"] * 8
+            + ["a b"] * 20 + ["a c"] * 20 + ["d b"] * 20 + ["a e b"] * 10)
+    df = pd.DataFrame({"doc_id": np.arange(len(docs), dtype=np.int64),
+                       "text": docs})
+    out = (pmi_topk(rd.from_pandas(df).repartition(4), window=2, k=5,
+                    min_count=5, num_partitions=4)
+           .to_pandas())
+    top = out.iloc[0]
+    assert (top.w1, top.w2) == ("x", "y")
+    # manual PMI for (x, y) from the full pair table:
+    # x->y 8; a->b 20+10(a e b window2)=30; a->c 20;
+    # d->b 20; a->e 10; e->b 10
+    Tn = 8 + 30 + 20 + 20 + 10 + 10
+    import math
+    want = math.log(8 * Tn / (8 * 8))
+    assert top.pmi == pytest.approx(want, abs=1e-6)
