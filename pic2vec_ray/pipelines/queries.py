@@ -3869,6 +3869,55 @@ FROM s ORDER BY pmi_raw DESC, w1, w2 LIMIT 20
 """
 
 
+def outlier_flags_events(sf_dir: str):
+    """Tukey IQR outlier flags per event_type over the 2dp-quantized
+    value column (stages/quantiles.iqr_outliers): bounded-driver-merge
+    quantile fit with the shared ceil-rank discrete definition, then a
+    stateless vectorized flag — the robust cleaning rule ahead of
+    scaling/encoding."""
+    from ..stages.quantiles import iqr_outliers
+
+    ds = _events(sf_dir, columns=["event_id", "event_type", "value"])
+    return iqr_outliers(ds, keys="event_type", value="value")
+
+
+SQL_IQR_OUTLIERS = """
+WITH q AS (
+  SELECT event_type,
+         quantile_disc(value, 0.25) AS q25,
+         quantile_disc(value, 0.75) AS q75
+  FROM events GROUP BY 1
+)
+SELECT e.event_id, e.event_type, e.value,
+       (e.value < q.q25 - 1.5 * (q.q75 - q.q25)
+        OR e.value > q.q75 + 1.5 * (q.q75 - q.q25)) AS is_outlier
+FROM events e JOIN q USING (event_type)
+"""
+
+
+def zorder_events(sf_dir: str):
+    """Morton (Z-order) locality key over (user_id, event_id)
+    (stages/encode.zorder_key): sort/partition by this key and ranges
+    of BOTH columns cluster into contiguous key ranges — the
+    data-clustering layout that lets per-file min/max stats prune
+    two-dimensional predicates.  The oracle replays the 16-bit
+    interleave arithmetically."""
+    from ..stages.encode import zorder_key
+
+    ds = _events(sf_dir, columns=["event_id", "user_id"])
+    return zorder_key(ds, x="user_id", y="event_id", bits=16)
+
+
+def _zorder_sql(bits: int = 16) -> str:
+    xs = " + ".join(f"((user_id // {1 << i}) % 2) * {1 << (2 * i)}"
+                    for i in range(bits))
+    ys = " + ".join(f"((event_id % 65536 // {1 << i}) % 2) * {1 << (2 * i + 1)}"
+                    for i in range(bits))
+    return (f"SELECT event_id, user_id,\n"
+            f"       CAST({xs}\n         + {ys} AS BIGINT) AS zkey\n"
+            f"FROM events")
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q2_top_customers": q2_top_customers,
@@ -3974,6 +4023,8 @@ QUERIES = {
     "bm25_docs": bm25_docs,
     "funnel_view_click_purchase": funnel_view_click_purchase,
     "pmi_topk_docs": pmi_topk_docs,
+    "outlier_flags_events": outlier_flags_events,
+    "zorder_events": zorder_events,
     # rows-only (not SQL-expressible; see module docstring)
     "featurize_flagship": featurize_flagship,
     "minhash_neardup_docs": minhash_neardup_docs,
@@ -4102,6 +4153,8 @@ ORACLE_SQL = {
     "bm25_docs": SQL_BM25,
     "funnel_view_click_purchase": SQL_FUNNEL,
     "pmi_topk_docs": SQL_PMI,
+    "outlier_flags_events": SQL_IQR_OUTLIERS,
+    "zorder_events": _zorder_sql(),
     "simhash_neardup_docs": _sketch_sql.simhash_pairs_sql(),
     "minhash_neardup_docs": _sketch_sql.minhash_pairs_sql(*_mh_params),
     "minhash_dedup_groups": _sketch_sql.minhash_groups_sql(*_mh_params),

@@ -290,3 +290,29 @@ def hash_encode(ds, *, key: str, n_buckets: int, out_col: str | None = None):
         return b
 
     return ds.map_batches(assign, batch_format="pandas")
+
+
+def zorder_key(ds, *, x: str, y: str, bits: int = 16,
+               out_col: str = "zkey"):
+    """Morton (Z-order) interleave of two non-negative integer columns
+    into one locality key — sort/partition by it and ranges of BOTH
+    columns cluster into contiguous key ranges, so per-file min/max
+    statistics prune two-dimensional predicates (the standard
+    data-clustering layout trick).  Stateless vectorized bit
+    interleave; values are masked to ``bits`` bits each.  The SQL
+    oracle replays the interleave arithmetically (shift = // and %)."""
+    B = int(bits)
+    if not 1 <= B <= 31:
+        raise ValueError(f"bits must be in [1, 31], got {B}")
+
+    def key(batch: pd.DataFrame) -> pd.DataFrame:
+        xv = batch[x].to_numpy(np.int64) & ((1 << B) - 1)
+        yv = batch[y].to_numpy(np.int64) & ((1 << B) - 1)
+        z = np.zeros(len(batch), dtype=np.int64)
+        for i in range(B):
+            z |= ((xv >> i) & 1) << (2 * i)
+            z |= ((yv >> i) & 1) << (2 * i + 1)
+        batch[out_col] = z
+        return batch
+
+    return ds.map_batches(key, batch_format="pandas")

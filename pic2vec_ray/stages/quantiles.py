@@ -459,3 +459,54 @@ def ks_drift_windows(ds, *, ts_col: str, value: str, freq: str = "D",
         })
     return rd.from_pandas(pd.DataFrame(
         out, columns=["win", "prev_win", "ks_stat", "n_prev", "n_cur"]))
+
+
+def iqr_outliers(ds, *, keys: str | list[str], value: str,
+                 factor: float = 1.5):
+    """Tukey IQR outlier flags per group: a row is an outlier when its
+    value falls outside ``[q25 − f·IQR, q75 + f·IQR]`` of its group —
+    the standard robust cleaning rule before feature scaling.
+
+    Fit: per-batch (group, value) counts → one bounded driver merge
+    (same contract as the exact-quantile family: the DISTINCT value
+    domain must be bounded — decimal-quantized columns are, continuous
+    floats should use the approx/histogram path), quantile = the
+    ceil-rank discrete definition shared with
+    :func:`grouped_quantiles_exact` / SQL ``quantile_disc``.
+    Transform: one stateless vectorized flag per batch.  Both engines
+    compute the bounds from identical doubles, so the comparison is
+    bit-reproducible."""
+    keys = [keys] if isinstance(keys, str) else list(keys)
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        g = batch.groupby(keys + [value], as_index=False).size()
+        return g.rename(columns={"size": "cnt"})
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    cube = parts.groupby(keys + [value], as_index=False).cnt.sum()
+
+    bounds: dict = {}
+    for gk, g in cube.groupby(keys[0] if len(keys) == 1 else keys):
+        g = g.sort_values(value, kind="mergesort")
+        cum = g.cnt.to_numpy().cumsum()
+        n = int(cum[-1])
+        vals = g[value].to_numpy()
+
+        def q_disc(q: float) -> float:
+            rank = max(1, math.ceil(q * n))
+            return float(vals[int(np.searchsorted(cum, rank))])
+
+        q25, q75 = q_disc(0.25), q_disc(0.75)
+        iqr = q75 - q25
+        bounds[gk] = (q25 - factor * iqr, q75 + factor * iqr)
+
+    def flag(batch: pd.DataFrame) -> pd.DataFrame:
+        gv = (batch[keys[0]] if len(keys) == 1
+              else list(zip(*(batch[k] for k in keys))))
+        lo = pd.Series(gv).map(lambda g: bounds[g][0]).to_numpy(np.float64)
+        hi = pd.Series(gv).map(lambda g: bounds[g][1]).to_numpy(np.float64)
+        v = batch[value].to_numpy(np.float64)
+        batch["is_outlier"] = (v < lo) | (v > hi)
+        return batch
+
+    return ds.map_batches(flag, batch_format="pandas")

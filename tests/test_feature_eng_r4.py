@@ -444,3 +444,39 @@ def test_pmi_topk_prefers_exclusive_pairs(ray_session):
     import math
     want = math.log(8 * Tn / (8 * 8))
     assert top.pmi == pytest.approx(want, abs=1e-6)
+
+
+def test_iqr_outliers_flags_planted(ray_session):
+    import ray.data as rd
+    from pic2vec_ray.stages.quantiles import iqr_outliers
+
+    rng = np.random.default_rng(17)
+    v = np.round(rng.uniform(10, 20, 500), 2)
+    v[:3] = [1000.0, -500.0, 15.0]  # two extremes, one inlier
+    df = pd.DataFrame({"event_id": np.arange(500, dtype=np.int64),
+                       "g": ["a"] * 500, "value": v})
+    out = (iqr_outliers(rd.from_pandas(df).repartition(4), keys="g",
+                        value="value")
+           .to_pandas().sort_values("event_id").reset_index(drop=True))
+    assert bool(out.is_outlier[0]) and bool(out.is_outlier[1])
+    assert not out.is_outlier[2]
+    assert out.is_outlier.sum() == 2
+
+
+def test_zorder_key_interleaves_bits(ray_session):
+    import ray.data as rd
+    from pic2vec_ray.stages.encode import zorder_key
+
+    df = pd.DataFrame({"x": np.array([0, 1, 0, 3], dtype=np.int64),
+                       "y": np.array([0, 0, 1, 5], dtype=np.int64)})
+    out = (zorder_key(rd.from_pandas(df), x="x", y="y", bits=4)
+           .to_pandas())
+    # interleave: x bits even positions, y bits odd
+    assert out.zkey.tolist() == [0, 1, 2, 0b100111]
+    # locality: nearby (x, y) cells give nearby keys (same quadrant prefix)
+    a = zorder_key(rd.from_pandas(pd.DataFrame(
+        {"x": np.arange(8, dtype=np.int64).repeat(8),
+         "y": np.tile(np.arange(8, dtype=np.int64), 8)})),
+        x="x", y="y", bits=3).to_pandas()
+    quad = (a.x // 4) * 2 + (a.y // 4)
+    assert (a.groupby(quad).zkey.apply(lambda s: s.max() - s.min() < 16)).all()
