@@ -3918,6 +3918,31 @@ def _zorder_sql(bits: int = 16) -> str:
             f"FROM events")
 
 
+def json_field_events(sf_dir: str):
+    """Scalar JSON field extraction from the events.props payload
+    column (stages/relational.json_extract_field): vectorized compiled
+    regex for flat telemetry fields — no per-row json.loads, no JSON
+    extension needed on either engine.  Missing fields become typed
+    nulls (float64 presentation per the driver's nullable-int
+    contract)."""
+    from ..stages.relational import json_extract_field
+
+    ds = _events(sf_dir, columns=["event_id", "props"])
+    out = json_extract_field(ds, col="props", field="k")
+
+    def project(df: pd.DataFrame) -> pd.DataFrame:
+        return df[["event_id", "props_k"]]
+
+    return out.map_batches(project, batch_format="pandas")
+
+
+SQL_JSON_FIELD = r"""
+SELECT event_id,
+       CAST(regexp_extract(props, '"k":\s*(-?\d+)', 1) AS DOUBLE) AS props_k
+FROM events
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q2_top_customers": q2_top_customers,
@@ -4025,6 +4050,7 @@ QUERIES = {
     "pmi_topk_docs": pmi_topk_docs,
     "outlier_flags_events": outlier_flags_events,
     "zorder_events": zorder_events,
+    "json_field_events": json_field_events,
     # rows-only (not SQL-expressible; see module docstring)
     "featurize_flagship": featurize_flagship,
     "minhash_neardup_docs": minhash_neardup_docs,
@@ -4155,6 +4181,7 @@ ORACLE_SQL = {
     "pmi_topk_docs": SQL_PMI,
     "outlier_flags_events": SQL_IQR_OUTLIERS,
     "zorder_events": _zorder_sql(),
+    "json_field_events": SQL_JSON_FIELD,
     "simhash_neardup_docs": _sketch_sql.simhash_pairs_sql(),
     "minhash_neardup_docs": _sketch_sql.minhash_pairs_sql(*_mh_params),
     "minhash_dedup_groups": _sketch_sql.minhash_groups_sql(*_mh_params),

@@ -480,3 +480,24 @@ def test_zorder_key_interleaves_bits(ray_session):
         x="x", y="y", bits=3).to_pandas()
     quad = (a.x // 4) * 2 + (a.y // 4)
     assert (a.groupby(quad).zkey.apply(lambda s: s.max() - s.min() < 16)).all()
+
+
+def test_json_extract_field_types_and_nulls(ray_session):
+    import ray.data as rd
+    from pic2vec_ray.stages.relational import json_extract_field
+
+    df = pd.DataFrame({
+        "id": np.arange(4, dtype=np.int64),
+        "props": ['{"k": 42, "s": "hi"}', '{"k": -7}', '{"other": 1}',
+                  '{"s": "x y"}'],
+    })
+    ds = rd.from_pandas(df).repartition(2)
+    ints = (json_extract_field(ds, col="props", field="k")
+            .to_pandas().sort_values("id").reset_index(drop=True))
+    assert ints.props_k.tolist()[:2] == [42.0, -7.0]
+    assert ints.props_k.isna().tolist() == [False, False, True, True]
+    strs = (json_extract_field(ds, col="props", field="s", as_int=False)
+            .to_pandas().sort_values("id").reset_index(drop=True))
+    assert strs.props_s.tolist()[0] == "hi"
+    assert strs.props_s.tolist()[3] == "x y"
+    assert strs.props_s.isna().tolist() == [False, True, True, False]
