@@ -3943,6 +3943,92 @@ FROM events
 """
 
 
+def q5_local_supplier_volume(sf_dir: str):
+    """TPC-H-Q5-style six-table join: revenue per nation where the
+    customer and supplier share a nation inside one region ('ASIA').
+
+    Scale plan — dims broadcast, facts shuffle: region/nation/supplier/
+    customer are the small side (read once on the driver, shipped as
+    plain dict lookups in the map closures — the ray.put-once pattern;
+    at a scale where customer outgrows broadcast, swap that leg onto
+    the same ``hash_join`` path the fact join uses), lineitem ⋈ orders
+    is the one genuinely large-large exchange (temporal/join.hash_join
+    on the order key).  Both fact legs pre-filter to the region's
+    nations BEFORE the join, and revenue pre-aggregates per batch
+    before the final 5-row groupby."""
+    import pyarrow.parquet as pq
+    from ray.data.aggregate import Sum
+
+    from ..temporal.join import hash_join
+
+    rd = _rd()
+    region = pq.read_table(f"{sf_dir}/region.parquet").to_pandas()
+    nation = pq.read_table(f"{sf_dir}/nation.parquet").to_pandas()
+    rk = set(region.loc[region.r_name == "ASIA", "r_regionkey"])
+    nat = nation[nation.n_regionkey.isin(rk)]
+    nat_name = dict(zip(nat.n_nationkey, nat.n_name))
+    supp = pq.read_table(f"{sf_dir}/supplier.parquet",
+                         columns=["s_suppkey", "s_nationkey"]).to_pandas()
+    s_nat = dict(zip(supp.s_suppkey, supp.s_nationkey))
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_nationkey"]).to_pandas()
+    c_nat = dict(zip(cust.c_custkey, cust.c_nationkey))
+
+    line = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"])
+
+    def line_side(df: pd.DataFrame) -> pd.DataFrame:
+        df["s_nation"] = df.l_suppkey.map(s_nat)
+        df = df[df.s_nation.isin(nat_name)]
+        rev = df.l_extendedprice * (1.0 - df.l_discount)
+        return pd.DataFrame({"l_orderkey": df.l_orderkey,
+                             "s_nation": df.s_nation.astype(np.int64),
+                             "revenue_item": rev})
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_custkey"])
+
+    def order_side(df: pd.DataFrame) -> pd.DataFrame:
+        df["c_nation"] = df.o_custkey.map(c_nat)
+        df = df[df.c_nation.isin(nat_name)]
+        return pd.DataFrame({"o_orderkey": df.o_orderkey,
+                             "c_nation": df.c_nation.astype(np.int64)})
+
+    joined = hash_join(
+        line.map_batches(line_side, batch_format="pandas"),
+        orders.map_batches(order_side, batch_format="pandas"),
+        on="l_orderkey", right_on="o_orderkey", how="inner",
+        num_partitions=_nparts(sf_dir, "lineitem", "orders"))
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df.s_nation == df.c_nation]
+        df["n_name"] = df.s_nation.map(nat_name)
+        return df.groupby("n_name", as_index=False).agg(
+            revenue=("revenue_item", "sum"))
+
+    agg = (joined.map_batches(partial, batch_format="pandas")
+           .groupby("n_name").aggregate(Sum("revenue", alias_name="revenue")))
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df["revenue"] = df.revenue.round(2)
+        return df[["n_name", "revenue"]]
+
+    return agg.map_batches(finish, batch_format="pandas")
+
+
+SQL_Q5 = """
+SELECT n_name,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM customer, orders, lineitem, supplier, nation, region
+WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+  AND r_name = 'ASIA'
+GROUP BY n_name
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q2_top_customers": q2_top_customers,
@@ -4051,6 +4137,7 @@ QUERIES = {
     "outlier_flags_events": outlier_flags_events,
     "zorder_events": zorder_events,
     "json_field_events": json_field_events,
+    "q5_local_supplier_volume": q5_local_supplier_volume,
     # rows-only (not SQL-expressible; see module docstring)
     "featurize_flagship": featurize_flagship,
     "minhash_neardup_docs": minhash_neardup_docs,
@@ -4182,6 +4269,7 @@ ORACLE_SQL = {
     "outlier_flags_events": SQL_IQR_OUTLIERS,
     "zorder_events": _zorder_sql(),
     "json_field_events": SQL_JSON_FIELD,
+    "q5_local_supplier_volume": SQL_Q5,
     "simhash_neardup_docs": _sketch_sql.simhash_pairs_sql(),
     "minhash_neardup_docs": _sketch_sql.minhash_pairs_sql(*_mh_params),
     "minhash_dedup_groups": _sketch_sql.minhash_groups_sql(*_mh_params),
