@@ -4029,6 +4029,70 @@ GROUP BY n_name
 """
 
 
+RETRIEVAL_QUERIES = ("hash join", "window scan slow", "spark table")
+
+
+def bm25_topk_docs(sf_dir: str):
+    """Batch BM25 retrieval (stages/text.bm25_topk): top-5 documents
+    per query string — the lexical sibling of ``ann_topk_embeddings``
+    (decontamination lookups / hard-negative mining need both
+    modalities).  Ranking keys are the ROUNDED score + doc id so both
+    engines order identical values."""
+    from ..stages.text import bm25_topk
+
+    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+    return bm25_topk(ds, queries=list(RETRIEVAL_QUERIES), k=5,
+                     num_partitions=4)
+
+
+def _bm25_topk_sql(k: int = 5) -> str:
+    import re as _re
+
+    vals = ", ".join(
+        f"({qi}, '{t}')"
+        for qi, q in enumerate(RETRIEVAL_QUERIES)
+        for t in dict.fromkeys(_re.findall(r"[a-z0-9]+", q.lower())))
+    return f"""
+WITH q(query_id, term) AS (VALUES {vals}),
+toks AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                             t -> t <> '') AS ts
+  FROM documents
+), d AS (SELECT doc_id, len(ts) AS dl FROM toks),
+stats AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(len(ts)) AS DOUBLE) / COUNT(*) AS avgdl
+  FROM toks
+), terms AS (SELECT DISTINCT term FROM q),
+tf AS (
+  SELECT doc_id, t AS term, COUNT(*) AS tf
+  FROM (SELECT doc_id, unnest(ts) AS t FROM toks)
+  WHERE t IN (SELECT term FROM terms) GROUP BY 1, 2
+), dfq AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY 1),
+idf AS (
+  SELECT terms.term,
+         ln(1 + (stats.n - COALESCE(dfq.df, 0) + 0.5)
+               / (COALESCE(dfq.df, 0) + 0.5)) AS idf
+  FROM terms LEFT JOIN dfq USING (term), stats
+), sc AS (
+  SELECT q.query_id, tf.doc_id,
+         ROUND(SUM(idf.idf * (tf.tf * (1.2 + 1.0))
+               / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * d.dl / stats.avgdl))),
+               6) AS score
+  FROM q JOIN tf USING (term) JOIN idf ON idf.term = q.term
+  JOIN d ON d.doc_id = tf.doc_id, stats
+  GROUP BY 1, 2
+), ranked AS (
+  SELECT query_id, doc_id, score,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id) AS rn
+  FROM sc WHERE score > 0
+)
+SELECT query_id, doc_id, score FROM ranked WHERE rn <= {k}
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q2_top_customers": q2_top_customers,
@@ -4138,6 +4202,7 @@ QUERIES = {
     "zorder_events": zorder_events,
     "json_field_events": json_field_events,
     "q5_local_supplier_volume": q5_local_supplier_volume,
+    "bm25_topk_docs": bm25_topk_docs,
     # rows-only (not SQL-expressible; see module docstring)
     "featurize_flagship": featurize_flagship,
     "minhash_neardup_docs": minhash_neardup_docs,
@@ -4270,6 +4335,7 @@ ORACLE_SQL = {
     "zorder_events": _zorder_sql(),
     "json_field_events": SQL_JSON_FIELD,
     "q5_local_supplier_volume": SQL_Q5,
+    "bm25_topk_docs": _bm25_topk_sql(),
     "simhash_neardup_docs": _sketch_sql.simhash_pairs_sql(),
     "minhash_neardup_docs": _sketch_sql.minhash_pairs_sql(*_mh_params),
     "minhash_dedup_groups": _sketch_sql.minhash_groups_sql(*_mh_params),

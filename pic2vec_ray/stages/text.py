@@ -866,3 +866,90 @@ def pmi_topk(ds, *, text_col: str = "text", id_col: str = "doc_id",
     out["pmi"] = np.round(out.pmi_raw, decimals)
     out["cnt"] = out["cnt"].astype("int64")
     return rd.from_pandas(out.drop(columns="pmi_raw"))
+
+
+def bm25_topk(ds, *, queries: list[str], k: int = 5, col: str = "text",
+              id_col: str = "doc_id", k1: float = 1.2, b: float = 0.75,
+              decimals: int = 6, num_partitions: int = 16):
+    """Batch BM25 retrieval: top-``k`` documents per query string —
+    the lexical sibling of ``similarity.ann_topk`` (a data pipeline
+    needs BOTH retrieval modalities for decontamination-style lookups
+    and hard-negative mining).
+
+    Corpus stats fit once over the UNION of query terms (same bounded
+    partials as :func:`bm25_score`); the scorer emits one sparse row
+    per (query, matching doc); selection is the existing
+    ``top_n_per_group`` shuffle keyed by query id.  Ranking orders by
+    the ROUNDED score with a doc-id tiebreak so both engines rank
+    identical keys (raw doubles can differ in the last ulp across
+    summation orders)."""
+    from ..temporal.windows import top_n_per_group
+
+    qterms = [list(dict.fromkeys(re.findall(r"[a-z0-9]+", q.lower())))
+              for q in queries]
+    union_terms = list(dict.fromkeys(t for ts in qterms for t in ts))
+
+    def _toklists(batch: pd.DataFrame) -> pd.Series:
+        return batch[col].str.lower().str.findall(r"[a-z0-9]+")
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        toks = _toklists(batch)
+        ex = toks.explode().dropna()
+        hits = ex[ex.isin(union_terms)]
+        present = hits.reset_index().drop_duplicates()
+        dfc = present.iloc[:, 1].value_counts()
+        row = {"n": [len(batch)], "dl": [int(toks.str.len().sum())]}
+        for i, t in enumerate(union_terms):
+            row[f"df{i}"] = [int(dfc.get(t, 0))]
+        return pd.DataFrame(row)
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    N = float(parts.n.sum())
+    avgdl = float(parts.dl.sum()) / N
+    idf = {t: math.log(1.0 + (N - float(parts[f"df{i}"].sum()) + 0.5)
+                       / (float(parts[f"df{i}"].sum()) + 0.5))
+           for i, t in enumerate(union_terms)}
+
+    def score(batch: pd.DataFrame) -> pd.DataFrame:
+        toks = _toklists(batch)
+        dl = toks.str.len().to_numpy(np.float64)
+        ex = toks.explode().dropna()
+        hits = ex[ex.isin(union_terms)]
+        addend: dict[str, np.ndarray] = {}
+        if len(hits):
+            tf = (hits.groupby([hits.index, hits.values]).size()
+                  .rename("tf").reset_index())
+            tf.columns = ["row", "term", "tf"]
+            rowpos = {ix: p for p, ix in enumerate(batch.index)}
+            for t in union_terms:
+                sub = tf[tf.term == t]
+                if not len(sub):
+                    continue
+                pos = sub.row.map(rowpos).to_numpy()
+                f = sub.tf.to_numpy(np.float64)
+                v = np.zeros(len(batch), dtype=np.float64)
+                denom = f + k1 * (1.0 - b + b * dl[pos] / avgdl)
+                v[pos] = idf[t] * (f * (k1 + 1.0)) / denom
+                addend[t] = v
+        out = []
+        ids = batch[id_col].to_numpy()
+        for qi, terms in enumerate(qterms):
+            s = np.zeros(len(batch), dtype=np.float64)
+            for t in terms:  # fixed order per query = pinned addends
+                if t in addend:
+                    s += addend[t]
+            nz = s > 0
+            out.append(pd.DataFrame({
+                "query_id": np.full(int(nz.sum()), qi, dtype=np.int64),
+                id_col: ids[nz],
+                "score": np.round(s[nz], decimals)}))
+        return (pd.concat(out, ignore_index=True) if out
+                else pd.DataFrame({"query_id": pd.Series([], dtype=np.int64),
+                                   id_col: pd.Series([], dtype=np.int64),
+                                   "score": pd.Series([], dtype=np.float64)}))
+
+    scored = ds.map_batches(score, batch_format="pandas")
+    return top_n_per_group(scored, by="query_id",
+                           order_cols=["score", id_col],
+                           ascending=[False, True], n=k,
+                           num_partitions=num_partitions)

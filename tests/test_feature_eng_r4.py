@@ -501,3 +501,25 @@ def test_json_extract_field_types_and_nulls(ray_session):
     assert strs.props_s.tolist()[0] == "hi"
     assert strs.props_s.tolist()[3] == "x y"
     assert strs.props_s.isna().tolist() == [False, True, True, False]
+
+
+def test_bm25_topk_ranks_relevant_docs(ray_session):
+    import ray.data as rd
+    from pic2vec_ray.stages.text import bm25_topk
+
+    docs = pd.DataFrame({
+        "doc_id": np.arange(6, dtype=np.int64),
+        "text": ["cat dog", "cat cat cat", "dog", "bird", "cat dog bird",
+                 "nothing relevant here"],
+    })
+    out = (bm25_topk(rd.from_pandas(docs).repartition(3),
+                     queries=["cat", "dog bird"], k=3, num_partitions=2)
+           .to_pandas().sort_values(["query_id", "score"],
+                                    ascending=[True, False])
+           .reset_index(drop=True))
+    q0 = out[out.query_id == 0]
+    assert set(q0.doc_id) <= {0, 1, 4}
+    assert q0.iloc[0].doc_id == 1  # highest tf for "cat"
+    q1 = out[out.query_id == 1]
+    assert q1.iloc[0].doc_id == 4  # only doc with both terms
+    assert 5 not in set(out.doc_id)  # non-matching doc never appears
