@@ -4093,6 +4093,45 @@ SELECT query_id, doc_id, score FROM ranked WHERE rn <= {k}
 """
 
 
+def profile_lineitem(sf_dir: str):
+    """Column profiling / dataset-card pass (stages/profile.
+    profile_columns): one tidy row per column with counts, null
+    counts, range and exact distinct count — the pre-flight summary
+    of a data build, one streaming pass with per-batch partials."""
+    from ..stages.profile import profile_columns
+
+    ds = _rd().read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_quantity", "l_discount", "l_tax", "l_linenumber"])
+    return profile_columns(
+        ds, columns=["l_quantity", "l_discount", "l_tax", "l_linenumber"])
+
+
+SQL_PROFILE = """
+SELECT 'l_quantity' AS column, COUNT(*) AS n_rows,
+       COUNT(*) - COUNT(l_quantity) AS n_null,
+       ROUND(MIN(l_quantity), 6) AS min_val,
+       ROUND(MAX(l_quantity), 6) AS max_val,
+       COUNT(DISTINCT l_quantity) AS n_distinct
+FROM lineitem
+UNION ALL
+SELECT 'l_discount', COUNT(*), COUNT(*) - COUNT(l_discount),
+       ROUND(MIN(l_discount), 6), ROUND(MAX(l_discount), 6),
+       COUNT(DISTINCT l_discount)
+FROM lineitem
+UNION ALL
+SELECT 'l_tax', COUNT(*), COUNT(*) - COUNT(l_tax),
+       ROUND(MIN(l_tax), 6), ROUND(MAX(l_tax), 6),
+       COUNT(DISTINCT l_tax)
+FROM lineitem
+UNION ALL
+SELECT 'l_linenumber', COUNT(*), COUNT(*) - COUNT(l_linenumber),
+       ROUND(MIN(l_linenumber), 6), ROUND(MAX(l_linenumber), 6),
+       COUNT(DISTINCT l_linenumber)
+FROM lineitem
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q2_top_customers": q2_top_customers,
@@ -4203,6 +4242,7 @@ QUERIES = {
     "json_field_events": json_field_events,
     "q5_local_supplier_volume": q5_local_supplier_volume,
     "bm25_topk_docs": bm25_topk_docs,
+    "profile_lineitem": profile_lineitem,
     # rows-only (not SQL-expressible; see module docstring)
     "featurize_flagship": featurize_flagship,
     "minhash_neardup_docs": minhash_neardup_docs,
@@ -4336,6 +4376,7 @@ ORACLE_SQL = {
     "json_field_events": SQL_JSON_FIELD,
     "q5_local_supplier_volume": SQL_Q5,
     "bm25_topk_docs": _bm25_topk_sql(),
+    "profile_lineitem": SQL_PROFILE,
     "simhash_neardup_docs": _sketch_sql.simhash_pairs_sql(),
     "minhash_neardup_docs": _sketch_sql.minhash_pairs_sql(*_mh_params),
     "minhash_dedup_groups": _sketch_sql.minhash_groups_sql(*_mh_params),

@@ -523,3 +523,24 @@ def test_bm25_topk_ranks_relevant_docs(ray_session):
     q1 = out[out.query_id == 1]
     assert q1.iloc[0].doc_id == 4  # only doc with both terms
     assert 5 not in set(out.doc_id)  # non-matching doc never appears
+
+
+def test_profile_columns_stats_and_limit(ray_session):
+    import ray.data as rd
+    from pic2vec_ray.stages.profile import profile_columns
+
+    df = pd.DataFrame({
+        "a": [1.0, 2.0, None, 4.0, 2.0],
+        "b": [10, 10, 10, 20, 30],
+    })
+    out = profile_columns(rd.from_pandas(df).repartition(2),
+                          columns=["a", "b"])
+    pa_row = out[out.column == "a"].iloc[0]
+    assert (pa_row.n_rows, pa_row.n_null, pa_row.min_val, pa_row.max_val,
+            pa_row.n_distinct) == (5, 1, 1.0, 4.0, 3)
+    pb = out[out.column == "b"].iloc[0]
+    assert (pb.n_null, pb.n_distinct) == (0, 3)
+    with pytest.raises(Exception):
+        big = pd.DataFrame({"c": np.arange(1000, dtype=np.float64)})
+        profile_columns(rd.from_pandas(big), columns=["c"],
+                        distinct_limit=10)
