@@ -4132,6 +4132,36 @@ FROM lineitem
 """
 
 
+def ecdf_value_events(sf_dir: str):
+    """Approximate ECDF (quantile) transform of events.value
+    (stages/quantiles.ecdf_transform): rank-based feature scaling via
+    the SQL-replayable fixed-bin histogram — the scale path where an
+    exact per-row rank would need a corpus sort."""
+    from ..stages.quantiles import ecdf_transform
+
+    ds = _events(sf_dir, columns=["event_id", "value"])
+    return ecdf_transform(ds, value="value", n_bins=1024)
+
+
+SQL_ECDF = """
+WITH s AS (
+  SELECT MIN(value) AS mn, MAX(value) AS mx,
+         CAST(COUNT(*) AS DOUBLE) AS n
+  FROM events
+), h AS (
+  SELECT LEAST(CAST(FLOOR((value - s.mn) * 1024 / (s.mx - s.mn))
+               AS BIGINT), 1023) AS bin,
+         COUNT(*) AS cnt
+  FROM events, s GROUP BY 1
+), c AS (SELECT bin, SUM(cnt) OVER (ORDER BY bin) AS cum FROM h)
+SELECT e.event_id, e.value,
+       ROUND(c.cum / s.n, 6) AS value_ecdf
+FROM events e, s
+JOIN c ON c.bin = LEAST(CAST(FLOOR((e.value - s.mn) * 1024
+                             / (s.mx - s.mn)) AS BIGINT), 1023)
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q2_top_customers": q2_top_customers,
@@ -4243,6 +4273,7 @@ QUERIES = {
     "q5_local_supplier_volume": q5_local_supplier_volume,
     "bm25_topk_docs": bm25_topk_docs,
     "profile_lineitem": profile_lineitem,
+    "ecdf_value_events": ecdf_value_events,
     # rows-only (not SQL-expressible; see module docstring)
     "featurize_flagship": featurize_flagship,
     "minhash_neardup_docs": minhash_neardup_docs,
@@ -4377,6 +4408,7 @@ ORACLE_SQL = {
     "q5_local_supplier_volume": SQL_Q5,
     "bm25_topk_docs": _bm25_topk_sql(),
     "profile_lineitem": SQL_PROFILE,
+    "ecdf_value_events": SQL_ECDF,
     "simhash_neardup_docs": _sketch_sql.simhash_pairs_sql(),
     "minhash_neardup_docs": _sketch_sql.minhash_pairs_sql(*_mh_params),
     "minhash_dedup_groups": _sketch_sql.minhash_groups_sql(*_mh_params),

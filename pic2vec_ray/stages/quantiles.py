@@ -510,3 +510,56 @@ def iqr_outliers(ds, *, keys: str | list[str], value: str,
         return batch
 
     return ds.map_batches(flag, batch_format="pandas")
+
+
+def ecdf_transform(ds, *, value: str, n_bins: int = 1024,
+                   out_col: str | None = None, decimals: int = 6):
+    """Approximate ECDF (quantile) transform: map each value to its
+    empirical cumulative fraction — the rank-based feature scaling
+    (uniformizes any distribution) — via the SAME pinned fixed-bin
+    histogram rule as :func:`grouped_quantiles_approx`, so it stays
+    scale-safe on continuous columns (the exchange moves ≤ batches ×
+    n_bins counter rows, never raw rows, and the exact-rank
+    alternative's distinct-value CDF hazard never appears).
+
+    ``ecdf(v) = cum_count(bin(v)) / n`` (inclusive), resolution 1/B of
+    the value span; bin rule and operation order are bit-identical to
+    the SQL replay.  Transform is one stateless map with the
+    1024-entry cumulative table riding the closure."""
+    from ray.data.aggregate import Max, Min
+
+    out_col = out_col or f"{value}_ecdf"
+    B = int(n_bins)
+    if B < 2:
+        raise ValueError(f"n_bins must be >= 2, got {B}")
+
+    stats = ds.aggregate(Min(value), Max(value))
+    mn = float(stats[f"min({value})"])
+    mx = float(stats[f"max({value})"])
+    span = mx - mn
+
+    def _bins(v: np.ndarray) -> np.ndarray:
+        if span > 0:
+            return np.minimum(np.floor((v - mn) * B / span),
+                              B - 1).astype(np.int64)
+        return np.zeros(len(v), dtype=np.int64)
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        b = _bins(batch[value].to_numpy(np.float64))
+        cnt = np.bincount(b, minlength=B)
+        nz = np.flatnonzero(cnt)
+        return pd.DataFrame({"bin": nz.astype(np.int64), "cnt": cnt[nz]})
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    counts = np.zeros(B, dtype=np.int64)
+    agg = parts.groupby("bin").cnt.sum()
+    counts[agg.index.to_numpy()] = agg.to_numpy()
+    cum = counts.cumsum()
+    n = float(cum[-1])
+
+    def assign(batch: pd.DataFrame) -> pd.DataFrame:
+        b = _bins(batch[value].to_numpy(np.float64))
+        batch[out_col] = np.round(cum[b].astype(np.float64) / n, decimals)
+        return batch
+
+    return ds.map_batches(assign, batch_format="pandas")

@@ -544,3 +544,26 @@ def test_profile_columns_stats_and_limit(ray_session):
         big = pd.DataFrame({"c": np.arange(1000, dtype=np.float64)})
         profile_columns(rd.from_pandas(big), columns=["c"],
                         distinct_limit=10)
+
+
+def test_ecdf_transform_properties(ray_session):
+    import ray.data as rd
+    from pic2vec_ray.stages.quantiles import ecdf_transform
+
+    rng = np.random.default_rng(41)
+    v = rng.normal(50, 10, 4000)
+    df = pd.DataFrame({"id": np.arange(4000, dtype=np.int64), "v": v})
+    outs = []
+    for nblocks in (1, 9):
+        out = (ecdf_transform(rd.from_pandas(df).repartition(nblocks),
+                              value="v", n_bins=512)
+               .to_pandas().sort_values("id").reset_index(drop=True))
+        outs.append(out)
+    pd.testing.assert_frame_equal(outs[0], outs[1])  # partition-invariant
+    got = outs[0]
+    # monotone in v, ends at 1.0, tracks the true ECDF within bin error
+    srt = got.sort_values("v")
+    assert (np.diff(srt.v_ecdf.to_numpy()) >= 0).all()
+    assert got.v_ecdf.max() == 1.0
+    true_rank = pd.Series(v).rank(method="max").to_numpy() / len(v)
+    assert np.abs(got.v_ecdf.to_numpy() - true_rank).max() < 0.05
