@@ -87,7 +87,8 @@ def run_headline(sf_dir: str) -> dict:
     # touch the input once, so the timed section measures pipeline
     # throughput, not cold-process fixed costs (same at both scaling
     # levels, and irrelevant to steady-state 100 TB runs).
-    warm = featurize_images(images_dir, model_str="tinynet", depth=1)
+    warm = featurize_images(images_dir, model_str="tinynet", depth=1,
+                            columns=["image_id", "bytes"])
     warm.limit(512).count()
     rd.read_parquet(f"{sf_dir}/events.parquet").groupby("event_type").count().to_pandas()
 
@@ -102,7 +103,11 @@ def run_headline(sf_dir: str) -> dict:
     nblocks = 3 * max(1, min((3 * ncpu) // 4, 14))
 
     def _with_offset(r: int):
-        base = rd.read_parquet(images_dir, override_num_blocks=nblocks)
+        # prune at the read: the headline path only needs the id + pixels;
+        # caption/phash/w/h/fmt would otherwise ride through the embed
+        # actor stage as dead object-store traffic (real I/O at 100 TB)
+        base = rd.read_parquet(images_dir, override_num_blocks=nblocks,
+                               columns=["image_id", "bytes"])
         if r == 0:
             return base
 

@@ -35,6 +35,7 @@ def featurize_images(
     loaded_weights: str = "",
     num_gpus: float | None = None,
     num_cpus: float | None = None,
+    columns: list[str] | None = None,
 ):
     """images: a Dataset or a parquet path of the input_hint schema.
 
@@ -52,6 +53,16 @@ def featurize_images(
     reservation (this CPU sandbox takes that path). ``num_cpus``
     adjusts the per-actor CPU reservation the same way (e.g. lower it
     under ``num_gpus`` so CPU slots don't cap a GPU pool).
+
+    ``columns``: projection pushed into the parquet read when ``images``
+    is a path. Default ``None`` reads every input column so non-image
+    columns (captions, ids) ride through to the output — the
+    reference's append-to-the-input-frame semantics. Pipelines that
+    only consume the features should pass the minimal list
+    (``["image_id", *image_columns]``): at 100 TB the caption/metadata
+    bytes are real scan I/O and real object-store traffic through the
+    embed actor stage, so pruning them at the read is the difference
+    between shipping features and shipping the whole table.
     """
     validate_config(model_str, depth, downsample, num_pooled_features)
     if loaded_weights:
@@ -86,7 +97,8 @@ def featurize_images(
         # punishes (syscall-heavy paths show >20% hypervisor steal);
         # 3 blocks per actor keeps the pool load-balanced with ~10x less
         # dispatch traffic (measured 1.3k -> 4.3k img/s at 16 CPUs).
-        ds = rd.read_parquet(images, override_num_blocks=3 * concurrency)
+        ds = rd.read_parquet(images, override_num_blocks=3 * concurrency,
+                             columns=columns)
     else:
         ds = images
     resource_kwargs = {}

@@ -1203,7 +1203,9 @@ def caption_roundtrip(sf_dir: str):
     through decode+embed, oracle-checkable from ``part``."""
     from .featurize import featurize_images
 
-    out = featurize_images(_images(sf_dir), model_str="tinynet", depth=1, batch_size=128)
+    out = featurize_images(_images(sf_dir), model_str="tinynet", depth=1,
+                           batch_size=128,
+                           columns=["image_id", "bytes", "caption"])
     return out.select_columns(["image_id", "caption", "missing"])
 
 
@@ -1223,7 +1225,8 @@ def featurize_dims(sf_dir: str):
     into a rows+schema+hash-checked query."""
     from .featurize import featurize_images
 
-    out = featurize_images(_images(sf_dir), model_str="tinynet", depth=1, batch_size=128)
+    out = featurize_images(_images(sf_dir), model_str="tinynet", depth=1,
+                           batch_size=128, columns=["image_id", "bytes"])
 
     def project(t: pa.Table) -> pa.Table:
         feats = t["features"].combine_chunks()
@@ -1340,7 +1343,8 @@ def video_frame_stats(sf_dir: str):
     ncpu = int(_ray.cluster_resources().get("CPU", 4)) if _ray.is_initialized() else 4
     pool = max(1, min((3 * ncpu) // 4, 16))  # the featurize pool sizing
     ds = _rd().read_parquet(video_table_path(sf_dir),
-                            override_num_blocks=3 * pool)
+                            override_num_blocks=3 * pool,
+                            columns=["clip_id", "bytes", "w", "h", "n_frames"])
     out = ds.map_batches(
         VideoFrameSampleActor,
         fn_constructor_kwargs=dict(num_frames=4, model_str="tinynet",
@@ -1385,7 +1389,8 @@ def featurize_flagship(sf_dir: str):
     stable scalar projection for the rows-only driver check)."""
     from .featurize import featurize_images
 
-    out = featurize_images(_images(sf_dir), model_str="tinynet", depth=1, batch_size=128)
+    out = featurize_images(_images(sf_dir), model_str="tinynet", depth=1,
+                           batch_size=128, columns=["image_id", "bytes"])
 
     def summarize(t: pa.Table) -> pa.Table:
         feats = t["features"].combine_chunks()
@@ -3779,13 +3784,23 @@ idf AS (
          ln(1 + (stats.n - COALESCE(dfq.df, 0) + 0.5)
                / (COALESCE(dfq.df, 0) + 0.5)) AS idf
   FROM q LEFT JOIN dfq USING (term), stats
-), sc AS (
-  SELECT tf.doc_id,
-         SUM(idf.idf * (tf.tf * (1.2 + 1.0))
-             / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * d.dl / stats.avgdl)))
-           AS s
+), addends AS (
+  SELECT tf.doc_id, tf.term,
+         idf.idf * (tf.tf * (1.2 + 1.0))
+           / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * d.dl / stats.avgdl)) AS a
   FROM tf JOIN idf USING (term) JOIN d USING (doc_id), stats
-  GROUP BY 1
+), sc AS (
+  -- explicit left-to-right addition in the SAME pinned term order as
+  -- the Python scorer (BM25_TERMS); a SUM() GROUP BY lets the engine
+  -- pick the accumulation order, which can differ in the last ulp and
+  -- round differently at 6 dp. Missing terms add 0.0 (identity: all
+  -- addends are > 0), matching the Python skip.
+  SELECT doc_id,
+         COALESCE(MAX(CASE WHEN term = 'hash'   THEN a END), 0)
+       + COALESCE(MAX(CASE WHEN term = 'join'   THEN a END), 0)
+       + COALESCE(MAX(CASE WHEN term = 'window' THEN a END), 0)
+       + COALESCE(MAX(CASE WHEN term = 'scan'   THEN a END), 0) AS s
+  FROM addends GROUP BY 1
 )
 SELECT d.doc_id, CAST(d.dl AS BIGINT) AS dl,
        ROUND(COALESCE(sc.s, 0), 6) + 0.0 AS bm25
@@ -4049,12 +4064,22 @@ def bm25_topk_docs(sf_dir: str):
 def _bm25_topk_sql(k: int = 5) -> str:
     import re as _re
 
+    per_q = [list(dict.fromkeys(_re.findall(r"[a-z0-9]+", q.lower())))
+             for q in RETRIEVAL_QUERIES]
     vals = ", ".join(
-        f"({qi}, '{t}')"
-        for qi, q in enumerate(RETRIEVAL_QUERIES)
-        for t in dict.fromkeys(_re.findall(r"[a-z0-9]+", q.lower())))
+        f"({qi}, {ti}, '{t}')"
+        for qi, terms in enumerate(per_q)
+        for ti, t in enumerate(terms))
+    # explicit left-to-right addition in pinned per-query term order
+    # (see SQL_BM25's sc CTE): COALESCE(..., 0) matches the Python
+    # scorer adding an all-zeros vector for query terms absent from a
+    # document — identical IEEE addend sequence on both sides
+    max_terms = max(len(terms) for terms in per_q)
+    chain = "\n       + ".join(
+        f"COALESCE(MAX(CASE WHEN term_idx = {ti} THEN a END), 0)"
+        for ti in range(max_terms))
     return f"""
-WITH q(query_id, term) AS (VALUES {vals}),
+WITH q(query_id, term_idx, term) AS (VALUES {vals}),
 toks AS (
   SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
                              t -> t <> '') AS ts
@@ -4075,14 +4100,16 @@ idf AS (
          ln(1 + (stats.n - COALESCE(dfq.df, 0) + 0.5)
                / (COALESCE(dfq.df, 0) + 0.5)) AS idf
   FROM terms LEFT JOIN dfq USING (term), stats
-), sc AS (
-  SELECT q.query_id, tf.doc_id,
-         ROUND(SUM(idf.idf * (tf.tf * (1.2 + 1.0))
-               / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * d.dl / stats.avgdl))),
-               6) AS score
+), addends AS (
+  SELECT q.query_id, q.term_idx, tf.doc_id,
+         idf.idf * (tf.tf * (1.2 + 1.0))
+           / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * d.dl / stats.avgdl)) AS a
   FROM q JOIN tf USING (term) JOIN idf ON idf.term = q.term
   JOIN d ON d.doc_id = tf.doc_id, stats
-  GROUP BY 1, 2
+), sc AS (
+  SELECT query_id, doc_id,
+         ROUND({chain}, 6) AS score
+  FROM addends GROUP BY 1, 2
 ), ranked AS (
   SELECT query_id, doc_id, score,
          ROW_NUMBER() OVER (PARTITION BY query_id

@@ -18,12 +18,16 @@ same idea.
 
 from __future__ import annotations
 
+import itertools
 import json
 import os
 
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+
+# per-worker-process batch sequence for unique output filenames
+_FILE_SEQ = itertools.count()
 
 
 def write_zclustered(ds, out_dir: str, *, x: str, y: str, bits: int = 16,
@@ -53,7 +57,16 @@ def write_zclustered(ds, out_dir: str, *, x: str, y: str, bits: int = 16,
                              "min_z": pa.array([], pa.int64()),
                              "max_z": pa.array([], pa.int64())})
         zmin = pc.min(t["zkey"]).as_py()
-        path = os.path.join(out_dir, f"z-{zmin:020d}.parquet")
+        # filename must be unique per BATCH, not per zmin: a run of
+        # identical zkeys (duplicate (x, y) pairs) spanning a batch
+        # boundary gives two batches the same zmin, and naming by zmin
+        # alone would silently overwrite the first file and double-list
+        # the survivor in the manifest. pid + per-process sequence is
+        # unique across the task pool (pids are concurrently alive for
+        # the run; the counter disambiguates tasks on one worker).
+        seq = next(_FILE_SEQ)
+        path = os.path.join(
+            out_dir, f"z-{zmin:020d}-{os.getpid():07d}-{seq:06d}.parquet")
         tmp = path + f".tmp.{os.getpid()}"
         pq.write_table(t, tmp)
         os.replace(tmp, path)
@@ -67,6 +80,12 @@ def write_zclustered(ds, out_dir: str, *, x: str, y: str, bits: int = 16,
     manifest = (keyed.map_batches(write_file, batch_format="pyarrow",
                                   batch_size=rows_per_file)
                 .to_pandas().sort_values("min_z").reset_index(drop=True))
+    # re-runs write fresh uniquely-named files; drop any stale z-* file
+    # from a prior partial run so the directory matches the manifest
+    live = set(os.path.basename(p) for p in manifest.file)
+    for name in os.listdir(out_dir):
+        if name.startswith("z-") and name.endswith(".parquet") and name not in live:
+            os.unlink(os.path.join(out_dir, name))
     with open(os.path.join(out_dir, "_manifest.json"), "w") as f:
         json.dump(manifest.to_dict(orient="records"), f)
     return manifest

@@ -30,6 +30,26 @@ import numpy as np
 import pandas as pd
 
 
+def _minmax_prepass(ds, value: str, what: str) -> tuple[float, float]:
+    """Exact Min/Max pre-pass shared by every histogram-sketch op.
+
+    On an empty input (or a column that is all-null) Ray's aggregate
+    returns ``None`` — raise a clear ``ValueError`` here instead of
+    letting ``float(None)`` throw an opaque TypeError (and the finish
+    steps index ``cum[-1]`` on an empty histogram) downstream.
+    """
+    from ray.data.aggregate import Max, Min
+
+    stats = ds.aggregate(Min(value), Max(value))
+    mn = None if stats is None else stats.get(f"min({value})")
+    mx = None if stats is None else stats.get(f"max({value})")
+    if mn is None or mx is None or (isinstance(mn, float) and math.isnan(mn)):
+        raise ValueError(
+            f"{what}: histogram sketch over an empty dataset "
+            f"(no rows with a non-null {value!r} column)")
+    return float(mn), float(mx)
+
+
 def grouped_quantiles_exact(
     ds,
     *,
@@ -110,7 +130,6 @@ def grouped_quantiles_approx(
 
     Output columns: the keys, ``q{percent}`` per quantile, ``n_rows``.
     """
-    from ray.data.aggregate import Max, Min
 
     from ..temporal.core import partitioned_apply
 
@@ -122,9 +141,7 @@ def grouped_quantiles_approx(
     if B < 2:
         raise ValueError(f"n_bins must be >= 2, got {B}")
 
-    stats = ds.aggregate(Min(value), Max(value))
-    mn = float(stats[f"min({value})"])
-    mx = float(stats[f"max({value})"])
+    mn, mx = _minmax_prepass(ds, value, "grouped_quantiles_approx")
     span = mx - mn
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
@@ -265,12 +282,10 @@ def winsorize(ds, *, value: str, lo_q: float = 0.05, hi_q: float = 0.95,
     6 dp. Transform: one stateless vectorized ``map_batches`` clip.
     The SQL oracle rebuilds the identical histogram and clip edges.
     """
-    from ray.data.aggregate import Max, Min
 
     out_col = out_col or f"{value}_w"
     B = int(n_bins)
-    stats = ds.aggregate(Min(value), Max(value))
-    mn, mx = float(stats[f"min({value})"]), float(stats[f"max({value})"])
+    mn, mx = _minmax_prepass(ds, value, "histogram sketch")
     span = mx - mn
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
@@ -320,12 +335,18 @@ def ks_drift(ds, *, group_col: str, value: str, a: str, b: str,
     max-gap. Returns a one-row dataset: ``ks_stat``, ``n_a``, ``n_b``.
     """
     import ray.data as rd
-    from ray.data.aggregate import Max, Min
 
     B = int(n_bins)
-    two = ds.filter(expr=f"{group_col} == '{a}' or {group_col} == '{b}'")
-    stats = two.aggregate(Min(value), Max(value))
-    mn, mx = float(stats[f"min({value})"]), float(stats[f"max({value})"])
+    sides = {a, b}
+
+    def keep(batch: pd.DataFrame) -> pd.DataFrame:
+        # vectorized isin instead of interpolating the labels into a
+        # filter-expression string: labels containing quotes must not
+        # break (or inject into) the expression parser
+        return batch[batch[group_col].isin(sides)]
+
+    two = ds.map_batches(keep, batch_format="pandas")
+    mn, mx = _minmax_prepass(two, value, "ks_drift")
     span = mx - mn
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
@@ -346,6 +367,10 @@ def ks_drift(ds, *, group_col: str, value: str, a: str, b: str,
         h = hist[hist["side"] == side].set_index("bin")["cnt"] \
             .reindex(grid, fill_value=0).to_numpy()
         ns[side] = int(h.sum())
+        if ns[side] == 0:
+            raise ValueError(
+                f"ks_drift: group {side!r} has zero rows in "
+                f"{group_col!r} — cannot form its empirical CDF")
         cdfs[side] = h.cumsum() / float(h.sum())
     stat = round(float(np.max(np.abs(cdfs[a] - cdfs[b]))), decimals)
     return rd.from_pandas(pd.DataFrame(
@@ -363,12 +388,10 @@ def robust_scale(ds, *, value: str, n_bins: int = 1024,
     path is not. Edges are rounded to ``decimals`` BEFORE use so the
     SQL oracle replays the transform bit-for-bit.
     """
-    from ray.data.aggregate import Max, Min
 
     out_col = out_col or f"{value}_rs"
     B = int(n_bins)
-    stats = ds.aggregate(Min(value), Max(value))
-    mn, mx = float(stats[f"min({value})"]), float(stats[f"max({value})"])
+    mn, mx = _minmax_prepass(ds, value, "histogram sketch")
     span = mx - mn
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
@@ -421,11 +444,9 @@ def ks_drift_windows(ds, *, ts_col: str, value: str, freq: str = "D",
     start), ``prev_win``, ``ks_stat``, ``n_prev``, ``n_cur``.
     """
     import ray.data as rd
-    from ray.data.aggregate import Max, Min
 
     B = int(n_bins)
-    stats = ds.aggregate(Min(value), Max(value))
-    mn, mx = float(stats[f"min({value})"]), float(stats[f"max({value})"])
+    mn, mx = _minmax_prepass(ds, value, "histogram sketch")
     span = mx - mn
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
@@ -526,16 +547,13 @@ def ecdf_transform(ds, *, value: str, n_bins: int = 1024,
     the value span; bin rule and operation order are bit-identical to
     the SQL replay.  Transform is one stateless map with the
     1024-entry cumulative table riding the closure."""
-    from ray.data.aggregate import Max, Min
 
     out_col = out_col or f"{value}_ecdf"
     B = int(n_bins)
     if B < 2:
         raise ValueError(f"n_bins must be >= 2, got {B}")
 
-    stats = ds.aggregate(Min(value), Max(value))
-    mn = float(stats[f"min({value})"])
-    mx = float(stats[f"max({value})"])
+    mn, mx = _minmax_prepass(ds, value, "ecdf_transform")
     span = mx - mn
 
     def _bins(v: np.ndarray) -> np.ndarray:

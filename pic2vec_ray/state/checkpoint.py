@@ -171,8 +171,29 @@ def run_partitioned(
             stub.HTTPFileSystem = type("_NoHTTPFileSystem", (), {})
             sys.modules.setdefault("fsspec.implementations.http", stub)
 
+        from concurrent.futures import as_completed
+
         with ThreadPoolExecutor(max_workers=int(max_concurrent)) as pool:
-            # submission order preserved in `ran` for a deterministic
-            # summary; exceptions propagate after in-flight work drains
-            ran = list(pool.map(lambda ki: run_one(*ki), todo))
+            # collect per-future results instead of pool.map: map raises
+            # on the first failed partition and DISCARDS the results of
+            # partitions that already committed (their part=K dirs and
+            # manifests were durably renamed), so the summary would lie
+            # about on-disk state. Record every committed partition in
+            # `ran`, then re-raise the first error (submission order)
+            # after all in-flight work drains.
+            futs = {pool.submit(run_one, k, inputs): k for k, inputs in todo}
+            errors: dict[int, BaseException] = {}
+            for fut in as_completed(futs):
+                try:
+                    ran.append(fut.result())
+                except BaseException as e:  # noqa: BLE001 — recorded, re-raised
+                    errors[futs[fut]] = e
+            ran.sort()  # deterministic summary, same as the serial path
+            if errors:
+                first_k = min(errors)
+                raise RuntimeError(
+                    f"checkpointed run: partition {first_k} failed "
+                    f"(committed this call before the failure: {ran}; "
+                    f"failed partitions: {sorted(errors)})"
+                ) from errors[first_k]
     return {"ran": ran, "skipped": skipped, "num_partitions": len(groups), "out_dir": out_dir}
