@@ -1383,6 +1383,31 @@ FROM part
 # ------------------------------------------------ rows-only (non-SQL) ops
 
 
+def phash_dedup_groups(sf_dir: str):
+    """Image near-duplicate GROUPS (stages/dedup.image_neardup_groups):
+    decode → 64-bit average hash → exact-collapse identical hashes
+    (min-id star edges; the sf0.1 corpus's 2,667-member solid-image
+    cluster stays LINEAR) → banded hamming ≤ 3 pairs between distinct-
+    hash representatives → connected components. Brings image dedup to
+    parity with the text side's ``minhash_dedup_groups``. Rows-only:
+    the perceptual hash depends on generator noise, so no SQL oracle
+    exists (same disclosure as ``image_neardup_pairs``); component
+    semantics are pinned by the planted-cluster pytest
+    (tests/test_image_groups.py)."""
+    from ..stages.dedup import image_neardup_groups
+
+    ds = _rd().read_parquet(_images(sf_dir), columns=["image_id", "bytes"])
+
+    def to_key(t: pa.Table) -> pa.Table:
+        keys = pa.array([int(s.rsplit("_", 1)[1])
+                         for s in t["image_id"].to_pylist()],
+                        type=pa.int64())
+        return pa.table({"img_key": keys, "bytes": t["bytes"]})
+
+    keyed = ds.map_batches(to_key, batch_format="pyarrow")
+    return image_neardup_groups(keyed, id_col="img_key", max_hamming=3)
+
+
 def featurize_flagship(sf_dir: str):
     """Flagship featurize: features summarized as L2 norm + width (the
     fixed_size_list column itself is exercised in pytest; norms make a
@@ -1468,6 +1493,37 @@ SELECT a.vec_id AS id_a, b.vec_id AS id_b,
 FROM u a JOIN u b ON a.vec_id < b.vec_id
 WHERE list_cosine_similarity(a.e, b.e) >= 0.95
 """
+
+
+def embedding_neardup_lsh(sf_dir: str):
+    """The SCALE path of embedding near-dup (mode="lsh", the default:
+    random-hyperplane band sketches, no driver materialization) under
+    the driver's hard gate. Same planted-clone input as
+    ``embedding_neardup``: the corpus is near-orthogonal (max natural
+    cosine ≈ 0.51), so at threshold 0.95 the true pair set is EXACTLY
+    the 20 planted identical clones — and identical vectors produce
+    identical projection signs, so every band buckets each clone with
+    its original with probability 1. The usually-probabilistic LSH
+    recall is therefore deterministic on this input, and the exact
+    all-pairs SQL oracle applies verbatim."""
+    from ..stages.dedup import embedding_neardup_pairs
+
+    ds = _rd().read_parquet(f"{sf_dir}/embeddings.parquet",
+                            columns=["vec_id", "embedding"])
+
+    def clones(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.less(t["vec_id"], 20))
+        return t.set_column(0, "vec_id", pc.add(t["vec_id"], 100000))
+
+    both = ds.union(ds.map_batches(clones, batch_format="pyarrow"))
+    pairs = embedding_neardup_pairs(both, threshold=0.95, mode="lsh")
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["cosine"] = df.cosine.round(5)
+        return df[["id_a", "id_b", "cosine"]]
+
+    return pairs.map_batches(finish, batch_format="pandas")
 
 
 def langid_docs(sf_dir: str):
@@ -1915,6 +1971,56 @@ SELECT l_returnflag,
        CAST(MAX(n) AS BIGINT) AS n_rows
 FROM cdf, s
 GROUP BY l_returnflag, mn, mx
+"""
+
+
+def ddsketch_quantiles_price(sf_dir: str):
+    """Mergeable log-bucket quantile sketch (stages/quantiles.
+    dd_quantiles, DDSketch): grouped quantiles with a RELATIVE-error
+    guarantee and no min/max pre-pass — the heavy-tailed/unbounded-
+    domain member of the sketch family (one outlier adds one bucket
+    instead of collapsing the histogram's resolution). The SQL oracle
+    rebuilds the identical log buckets, cumulative counts and midpoint
+    rule."""
+    from ..stages.quantiles import dd_quantiles
+
+    ds = _rd().read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_extendedprice"],
+    )
+    return dd_quantiles(
+        ds, keys="l_returnflag", value="l_extendedprice",
+        qs=(0.25, 0.5, 0.75, 0.9), relative_accuracy=0.01,
+    )
+
+
+# Bit-exact replay of the DDSketch: identical bucket rule
+# ceil(ln(v)/ln(g)) with g = (1+a)/(1-a) on identical float64 operands,
+# identical rank rule (first bucket with cum >= max(1, ceil(q*n))),
+# identical log-space-midpoint output 2*g^idx/(g+1) rounded 6 dp.
+# All prices are > 0, so only the positive store appears.
+SQL_DDSKETCH_QUANTILES = """
+WITH p AS (SELECT (1.0 + 0.01) / (1.0 - 0.01) AS g),
+binned AS (
+  SELECT l_returnflag,
+         CAST(CEIL(LN(l_extendedprice) / LN(g)) AS BIGINT) AS idx
+  FROM lineitem, p
+), hist AS (
+  SELECT l_returnflag, idx, COUNT(*) AS cnt FROM binned GROUP BY 1, 2
+), cdf AS (
+  SELECT l_returnflag, idx,
+         SUM(cnt) OVER (PARTITION BY l_returnflag ORDER BY idx) AS cum,
+         SUM(cnt) OVER (PARTITION BY l_returnflag) AS n
+  FROM hist
+)
+SELECT l_returnflag,
+       ROUND(2 * POWER(g, MIN(CASE WHEN cum >= GREATEST(1, CEIL(0.25 * n)) THEN idx END)) / (g + 1), 6) AS q25,
+       ROUND(2 * POWER(g, MIN(CASE WHEN cum >= GREATEST(1, CEIL(0.50 * n)) THEN idx END)) / (g + 1), 6) AS q50,
+       ROUND(2 * POWER(g, MIN(CASE WHEN cum >= GREATEST(1, CEIL(0.75 * n)) THEN idx END)) / (g + 1), 6) AS q75,
+       ROUND(2 * POWER(g, MIN(CASE WHEN cum >= GREATEST(1, CEIL(0.90 * n)) THEN idx END)) / (g + 1), 6) AS q90,
+       CAST(MAX(n) AS BIGINT) AS n_rows
+FROM cdf, p
+GROUP BY l_returnflag, g
 """
 
 
@@ -4202,6 +4308,9 @@ QUERIES = {
     #   last. Every entry regardless of cohort is continuously
     #   verified by tools/selfcheck.py sweeps at sf0.1.
     # ---- round-5 additions (insert new queries HERE, top of gate)
+    "ddsketch_quantiles_price": ddsketch_quantiles_price,
+    "embedding_neardup_lsh": embedding_neardup_lsh,
+    "phash_dedup_groups": phash_dedup_groups,
     # ---- never-driver-checked cohort (round-5 gate)
     "bpe_tokenize_docs": bpe_tokenize_docs,
     "woe_encode_priority": woe_encode_priority,
@@ -4387,6 +4496,8 @@ ORACLE_SQL = {
     "attribution_6h": SQL_ATTRIBUTION,
     "quantiles_by_flag": SQL_QUANTILES,
     "approx_quantiles_price": SQL_APPROX_QUANTILES,
+    "ddsketch_quantiles_price": SQL_DDSKETCH_QUANTILES,
+    "embedding_neardup_lsh": SQL_EMB_NEARDUP,
     "epoch_shuffle_docs": _epoch_shuffle_sql(),
     "bpe_tokenize_docs": _bpe_sql(),
     "pack_bpe_docs": _pack_bpe_sql(),

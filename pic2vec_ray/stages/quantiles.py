@@ -179,6 +179,119 @@ def grouped_quantiles_approx(
                              num_partitions=num_partitions)
 
 
+def dd_quantiles(
+    ds,
+    *,
+    value: str,
+    keys: str | list[str] | None = None,
+    qs: tuple[float, ...] = (0.25, 0.5, 0.75, 0.9),
+    relative_accuracy: float = 0.01,
+    decimals: int = 6,
+):
+    """Mergeable log-bucket quantile sketch (DDSketch; Masson, Rim &
+    Lee, VLDB 2019) for UNBOUNDED / heavy-tailed continuous domains —
+    the member of the sketch family the fixed-bin histogram cannot
+    cover: :func:`grouped_quantiles_approx` needs a min/max pre-pass
+    and spreads its bins over the full observed range, so one
+    adversarial outlier collapses every bin's resolution (pinned by
+    the outlier-robustness pytest the histogram path fails). DDSketch
+    buckets are LOGARITHMIC — ``idx = ceil(ln(v) / ln(gamma))`` with
+    ``gamma = (1 + a) / (1 - a)`` — so the q-quantile estimate
+    ``2·gamma^idx / (gamma + 1)`` (the bucket's log-space midpoint)
+    carries a RELATIVE error guarantee ``|est − x_q| ≤ a·x_q``
+    regardless of the value range: an outlier adds one bucket, it
+    does not steal resolution from the rest of the distribution.
+
+    Chosen over KLL / t-digest deliberately: KLL's compactions are
+    randomized and t-digest's centroids depend on arrival order,
+    while the DDSketch state is a pure (store, idx) → count map whose
+    merge is pointwise integer addition — commutative, associative,
+    partition-invariant (pinned by pytest), and exactly replayable in
+    SQL the way ``hll_distinct_tokens`` replays HLL registers. No
+    pre-pass: ONE streaming pass over the input.
+
+    Scale shape: the per-batch partial is a tiny (keys, store, idx)
+    count cube — for any float64 input the index magnitude is bounded
+    by ``|ln(v)|max / ln(gamma)`` (≈ 74k buckets at a = 1%, ~3k in
+    practice), so partials are merged on the driver (the bounded
+    counts-cube pattern, see ``featsel._counts_cube``) and raw rows
+    never shuffle. Negative values go to a mirrored store and zeros
+    to a dedicated counter, so the sketch totally orders the real
+    line: store −1 (idx descending), 0, +1 (idx ascending).
+
+    Output: the keys (if any), ``q{percent}`` per requested quantile
+    rounded to ``decimals``, and ``n_rows``. The rank rule matches
+    the histogram sketch: first bucket whose cumulative count reaches
+    ``max(1, ceil(q·n))``.
+    """
+    import ray.data as rd
+
+    a = float(relative_accuracy)
+    if not 0.0 < a < 1.0:
+        raise ValueError(f"relative_accuracy must be in (0, 1), got {a}")
+    gamma = (1.0 + a) / (1.0 - a)
+    lg = math.log(gamma)  # scalar libm log, same operand as SQL ln(gamma)
+    keys = [keys] if isinstance(keys, str) else list(keys or [])
+    qcols = [f"q{int(round(q * 100))}" for q in qs]
+    if len(set(qcols)) != len(qcols):
+        raise ValueError("quantiles collide after percent rounding")
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        keep = batch[value].notna().to_numpy()
+        batch = batch[keep] if not keep.all() else batch
+        v = batch[value].to_numpy(dtype=np.float64)
+        store = np.sign(v).astype(np.int64)
+        idx = np.zeros(len(v), dtype=np.int64)
+        pos = store != 0
+        # ceil(ln(|v|)/ln(gamma)): the paper's index rule, evaluated in
+        # IEEE float64 exactly as the SQL replay evaluates
+        # ceil(ln(v)/ln(g)) — identical operands → identical libm
+        idx[pos] = np.ceil(np.log(np.abs(v[pos])) / lg).astype(np.int64)
+        g = batch[keys].copy() if keys else pd.DataFrame(index=batch.index)
+        g["store"], g["idx"] = store, idx
+        return (g.groupby(keys + ["store", "idx"], as_index=False).size()
+                .rename(columns={"size": "cnt"}))
+
+    # bounded counts-cube merge on the driver: keys × (≤ ~3k buckets)
+    # rows total, never raw input rows (BASELINE.md high-cardinality
+    # groupby rule — Ray's sort-aggregate is slower than a driver
+    # pandas merge at this size)
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    if not len(parts):
+        raise ValueError(
+            f"dd_quantiles over an empty dataset (no rows with a "
+            f"non-null {value!r} column)")
+    cube = parts.groupby(keys + ["store", "idx"], as_index=False)["cnt"].sum()
+    # total order over the real line: store asc, then idx desc in the
+    # negative store / asc in the positive store
+    cube["okey"] = (cube["store"] * (1 << 32)
+                    + np.where(cube["store"] < 0, -cube["idx"],
+                               np.where(cube["store"] > 0, cube["idx"], 0)))
+
+    def bucket_value(store: int, idx: int) -> float:
+        if store == 0:
+            return 0.0
+        return float(store) * (2.0 * gamma ** idx / (gamma + 1.0))
+
+    rows = []
+    grouped = cube.groupby(keys, sort=True) if keys else [((), cube)]
+    for gk, g in grouped:
+        g = g.sort_values("okey", kind="mergesort")
+        cum = g["cnt"].to_numpy().cumsum()
+        n = int(cum[-1])
+        row = dict(zip(keys, gk if isinstance(gk, tuple) else (gk,)))
+        for q, name in zip(qs, qcols):
+            rank = max(1, math.ceil(q * n))
+            j = int(np.searchsorted(cum, rank))
+            row[name] = round(bucket_value(int(g["store"].iloc[j]),
+                                           int(g["idx"].iloc[j])),
+                              decimals) + 0.0
+        row["n_rows"] = n
+        rows.append(row)
+    out = pd.DataFrame(rows, columns=keys + qcols + ["n_rows"])
+    return rd.from_pandas(out)
+
+
 def grouped_mode(ds, *, keys: str | list[str], value: str):
     """Exact most-frequent ``value`` per group with a PINNED tie-break
     (highest count first, then smallest value — SQL ``ROW_NUMBER()
