@@ -1383,6 +1383,72 @@ FROM part
 # ------------------------------------------------ rows-only (non-SQL) ops
 
 
+PPMI_V, PPMI_DIM, PPMI_WINDOW = 64, 16, 2
+
+
+def ppmi_matrix_docs(sf_dir: str):
+    """PPMI word-association matrix over the exact top-64 vocabulary
+    (stages/text.ppmi_svd): vocabulary-bounded counts cube → driver
+    finish, the count-based half of PPMI+SVD word vectors. The SQL
+    oracle replays tokenization, the tie-broken top-V vocabulary, the
+    forward-window pair counts, the restricted-matrix marginals and
+    every ``max(0, ln(c·T/(r·c)))`` entry bit-for-bit."""
+    from ..stages.text import ppmi_svd
+
+    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+    _, ppmi = ppmi_svd(ds, window=PPMI_WINDOW, vocab_size=PPMI_V,
+                       dim=PPMI_DIM)
+    return ppmi
+
+
+SQL_PPMI_MATRIX = f"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                             t -> t <> '') AS ts
+  FROM documents
+), pos AS (
+  SELECT doc_id, unnest(ts) AS w, generate_subscripts(ts, 1) AS pos FROM toks
+), vocab AS (
+  SELECT w FROM (
+    SELECT w, COUNT(*) AS cnt FROM pos GROUP BY 1
+  ) ORDER BY cnt DESC, w ASC LIMIT {PPMI_V}
+), prs AS (
+  SELECT a.w AS w1, b.w AS w2, COUNT(*) AS cnt
+  FROM pos a JOIN pos b
+    ON a.doc_id = b.doc_id
+   AND b.pos - a.pos BETWEEN 1 AND {PPMI_WINDOW}
+  WHERE a.w IN (SELECT w FROM vocab) AND b.w IN (SELECT w FROM vocab)
+  GROUP BY 1, 2
+), marg AS (
+  SELECT w1, w2, CAST(cnt AS DOUBLE) AS cnt,
+         SUM(CAST(cnt AS DOUBLE)) OVER (PARTITION BY w1) AS r,
+         SUM(CAST(cnt AS DOUBLE)) OVER (PARTITION BY w2) AS c,
+         SUM(CAST(cnt AS DOUBLE)) OVER () AS t
+  FROM prs
+)
+SELECT w1, w2, CAST(cnt AS BIGINT) AS cnt,
+       ROUND(GREATEST(0.0, LN((cnt * t) / (r * c))), 6) + 0.0 AS ppmi
+FROM marg
+"""
+
+
+def word_vectors_docs(sf_dir: str):
+    """Truncated-SVD word vectors from the PPMI matrix (stages/text.
+    ppmi_svd) — Levy & Goldberg 2014's count-based skip-gram
+    equivalent, vocabulary-bounded end to end. Rows-only at the driver
+    (the SVD is iterative, not SQL-expressible); orthonormality,
+    reconstruction-error and sign-determinism are pinned in
+    tests/test_ppmi.py, mirroring pca_project's tests."""
+    from ..stages.text import ppmi_svd
+
+    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+    vectors, _ = ppmi_svd(ds, window=PPMI_WINDOW, vocab_size=PPMI_V,
+                          dim=PPMI_DIM)
+    return vectors
+
+
 def phash_dedup_groups(sf_dir: str):
     """Image near-duplicate GROUPS (stages/dedup.image_neardup_groups):
     decode → 64-bit average hash → exact-collapse identical hashes
@@ -4311,6 +4377,8 @@ QUERIES = {
     "ddsketch_quantiles_price": ddsketch_quantiles_price,
     "embedding_neardup_lsh": embedding_neardup_lsh,
     "phash_dedup_groups": phash_dedup_groups,
+    "ppmi_matrix_docs": ppmi_matrix_docs,
+    "word_vectors_docs": word_vectors_docs,
     # ---- never-driver-checked cohort (round-5 gate)
     "bpe_tokenize_docs": bpe_tokenize_docs,
     "woe_encode_priority": woe_encode_priority,
@@ -4498,6 +4566,7 @@ ORACLE_SQL = {
     "approx_quantiles_price": SQL_APPROX_QUANTILES,
     "ddsketch_quantiles_price": SQL_DDSKETCH_QUANTILES,
     "embedding_neardup_lsh": SQL_EMB_NEARDUP,
+    "ppmi_matrix_docs": SQL_PPMI_MATRIX,
     "epoch_shuffle_docs": _epoch_shuffle_sql(),
     "bpe_tokenize_docs": _bpe_sql(),
     "pack_bpe_docs": _pack_bpe_sql(),

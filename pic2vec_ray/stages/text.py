@@ -868,6 +868,127 @@ def pmi_topk(ds, *, text_col: str = "text", id_col: str = "doc_id",
     return rd.from_pandas(out.drop(columns="pmi_raw"))
 
 
+def ppmi_svd(ds, *, text_col: str = "text", id_col: str = "doc_id",
+             window: int = 2, vocab_size: int = 64, dim: int = 16,
+             num_partitions: int = 16, decimals: int = 6):
+    """PPMI + truncated-SVD word vectors (Levy & Goldberg 2014's
+    count-based equivalent of skip-gram embeddings) — the natural
+    composition of the :func:`cooccur_topk` counts-cube shape with the
+    ``pca_project`` driver-eigh pattern: every distributed exchange is
+    vocabulary-bounded, never corpus-sized.
+
+    Passes:
+
+    1. exact top-``vocab_size`` unigram vocabulary (per-batch partial
+       counts → one token-key partition merge → tiny driver top-V,
+       tie-break cnt DESC, token ASC — total, SQL-replayable);
+    2. forward-``window`` skip-gram pair counts RESTRICTED to
+       vocab × vocab (per-batch partials; the merged cube is ≤ V²
+       rows, merged on the driver like ``featsel._counts_cube``);
+    3. driver finish on the V×V matrix: marginals are row/column sums
+       of the restricted matrix, ``ppmi = max(0, ln(c_ij·T/(r_i·c_j)))``
+       with the operand order pinned for the SQL replay, then one
+       LAPACK SVD — ``W = U_d·diag(sqrt(s_d))``, the standard
+       symmetric weight split. Sign convention pinned per component
+       (largest-|loading| coordinate made positive) so the output is
+       deterministic across LAPACK builds.
+
+    Returns ``(vectors, ppmi)``: ``vectors`` a pandas DataFrame
+    ``(token, v0..v{dim-1})`` rounded to ``decimals``; ``ppmi`` the
+    nonzero matrix entries ``(w1, w2, cnt, ppmi)`` — the
+    SQL-replayable surface (the SVD itself is iterative and lives
+    under pytest instead: orthonormality + reconstruction bounds).
+    """
+    from ..temporal.core import partitioned_apply
+
+    V = int(vocab_size)
+    d = int(dim)
+    if d > V:
+        raise ValueError(f"dim {d} > vocab_size {V}")
+
+    # pass 1 — exact unigram top-V
+    def unigrams(batch: pd.DataFrame) -> pd.DataFrame:
+        ex = _explode_tokens(batch, id_col, text_col)
+        return (ex.groupby("w", as_index=False).size()
+                .rename(columns={"size": "cnt"}))
+
+    merged_uni = partitioned_apply(
+        ds.map_batches(unigrams, batch_format="pandas"), "w",
+        lambda df: df.groupby("w", as_index=False)["cnt"].sum(),
+        num_partitions=num_partitions).to_pandas()
+    if not len(merged_uni):
+        raise ValueError("ppmi_svd over an empty corpus")
+    merged_uni = merged_uni.sort_values(["cnt", "w"],
+                                        ascending=[False, True],
+                                        kind="mergesort").head(V)
+    vocab = list(merged_uni.w)
+    V = len(vocab)  # the corpus may have fewer distinct tokens
+    d = min(d, V)
+    vpos = {w: i for i, w in enumerate(vocab)}
+
+    # pass 2 — vocab-restricted forward-window pair counts
+    def pairs(batch: pd.DataFrame) -> pd.DataFrame:
+        ex = _explode_tokens(batch, id_col, text_col)
+        ids = ex[id_col].to_numpy()
+        w = ex["w"].to_numpy()
+        parts = []
+        for dd in range(1, window + 1):
+            if len(ex) <= dd:
+                break
+            same = ids[:-dd] == ids[dd:]
+            parts.append(pd.DataFrame({"w1": w[:-dd][same],
+                                       "w2": w[dd:][same]}))
+        if not parts:
+            return pd.DataFrame({"w1": pd.Series([], dtype=str),
+                                 "w2": pd.Series([], dtype=str),
+                                 "cnt": pd.Series([], dtype="int64")})
+        allp = pd.concat(parts, ignore_index=True)
+        allp = allp[allp.w1.isin(vpos) & allp.w2.isin(vpos)]
+        return allp.groupby(["w1", "w2"], as_index=False).size() \
+                   .rename(columns={"size": "cnt"})
+
+    # bounded V^2 cube: merge on the driver (counts-cube pattern)
+    cube = (ds.map_batches(pairs, batch_format="pandas").to_pandas()
+            .groupby(["w1", "w2"], as_index=False)["cnt"].sum())
+
+    M = np.zeros((V, V), dtype=np.float64)
+    if len(cube):
+        M[cube.w1.map(vpos).to_numpy(), cube.w2.map(vpos).to_numpy()] = \
+            cube.cnt.to_numpy(np.float64)
+    T = float(M.sum())
+    if T == 0:
+        raise ValueError("ppmi_svd: no in-vocabulary co-occurrences")
+    r = M.sum(axis=1)  # row marginals (restricted matrix)
+    c = M.sum(axis=0)  # column marginals
+    ppmi = np.zeros_like(M)
+    nz = M > 0
+    # operand order pinned to the SQL replay: (c_ij * T) / (r_i * c_j);
+    # marginals are strictly positive wherever c_ij > 0
+    ppmi[nz] = np.log((M[nz] * T) / np.outer(r, c)[nz])
+    np.maximum(ppmi, 0.0, out=ppmi)
+
+    U, s, _ = np.linalg.svd(ppmi, full_matrices=False)
+    W = U[:, :d] * np.sqrt(s[:d])
+    # pin the SVD sign ambiguity: largest-|loading| coordinate positive
+    for j in range(d):
+        i = int(np.argmax(np.abs(U[:, j])))
+        if U[i, j] < 0:
+            W[:, j] = -W[:, j]
+
+    vectors = pd.DataFrame({"token": vocab})
+    for j in range(d):
+        vectors[f"v{j}"] = np.round(W[:, j], decimals) + 0.0
+
+    i1, i2 = np.nonzero(nz)
+    ppmi_df = pd.DataFrame({
+        "w1": [vocab[i] for i in i1],
+        "w2": [vocab[i] for i in i2],
+        "cnt": M[i1, i2].astype(np.int64),
+        "ppmi": np.round(ppmi[i1, i2], decimals) + 0.0,
+    }).sort_values(["w1", "w2"], kind="mergesort").reset_index(drop=True)
+    return vectors, ppmi_df
+
+
 def bm25_topk(ds, *, queries: list[str], k: int = 5, col: str = "text",
               id_col: str = "doc_id", k1: float = 1.2, b: float = 0.75,
               decimals: int = 6, num_partitions: int = 16):
