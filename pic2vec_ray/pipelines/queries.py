@@ -1383,6 +1383,34 @@ FROM part
 # ------------------------------------------------ rows-only (non-SQL) ops
 
 
+def dedup_quota_docs(sf_dir: str):
+    """Exact dedup with a per-source keep quota (stages/dedup.
+    dedup_with_quota): min-id survivor per distinct text, then at most
+    15 survivors per source in deterministic id order — the corpus-
+    balancing knob that stops one over-represented domain from
+    drowning the mix. SQL replays the winner rule and the
+    ROW_NUMBER() <= quota cut."""
+    from ..stages.dedup import dedup_with_quota
+
+    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text", "source"])
+    out = dedup_with_quota(ds, col="text", id_col="doc_id",
+                           group_col="source", quota=15)
+    return out.select_columns(["doc_id", "source"])
+
+
+SQL_DEDUP_QUOTA = """
+WITH kept AS (
+  SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text
+), survivors AS (
+  SELECT d.doc_id, d.source,
+         ROW_NUMBER() OVER (PARTITION BY d.source ORDER BY d.doc_id) AS rn
+  FROM documents d JOIN kept USING (doc_id)
+)
+SELECT doc_id, source FROM survivors WHERE rn <= 15
+"""
+
+
 PPMI_V, PPMI_DIM, PPMI_WINDOW = 64, 16, 2
 
 
@@ -4379,6 +4407,7 @@ QUERIES = {
     "phash_dedup_groups": phash_dedup_groups,
     "ppmi_matrix_docs": ppmi_matrix_docs,
     "word_vectors_docs": word_vectors_docs,
+    "dedup_quota_docs": dedup_quota_docs,
     # ---- never-driver-checked cohort (round-5 gate)
     "bpe_tokenize_docs": bpe_tokenize_docs,
     "woe_encode_priority": woe_encode_priority,
@@ -4567,6 +4596,7 @@ ORACLE_SQL = {
     "ddsketch_quantiles_price": SQL_DDSKETCH_QUANTILES,
     "embedding_neardup_lsh": SQL_EMB_NEARDUP,
     "ppmi_matrix_docs": SQL_PPMI_MATRIX,
+    "dedup_quota_docs": SQL_DEDUP_QUOTA,
     "epoch_shuffle_docs": _epoch_shuffle_sql(),
     "bpe_tokenize_docs": _bpe_sql(),
     "pack_bpe_docs": _pack_bpe_sql(),

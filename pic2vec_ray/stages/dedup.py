@@ -118,6 +118,39 @@ def dedup_exact(ds, *, col: str = "text", id_col: str = "doc_id", num_partitions
     )
 
 
+def dedup_with_quota(ds, *, col: str = "text", id_col: str = "doc_id",
+                     group_col: str = "source", quota: int = 100,
+                     num_partitions: int = 64):
+    """Exact dedup with a per-group KEEP QUOTA — the standard
+    corpus-balancing knob: after the content-level winner rule
+    (:func:`dedup_exact`, min-id survivor per distinct text), each
+    ``group_col`` value (domain / source / language) keeps at most
+    ``quota`` survivors, selected by the deterministic id order. One
+    over-represented crawl domain then contributes a bounded share of
+    the training mix instead of drowning it (the dedup-side sibling of
+    ``split.temperature_mixture``'s rate math).
+
+    Scale shape: dedup's two-phase fingerprint exchange, then ONE
+    top-n-per-group shuffle keyed by ``group_col``
+    (``temporal.windows.top_n_per_group``: per-partition vectorized
+    head-of-sorted-group, only survivor rows move). The SQL oracle
+    replays the cut as ``ROW_NUMBER() OVER (PARTITION BY group ORDER
+    BY id) <= quota`` on the deduped survivor set.
+
+    Output: the surviving rows (all input columns), plus nothing —
+    ordering is not part of the contract.
+    """
+    from ..temporal.windows import top_n_per_group
+
+    if quota < 1:
+        raise ValueError(f"quota must be >= 1, got {quota}")
+    kept = dedup_exact(ds, col=col, id_col=id_col,
+                       num_partitions=num_partitions)
+    return top_n_per_group(kept, by=group_col, order_cols=[id_col],
+                           ascending=[True], n=quota,
+                           num_partitions=num_partitions)
+
+
 def exact_dup_edges(ds, *, col: str = "text", id_col: str = "doc_id",
                     num_partitions: int = 64):
     """Exact-duplicate STAR edges ``(id_a=group min, id_b=other)`` per
