@@ -1383,6 +1383,27 @@ FROM part
 # ------------------------------------------------ rows-only (non-SQL) ops
 
 
+def bm25_topk_indexed_docs(sf_dir: str):
+    """BM25 top-5 retrieval through the token-bucketed INVERTED-INDEX
+    store (stages/retrieval.InvertedIndex) — the lexical sibling of
+    ``IvfIndex``: postings persist once as parquet partitioned by term
+    hash, and the search opens only the queried terms' bucket
+    directories (file-level pruning pinned in tests/test_retrieval.py).
+    Scores reproduce ``bm25_topk``'s addend sequence bit-for-bit, so
+    the SAME SQL oracle as ``bm25_topk_docs`` applies verbatim."""
+    import hashlib as _hl
+
+    from ..stages.retrieval import InvertedIndex
+
+    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+    path = ("/tmp/pic2vec_ray_cache/invidx_"
+            + _hl.sha1(sf_dir.encode()).hexdigest()[:10])
+    idx = InvertedIndex(n_buckets=16)
+    idx.build(ds, path)  # deterministic rebuild per call
+    return idx.search(path, list(RETRIEVAL_QUERIES), k=5)
+
+
 def dedup_quota_docs(sf_dir: str):
     """Exact dedup with a per-source keep quota (stages/dedup.
     dedup_with_quota): min-id survivor per distinct text, then at most
@@ -4408,6 +4429,7 @@ QUERIES = {
     "ppmi_matrix_docs": ppmi_matrix_docs,
     "word_vectors_docs": word_vectors_docs,
     "dedup_quota_docs": dedup_quota_docs,
+    "bm25_topk_indexed_docs": bm25_topk_indexed_docs,
     # ---- never-driver-checked cohort (round-5 gate)
     "bpe_tokenize_docs": bpe_tokenize_docs,
     "woe_encode_priority": woe_encode_priority,
@@ -4657,6 +4679,7 @@ ORACLE_SQL = {
     "json_field_events": SQL_JSON_FIELD,
     "q5_local_supplier_volume": SQL_Q5,
     "bm25_topk_docs": _bm25_topk_sql(),
+    "bm25_topk_indexed_docs": _bm25_topk_sql(),
     "profile_lineitem": SQL_PROFILE,
     "ecdf_value_events": SQL_ECDF,
     "simhash_neardup_docs": _sketch_sql.simhash_pairs_sql(),
