@@ -4430,6 +4430,10 @@ QUERIES = {
     "word_vectors_docs": word_vectors_docs,
     "dedup_quota_docs": dedup_quota_docs,
     "bm25_topk_indexed_docs": bm25_topk_indexed_docs,
+    # bm25_docs / bm25_topk_docs moved up: their oracles were rewritten
+    # this round (pinned addend order) — give the rewrite a hard row
+    "bm25_docs": bm25_docs,
+    "bm25_topk_docs": bm25_topk_docs,
     # ---- never-driver-checked cohort (round-5 gate)
     "bpe_tokenize_docs": bpe_tokenize_docs,
     "woe_encode_priority": woe_encode_priority,
@@ -4474,7 +4478,6 @@ QUERIES = {
     "aspect_bucket_batches": aspect_bucket_batches,
     "weighted_sample_docs": weighted_sample_docs,
     "collapse_rare_parttype": collapse_rare_parttype,
-    "bm25_docs": bm25_docs,
     "funnel_view_click_purchase": funnel_view_click_purchase,
     "pmi_topk_docs": pmi_topk_docs,
     "outlier_flags_events": outlier_flags_events,
@@ -4482,7 +4485,6 @@ QUERIES = {
     "json_field_events": json_field_events,
     "profile_lineitem": profile_lineitem,
     "ecdf_value_events": ecdf_value_events,
-    "bm25_topk_docs": bm25_topk_docs,
     "mi_lang_source": mi_lang_source,
     "spearman_qty_lineno": spearman_qty_lineno,
     "phash_verify": phash_verify,
