@@ -4154,6 +4154,43 @@ def _zorder_sql(bits: int = 16) -> str:
             f"FROM events")
 
 
+# box constants sized to hit at every SF (user_id tops out at 14 at
+# sf0.001; event_id scales with row count)
+ZBOX_X, ZBOX_Y = (3, 9), (100, 5000)
+
+
+def zbox_pruned_read_events(sf_dir: str):
+    """The z-order layout's PRUNED READ PATH under the oracle gate
+    (sources/zcluster): write events z-clustered on (user_id,
+    event_id), then answer a 2-D box predicate by opening only the
+    files whose manifest min/max stats intersect the box (file-count
+    pruning is pinned in tests/test_zcluster*; this query pins the
+    ANSWER). The SQL oracle is the plain BETWEEN predicate — if the
+    pruning ever dropped a file it shouldn't, the row set breaks."""
+    import hashlib as _hl
+
+    from ..sources.zcluster import read_zclustered_box, write_zclustered
+
+    ds = _events(sf_dir, columns=["event_id", "user_id"])
+    out_dir = ("/tmp/pic2vec_ray_cache/zbox_"
+               + _hl.sha1(sf_dir.encode()).hexdigest()[:10])
+    write_zclustered(ds, out_dir, x="user_id", y="event_id", bits=16,
+                     rows_per_file=8192)
+    box, _, _ = read_zclustered_box(out_dir, x_range=ZBOX_X, y_range=ZBOX_Y,
+                                    x="user_id", y="event_id")
+    if box is None:
+        return pd.DataFrame({"event_id": pd.Series([], dtype="int64"),
+                             "user_id": pd.Series([], dtype="int64")})
+    return box.select_columns(["event_id", "user_id"])
+
+
+SQL_ZBOX = f"""
+SELECT event_id, user_id FROM events
+WHERE user_id BETWEEN {ZBOX_X[0]} AND {ZBOX_X[1]}
+  AND event_id BETWEEN {ZBOX_Y[0]} AND {ZBOX_Y[1]}
+"""
+
+
 def json_field_events(sf_dir: str):
     """Scalar JSON field extraction from the events.props payload
     column (stages/relational.json_extract_field): vectorized compiled
@@ -4434,6 +4471,7 @@ QUERIES = {
     # this round (pinned addend order) — give the rewrite a hard row
     "bm25_docs": bm25_docs,
     "bm25_topk_docs": bm25_topk_docs,
+    "zbox_pruned_read_events": zbox_pruned_read_events,
     # ---- never-driver-checked cohort (round-5 gate)
     "bpe_tokenize_docs": bpe_tokenize_docs,
     "woe_encode_priority": woe_encode_priority,
@@ -4621,6 +4659,7 @@ ORACLE_SQL = {
     "embedding_neardup_lsh": SQL_EMB_NEARDUP,
     "ppmi_matrix_docs": SQL_PPMI_MATRIX,
     "dedup_quota_docs": SQL_DEDUP_QUOTA,
+    "zbox_pruned_read_events": SQL_ZBOX,
     "epoch_shuffle_docs": _epoch_shuffle_sql(),
     "bpe_tokenize_docs": _bpe_sql(),
     "pack_bpe_docs": _pack_bpe_sql(),
