@@ -248,7 +248,12 @@ def run_secondary(sf_dir: str) -> dict:
                  "snapshot_diff_docs", "drift_daily_events",
                  "dup_spans_docs", "multimodal_dedup_groups",
                  "hashvec_docs", "rfm_users", "char_entropy_docs",
-                 "aspect_bucket_batches", "box_features_verify"):
+                 "aspect_bucket_batches", "box_features_verify",
+                 # round 5
+                 "ddsketch_quantiles_price", "embedding_neardup_lsh",
+                 "ppmi_matrix_docs", "dedup_quota_docs",
+                 "bm25_topk_indexed_docs", "zbox_pruned_read_events",
+                 "phash_dedup_groups"):
         t0 = time.perf_counter()
         res = Q.QUERIES[name](sf_dir)
         # consume: small results to pandas, large to count
