@@ -47,7 +47,7 @@ from ..codecs.png import encode_png
 from ..functions.image_ops import average_hash
 
 SEED = 5102020  # reference tests pin this seed (tests/test_feature_preprocessing.py:20)
-GENERATOR_VERSION = "v4"  # bump on ANY change to row rules/content → invalidates caches
+GENERATOR_VERSION = "v5"  # bump on ANY change to row rules/content/layout → invalidates caches (v5: pinned file count)
 JPEG_QUALITY = 60  # real-decoder rows; q60 halves Huffman symbols vs q80
 
 IMAGES_SCHEMA = pa.schema(
@@ -151,6 +151,15 @@ def images_table_path(sf_dir: str, cache_root: str = "/tmp/pic2vec_ray_cache") -
         return out_dir
     part = rd.read_parquet(os.path.join(sf_dir, "part.parquet"), columns=["p_partkey", "p_name"])
     ds = part.map_batches(synth_images_batch, batch_format="pyarrow", batch_size=512)
+    # Pin the output FILE COUNT: write_parquet emits one file per block
+    # and the block count follows the session's parallelism, so a cache
+    # built under a 4-CPU session would have 3 files where a 32-CPU one
+    # has 32 — and downstream consumers that partition work by input
+    # file (state/checkpoint.run_partitioned, tests) would silently
+    # change shape depending on WHO built the cache first. One fixed
+    # repartition (row-content is per-key deterministic, so layout is
+    # the only degree of freedom) makes the fixture reproducible.
+    ds = ds.repartition(max(8, min(32, part.count() // 2048)))
     tmp = out_dir + ".tmp"
     import shutil
 

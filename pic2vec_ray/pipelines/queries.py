@@ -476,6 +476,228 @@ SQL_ASOF = _SQL_ASOF_TMPL.format(op=">=")
 SQL_ASOF_STRICT = _SQL_ASOF_TMPL.format(op=">")
 
 
+def asof_nearest_purchase(sf_dir: str):
+    """Nearest-in-time as-of join (temporal/asof.asof_join
+    direction='nearest'): each view/click matches the purchase
+    minimizing |Δts|, equidistant ties to the BACKWARD row (pandas
+    merge_asof semantics, pinned in the SQL oracle's CASE).  The right
+    side is pre-collapsed to unique (user_id, ts) via MAX(value) —
+    an as-of against duplicate right timestamps would make 'last row
+    wins' depend on block order."""
+    from ..temporal.asof import asof_join
+
+    right = (_purchases(sf_dir)
+             .groupby(["user_id", "ts"]).max("purchase_value"))
+
+    def clean(df: pd.DataFrame) -> pd.DataFrame:
+        return df.rename(columns={"max(purchase_value)": "purchase_value"})
+
+    out = asof_join(
+        _view_clicks(sf_dir).drop_columns(["event_type"]),
+        right.map_batches(clean, batch_format="pandas"),
+        on="ts", by="user_id", direction="nearest", suffix="_r",
+        num_partitions=_nparts(sf_dir, "events"),
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.rename(columns={"ts_r": "purchase_ts"})
+        return df[["event_id", "user_id", "ts", "purchase_ts",
+                   "purchase_value"]]
+
+    return out.map_batches(finish, batch_format="pandas")
+
+
+SQL_ASOF_NEAREST = """
+WITH p AS (
+  SELECT user_id, ts, MAX(value) AS pv FROM events
+  WHERE event_type = 'purchase' GROUP BY 1, 2
+), e AS (
+  SELECT event_id, user_id, ts FROM events
+  WHERE event_type IN ('view', 'click')
+), back AS (
+  SELECT e.event_id, p.ts AS bts, p.pv AS bv
+  FROM e ASOF LEFT JOIN p ON e.user_id = p.user_id AND e.ts >= p.ts
+), fwd AS (
+  SELECT e.event_id, p.ts AS fts, p.pv AS fv
+  FROM e ASOF LEFT JOIN p ON e.user_id = p.user_id AND e.ts <= p.ts
+)
+SELECT e.event_id, e.user_id, e.ts,
+       CASE WHEN bts IS NOT NULL
+                  AND (fts IS NULL OR (e.ts - bts) <= (fts - e.ts))
+            THEN bts ELSE fts END AS purchase_ts,
+       CASE WHEN bts IS NOT NULL
+                  AND (fts IS NULL OR (e.ts - bts) <= (fts - e.ts))
+            THEN bv ELSE fv END AS purchase_value
+FROM e JOIN back USING (event_id) JOIN fwd USING (event_id)
+"""
+
+
+def ewma_value_48h(sf_dir: str):
+    """Time-decayed EWMA of events.value over a 48h RANGE frame with a
+    12h half-life (temporal/windows.ewma_range): integer-quantized
+    addends make the frame sums order-invariant, so the SQL oracle's
+    unordered SUM() over a windowed self-join replays num/den/ratio
+    exactly."""
+    from ..temporal.windows import ewma_range
+
+    ds = _events(sf_dir, columns=["event_id", "user_id", "ts", "value"])
+    out = ewma_range(ds, by="user_id", order="ts", value="value",
+                     window=pd.Timedelta(hours=48),
+                     halflife=pd.Timedelta(hours=12),
+                     out_col="value_ewma48h",
+                     num_partitions=_nparts(sf_dir, "events"))
+    return out.select_columns(["event_id", "user_id", "ts", "value",
+                               "value_ewma48h_micro6", "value_ewma48h_n"])
+
+
+SQL_EWMA = """
+WITH e AS (SELECT event_id, user_id, ts, value FROM events),
+pairs AS (
+  SELECT a.event_id,
+         exp(-CAST(date_diff('microsecond', b.ts, a.ts) AS DOUBLE)
+             / (43200000000.0 / ln(2))) AS w,
+         b.value AS vj
+  FROM e a JOIN e b
+    ON a.user_id = b.user_id
+   AND b.ts BETWEEN a.ts - INTERVAL 48 HOUR AND a.ts
+), s AS (
+  SELECT event_id,
+         CAST(SUM(CAST(ROUND(vj * w * 10000) AS BIGINT)) AS BIGINT) AS num,
+         CAST(SUM(CAST(ROUND(w * 10000) AS BIGINT)) AS BIGINT) AS den,
+         COUNT(*) AS n
+  FROM pairs GROUP BY 1
+)
+SELECT e.event_id, e.user_id, e.ts, e.value,
+       -- exact integer round-half-away of num/den at 1e6 scale: a
+       -- float ratio rounded at 6 dp can land exactly on a .5 boundary
+       -- where numpy (half-even) and SQL ROUND (half-away) disagree
+       CAST(CASE WHEN num >= 0
+                 THEN (2 * num * 1000000 + den) // (2 * den)
+                 ELSE -((2 * (-num) * 1000000 + den) // (2 * den))
+            END AS BIGINT) AS value_ewma48h_micro6,
+       CAST(n AS BIGINT) AS value_ewma48h_n
+FROM e JOIN s USING (event_id)
+"""
+
+
+def resample_6h_value(sf_dir: str):
+    """Regular-grid resampling (temporal/windows.resample_grid): each
+    user's irregular event timeline onto a 6h grid anchored at the
+    user's own first/last timestamp, last-observation-carried-forward;
+    duplicate (user, ts) rows collapse to MAX(value) first so the
+    as-of is deterministic. SQL replays with generate_series + ASOF."""
+    from ..temporal.windows import resample_grid
+
+    ds = _events(sf_dir, columns=["user_id", "ts", "value"])
+    return resample_grid(ds, by="user_id", order="ts", value="value",
+                         freq=pd.Timedelta(hours=6),
+                         num_partitions=_nparts(sf_dir, "events"))
+
+
+SQL_RESAMPLE = """
+WITH d AS (
+  SELECT user_id, ts, MAX(value) AS v FROM events GROUP BY 1, 2
+), b AS (
+  SELECT user_id, MIN(ts) AS t0, MAX(ts) AS t1 FROM d GROUP BY 1
+), g AS (
+  SELECT user_id, unnest(generate_series(t0, t1, INTERVAL 6 HOUR))
+           AS grid_ts
+  FROM b
+)
+SELECT g.user_id, g.grid_ts, d.v AS value_ffill
+FROM g ASOF JOIN d ON g.user_id = d.user_id AND g.grid_ts >= d.ts
+"""
+
+
+def pit_feature_matrix(sf_dir: str):
+    """Point-in-time-correct feature matrix — the north_rule's
+    feature-store shape: for every PURCHASE observation, assemble
+    features from two independent event streams with STRICT backward
+    as-of joins (feature_ts < obs_ts, zero leakage):
+
+      * last click value + its timestamp;
+      * last view timestamp + view recency in seconds.
+
+    Two chained ``temporal/asof.asof_join`` calls over the same entity
+    partitioning; each right side is pre-collapsed to unique
+    (user_id, ts) via MAX so the joins are block-order deterministic."""
+    from ..temporal.asof import asof_join
+
+    obs = _events(sf_dir, columns=["event_id", "user_id", "ts",
+                                   "event_type", "value"])
+    obs = obs.filter(expr="event_type == 'purchase'") \
+             .drop_columns(["event_type", "value"])
+
+    def stream(event_type: str, val_name: str | None):
+        ds = _events(sf_dir, columns=["user_id", "ts", "event_type",
+                                      "value"])
+        ds = ds.filter(expr=f"event_type == '{event_type}'") \
+               .drop_columns(["event_type"])
+
+        def agg(df: pd.DataFrame) -> pd.DataFrame:
+            g = df.groupby(["user_id", "ts"], as_index=False).value.max()
+            if val_name is None:
+                return g.drop(columns="value")
+            return g.rename(columns={"value": val_name})
+
+        from ..temporal.core import partitioned_apply
+
+        return partitioned_apply(ds, ["user_id", "ts"], agg,
+                                 num_partitions=_nparts(sf_dir, "events"))
+
+    out = asof_join(obs, stream("click", "last_click_value"), on="ts",
+                    by="user_id", allow_exact_matches=False,
+                    suffix="_click", num_partitions=_nparts(sf_dir, "events"))
+    out = asof_join(out, stream("view", None), on="ts", by="user_id",
+                    allow_exact_matches=False, suffix="_view",
+                    num_partitions=_nparts(sf_dir, "events"))
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        # recency as INTEGER microseconds — a float seconds value is an
+        # exact multiple of 1e-6 s, i.e. ALWAYS on a 6-dp rounding
+        # boundary, where a 1-ulp representation difference flips the
+        # round; integers can't flake (nullable Int64: no-view rows)
+        # integer-valued DOUBLE (null ⇒ NaN), the outer-join precedent:
+        # a nullable Int64 breaks driver-side int64 canonicalization,
+        # and μs counts < 2^53 hash identically as doubles
+        rec = np.round(((df["ts"] - df["ts_view"]).dt.total_seconds()
+                        * 1e6).to_numpy(np.float64))
+        return pd.DataFrame({
+            "event_id": df["event_id"], "user_id": df["user_id"],
+            "ts": df["ts"], "last_click_ts": df["ts_click"],
+            "last_click_value": df["last_click_value"],
+            "last_view_ts": df["ts_view"],
+            "view_recency_us": rec,
+        })
+
+    return out.map_batches(finish, batch_format="pandas")
+
+
+SQL_PIT_MATRIX = """
+WITH obs AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+), clicks AS (
+  SELECT user_id, ts, MAX(value) AS v FROM events
+  WHERE event_type = 'click' GROUP BY 1, 2
+), views AS (
+  SELECT user_id, ts FROM events WHERE event_type = 'view' GROUP BY 1, 2
+), c AS (
+  SELECT o.event_id, cl.ts AS last_click_ts, cl.v AS last_click_value
+  FROM obs o ASOF LEFT JOIN clicks cl
+    ON o.user_id = cl.user_id AND o.ts > cl.ts
+), v AS (
+  SELECT o.event_id, vw.ts AS last_view_ts
+  FROM obs o ASOF LEFT JOIN views vw
+    ON o.user_id = vw.user_id AND o.ts > vw.ts
+)
+SELECT o.event_id, o.user_id, o.ts, c.last_click_ts, c.last_click_value,
+       v.last_view_ts,
+       CAST(date_diff('microsecond', v.last_view_ts, o.ts) AS DOUBLE)
+         AS view_recency_us
+FROM obs o JOIN c USING (event_id) JOIN v USING (event_id)
+"""
+
+
 def lag_lead_value(sf_dir: str):
     from ..temporal.windows import lag_lead
 
@@ -1876,6 +2098,24 @@ def decontaminate_docs(sf_dir: str):
     train = docs.filter(expr="source != 'src0'")
     clean = decontaminate(train, grams, n=8)
     return clean.select_columns(["doc_id", "source", "n_chars"])
+
+
+def decontaminate_fuzzy_docs(sf_dir: str):
+    """Near-duplicate decontamination (stages/decontam.
+    decontaminate_fuzzy): MinHash-LSH cross-side candidates between
+    train (source != 'src0') and eval ('src0'), exact-Jaccard >= 0.5
+    verify, distributed anti join keeps clean train rows. The SQL
+    oracle (pipelines/sketch_sql.minhash_decontam_sql) replays
+    signatures, buckets, the prefilter and the verify bit-for-bit."""
+    from ..stages.decontam import decontaminate_fuzzy
+
+    rd = _rd()
+    cols = ["doc_id", "source", "text", "n_chars"]
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=cols)
+    out = decontaminate_fuzzy(docs.filter(expr="source != 'src0'"),
+                              docs.filter(expr="source == 'src0'"),
+                              threshold=0.5)
+    return out.select_columns(["doc_id", "source", "n_chars"])
 
 
 SQL_DECONTAMINATE = """
@@ -3670,6 +3910,115 @@ FROM s
 """
 
 
+def ols_price_qty_by_flag(sf_dir: str):
+    """Per-group simple OLS of l_extendedprice on l_quantity by
+    returnflag (stages/stats.grouped_ols): slope / intercept / R² from
+    distributed raw moments — six scalars per (batch, group), bounded
+    exchange, no raw-row shuffle. The SQL oracle evaluates the same
+    normal-equation closed form from SUM() aggregates (never
+    regr_*(), whose stable accumulation differs in low-order bits)."""
+    from ..stages.stats import grouped_ols
+
+    ds = _rd().read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_quantity", "l_extendedprice"])
+    return grouped_ols(ds, keys="l_returnflag", x="l_quantity",
+                       y="l_extendedprice")
+
+
+SQL_OLS = """
+WITH s AS (
+  SELECT l_returnflag,
+         CAST(COUNT(*) AS DOUBLE) AS n,
+         SUM(l_quantity) AS sx, SUM(l_extendedprice) AS sy,
+         SUM(l_quantity * l_quantity) AS sxx,
+         SUM(l_extendedprice * l_extendedprice) AS syy,
+         SUM(l_quantity * l_extendedprice) AS sxy
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag,
+       ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+       ROUND((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6)
+         AS intercept,
+       ROUND(((n * sxy - sx * sy) * (n * sxy - sx * sy))
+             / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2,
+       CAST(n AS BIGINT) AS n_rows
+FROM s
+"""
+
+
+def welch_value_click_purchase(sf_dir: str):
+    """Welch's unequal-variance t-test of events.value between the
+    click and purchase event types (stages/stats.welch_ttest):
+    two-group mean/variance from the same bounded moment partials as
+    grouped_ols; the A/B-comparison primitive. One-row result."""
+    from ..stages.stats import welch_ttest
+
+    ds = _rd().read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["event_type", "value"])
+    return welch_ttest(ds, group_col="event_type", a="click", b="purchase",
+                       value="value")
+
+
+SQL_WELCH = """
+WITH s AS (
+  SELECT event_type, CAST(COUNT(*) AS DOUBLE) AS n,
+         SUM(value) AS sx, SUM(value * value) AS sxx
+  FROM events WHERE event_type IN ('click', 'purchase')
+  GROUP BY event_type
+), m AS (
+  SELECT event_type, n, sx / n AS mean,
+         ((sxx - sx * sx / n) / (n - 1)) / n AS se
+  FROM s
+)
+SELECT ROUND(a.mean, 6) AS mean_a, ROUND(b.mean, 6) AS mean_b,
+       ROUND((a.mean - b.mean) / sqrt(a.se + b.se), 6) AS t_stat,
+       ROUND((a.se + b.se) * (a.se + b.se)
+             / (a.se * a.se / (a.n - 1) + b.se * b.se / (b.n - 1)), 6)
+         AS dof,
+       CAST(a.n AS BIGINT) AS n_a, CAST(b.n AS BIGINT) AS n_b
+FROM (SELECT * FROM m WHERE event_type = 'click') a,
+     (SELECT * FROM m WHERE event_type = 'purchase') b
+"""
+
+
+def chi2_lang_source(sf_dir: str):
+    """Chi-square independence test + Cramér's V between documents.lang
+    and documents.source (stages/featsel.chi2_association): expected
+    counts over the FULL level grid from the exact joint-counts cube —
+    the counts-cube sibling of mi_lang_source, one-row result."""
+    from ..stages.featsel import chi2_association
+
+    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["lang", "source"])
+    return chi2_association(ds, x="lang", y="source")
+
+
+SQL_CHI2 = """
+WITH cube AS (
+  SELECT lang, source, COUNT(*) AS w FROM documents GROUP BY 1, 2
+), t AS (SELECT CAST(SUM(w) AS DOUBLE) AS n FROM cube),
+cx AS (SELECT lang, CAST(SUM(w) AS DOUBLE) AS c FROM cube GROUP BY 1),
+cy AS (SELECT source, CAST(SUM(w) AS DOUBLE) AS c FROM cube GROUP BY 1),
+grid AS (
+  SELECT cx.lang, cy.source, cx.c * cy.c / t.n AS e,
+         CAST(COALESCE(cube.w, 0) AS DOUBLE) AS o
+  FROM cx CROSS JOIN cy CROSS JOIN t
+  LEFT JOIN cube ON cube.lang = cx.lang AND cube.source = cy.source
+), chi AS (SELECT SUM((o - e) * (o - e) / e) AS v FROM grid),
+k AS (
+  SELECT LEAST((SELECT COUNT(*) FROM cx), (SELECT COUNT(*) FROM cy)) - 1
+           AS kv,
+         ((SELECT COUNT(*) FROM cx) - 1) * ((SELECT COUNT(*) FROM cy) - 1)
+           AS dof
+)
+SELECT ROUND(chi.v, 6) AS chi2,
+       ROUND(sqrt(chi.v / (t.n * k.kv)), 6) AS cramers_v,
+       CAST(k.dof AS BIGINT) AS dof, CAST(t.n AS BIGINT) AS n_rows
+FROM chi, t, k
+"""
+
+
 def hashvec_docs(sf_dir: str):
     """Signed feature-hashing vectorizer over the document corpus
     (stages/text.hash_vectorize): hashed bag-of-words into 256
@@ -3966,6 +4315,161 @@ SELECT p_partkey, p_type,
        CASE WHEN COUNT(*) OVER (PARTITION BY p_type) >= 12
             THEN p_type ELSE '__other__' END AS p_type_collapsed
 FROM part
+"""
+
+
+NB_VOCAB = 128
+
+
+def nb_classify_docs(sf_dir: str):
+    """Multinomial Naive Bayes trained on documents.lang and re-scoring
+    every document (stages/classify.nb_train_score): V×L counts cube →
+    broadcast integer micro-nat log-prob matrix → stateless scoring
+    map_batches. Scores are INTEGER sums of quantized addends, so the
+    SQL oracle replays them exactly with no addend-order pinning."""
+    from ..stages.classify import nb_train_score
+
+    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text", "lang"])
+    return nb_train_score(ds, label_col="lang", vocab_size=NB_VOCAB)
+
+
+SQL_NB = f"""
+WITH toks AS (
+  SELECT doc_id, lang,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     t -> t <> '') AS ts
+  FROM documents
+), ex AS (SELECT doc_id, lang, unnest(ts) AS w FROM toks),
+vocab AS (
+  SELECT w FROM (SELECT w, COUNT(*) AS cnt FROM ex GROUP BY 1)
+  ORDER BY cnt DESC, w ASC LIMIT {NB_VOCAB}
+), v AS (SELECT CAST(COUNT(*) AS DOUBLE) AS v FROM vocab),
+labels AS (SELECT DISTINCT lang FROM documents),
+cube AS (
+  SELECT w, lang, COUNT(*) AS k FROM ex
+  WHERE w IN (SELECT w FROM vocab) GROUP BY 1, 2
+), tot AS (
+  SELECT labels.lang, CAST(COALESCE(SUM(cube.k), 0) AS DOUBLE) AS t
+  FROM labels LEFT JOIN cube USING (lang) GROUP BY 1
+), logp AS (
+  SELECT vocab.w, tot.lang,
+         CAST(ROUND(ln((COALESCE(cube.k, 0) + 1.0) / (tot.t + v.v))
+                    * 1000000) AS BIGINT) AS lp
+  FROM vocab CROSS JOIN tot CROSS JOIN v
+  LEFT JOIN cube ON cube.w = vocab.w AND cube.lang = tot.lang
+), nd AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY 1),
+prior AS (
+  SELECT lang, CAST(ROUND(ln(CAST(n AS DOUBLE)
+                             / (SELECT CAST(SUM(n) AS DOUBLE) FROM nd))
+                          * 1000000) AS BIGINT) AS pm
+  FROM nd
+), tf AS (
+  SELECT doc_id, w, COUNT(*) AS k FROM ex
+  WHERE w IN (SELECT w FROM vocab) GROUP BY 1, 2
+), sc AS (
+  SELECT d.doc_id, prior.lang,
+         prior.pm + CAST(COALESCE(SUM(tf.k * logp.lp), 0) AS BIGINT) AS s
+  FROM documents d CROSS JOIN prior
+  LEFT JOIN tf ON tf.doc_id = d.doc_id
+  LEFT JOIN logp ON logp.w = tf.w AND logp.lang = prior.lang
+  GROUP BY 1, 2, prior.pm
+), best AS (
+  SELECT doc_id, lang, s,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY s DESC, lang ASC) AS rn
+  FROM sc
+), nvt AS (SELECT doc_id, SUM(k) AS nk FROM tf GROUP BY 1)
+SELECT b.doc_id, b.lang AS pred, CAST(b.s AS BIGINT) AS score_micro,
+       CAST(COALESCE(nvt.nk, 0) AS BIGINT) AS n_vocab_tokens
+FROM best b LEFT JOIN nvt USING (doc_id) WHERE b.rn = 1
+"""
+
+
+def sq8_encode_embeddings(sf_dir: str):
+    """int8 scalar quantization of the embeddings table
+    (stages/similarity.sq8_encode): exact per-dim min/max codebook
+    (bounded 2d-per-batch exchange) broadcast once, stateless integer
+    encoding — the 4× ANN storage/IO compression step. The query
+    returns the flat integer summary (code sum/min/max per vector);
+    the full code vectors are pinned by pytest roundtrip."""
+    from ..stages.similarity import sq8_encode
+
+    ds = _rd().read_parquet(f"{sf_dir}/embeddings.parquet",
+                            columns=["vec_id", "embedding"])
+    return sq8_encode(ds).select_columns(
+        ["vec_id", "code_sum", "code_min", "code_max"])
+
+
+SQL_SQ8 = """
+WITH ex AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+         CAST(unnest(embedding) AS DOUBLE) AS x
+  FROM embeddings
+), cb AS (
+  SELECT dim, MIN(x) AS mn, MAX(x) AS mx FROM ex GROUP BY 1
+), codes AS (
+  SELECT ex.vec_id,
+         CASE WHEN cb.mx > cb.mn
+              THEN CAST(ROUND((ex.x - cb.mn) / ((cb.mx - cb.mn) / 255.0))
+                        AS BIGINT)
+              ELSE 0 END AS c
+  FROM ex JOIN cb USING (dim)
+)
+SELECT vec_id, CAST(SUM(c) AS BIGINT) AS code_sum,
+       MIN(c) AS code_min, MAX(c) AS code_max
+FROM codes GROUP BY 1
+"""
+
+
+def kl_unigram_docs(sf_dir: str):
+    """Per-document KL divergence from the corpus unigram distribution
+    over the exact top-128 vocabulary (stages/text.kl_unigram): proper
+    KL (zero-count terms contribute smoothed mass), integer 1e-9-nat
+    addends so the SQL oracle's unordered SUM replays scores exactly."""
+    from ..stages.text import kl_unigram
+
+    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+    # gate-compared columns are the INTEGER ones (kl_micro); the
+    # convenience float kl_nats stays a stage-level output only
+    return kl_unigram(ds, vocab_size=NB_VOCAB).select_columns(
+        ["doc_id", "n_vocab_tokens", "kl_micro"])
+
+
+SQL_KL_UNIGRAM = f"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                             t -> t <> '') AS ts
+  FROM documents
+), ex AS (SELECT doc_id, unnest(ts) AS w FROM toks),
+vocab AS (
+  SELECT w, CAST(COUNT(*) AS DOUBLE) AS kk FROM ex GROUP BY 1
+  ORDER BY COUNT(*) DESC, w ASC LIMIT {NB_VOCAB}
+), vs AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS vv, SUM(kk) AS nn FROM vocab
+), qd AS (
+  SELECT w, (kk + 1.0) / (nn + vv) AS qv FROM vocab, vs
+), tf AS (
+  SELECT doc_id, w, COUNT(*) AS k FROM ex
+  WHERE w IN (SELECT w FROM vocab) GROUP BY 1, 2
+), nd AS (
+  SELECT d.doc_id, CAST(COALESCE(SUM(tf.k), 0) AS DOUBLE) AS n
+  FROM documents d LEFT JOIN tf USING (doc_id) GROUP BY 1
+), grid AS (
+  SELECT nd.doc_id, nd.n, qd.qv, CAST(COALESCE(tf.k, 0) AS DOUBLE) AS k
+  FROM nd CROSS JOIN qd
+  LEFT JOIN tf ON tf.doc_id = nd.doc_id AND tf.w = qd.w
+), adds AS (
+  SELECT doc_id, n,
+         CAST(ROUND(((k + 1.0) / (n + vs.vv))
+                    * (ln((k + 1.0) / (n + vs.vv)) - ln(qv))
+                    * 1000000000) AS BIGINT) AS a
+  FROM grid, vs
+)
+SELECT doc_id, CAST(MAX(n) AS BIGINT) AS n_vocab_tokens,
+       CAST(SUM(a) AS BIGINT) AS kl_micro
+FROM adds GROUP BY 1
 """
 
 
@@ -4467,6 +4971,17 @@ QUERIES = {
     "word_vectors_docs": word_vectors_docs,
     "dedup_quota_docs": dedup_quota_docs,
     "bm25_topk_indexed_docs": bm25_topk_indexed_docs,
+    "ols_price_qty_by_flag": ols_price_qty_by_flag,
+    "welch_value_click_purchase": welch_value_click_purchase,
+    "chi2_lang_source": chi2_lang_source,
+    "nb_classify_docs": nb_classify_docs,
+    "asof_nearest_purchase": asof_nearest_purchase,
+    "ewma_value_48h": ewma_value_48h,
+    "resample_6h_value": resample_6h_value,
+    "decontaminate_fuzzy_docs": decontaminate_fuzzy_docs,
+    "kl_unigram_docs": kl_unigram_docs,
+    "pit_feature_matrix": pit_feature_matrix,
+    "sq8_encode_embeddings": sq8_encode_embeddings,
     # bm25_docs / bm25_topk_docs moved up: their oracles were rewritten
     # this round (pinned addend order) — give the rewrite a hard row
     "bm25_docs": bm25_docs,
@@ -4679,6 +5194,16 @@ ORACLE_SQL = {
     "winsorize_price": SQL_WINSORIZE,
     "robust_scale_price": SQL_ROBUST_SCALE,
     "corr_qty_price": SQL_CORR,
+    "ols_price_qty_by_flag": SQL_OLS,
+    "welch_value_click_purchase": SQL_WELCH,
+    "chi2_lang_source": SQL_CHI2,
+    "nb_classify_docs": SQL_NB,
+    "kl_unigram_docs": SQL_KL_UNIGRAM,
+    "pit_feature_matrix": SQL_PIT_MATRIX,
+    "sq8_encode_embeddings": SQL_SQ8,
+    "asof_nearest_purchase": SQL_ASOF_NEAREST,
+    "ewma_value_48h": SQL_EWMA,
+    "resample_6h_value": SQL_RESAMPLE,
     "top_tokens_by_lang": SQL_TOP_TOKENS_LANG,
     "lm_score_docs": SQL_LM_SCORE,
     "cooccur_topk_docs": SQL_COOCCUR,
@@ -4723,6 +5248,7 @@ ORACLE_SQL = {
     "bm25_topk_indexed_docs": _bm25_topk_sql(),
     "profile_lineitem": SQL_PROFILE,
     "ecdf_value_events": SQL_ECDF,
+    "decontaminate_fuzzy_docs": _sketch_sql.minhash_decontam_sql(*_mh_params),
     "simhash_neardup_docs": _sketch_sql.simhash_pairs_sql(),
     "minhash_neardup_docs": _sketch_sql.minhash_pairs_sql(*_mh_params),
     "minhash_dedup_groups": _sketch_sql.minhash_groups_sql(*_mh_params),

@@ -296,3 +296,64 @@ fps AS (
 SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared_spans
 FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
 GROUP BY 1, 2"""
+
+
+def minhash_decontam_sql(a, b, *, eval_source: str = "src0", k: int = 5,
+                         bands: int = 16, threshold: float = 0.5) -> str:
+    """Exact oracle for ``stages/decontam.decontaminate_fuzzy`` with
+    eval = ``documents.source == eval_source``: same signature /
+    band-bucket / prefilter / exact-Jaccard replay as
+    ``minhash_pairs_sql`` but with CROSS-SIDE candidates only
+    (train × eval within a bucket), finishing with the anti join that
+    keeps un-contaminated train rows."""
+    num_perm = len(a)
+    rpb = num_perm // bands
+    perm_rows = ", ".join(f"({i}, {int(a[i])}, {int(b[i])})"
+                          for i in range(num_perm))
+    return f"""WITH {_shingle_ctes(k, distinct=True)},
+perms(p, pa, pb) AS (VALUES {perm_rows}),
+pv AS (
+  SELECT doc_id, p, MIN((((hv % {M61}) * pa % {TWO64} + pb) % {TWO64}) % {M61}) AS v
+  FROM smx CROSS JOIN perms GROUP BY doc_id, p
+),
+sig AS (SELECT doc_id, list(v ORDER BY p) AS s FROM pv GROUP BY doc_id),
+bandrows AS (
+  SELECT doc_id, bnum,
+         array_to_string(list_slice(s, {rpb} * bnum + 1, {rpb} * bnum + {rpb}), ',') AS bkey
+  FROM sig, range({bands}) t(bnum)
+),
+cand AS (
+  SELECT DISTINCT x.doc_id AS id_t, y.doc_id AS id_e
+  FROM bandrows x
+  JOIN documents dx ON dx.doc_id = x.doc_id AND dx.source <> '{eval_source}'
+  JOIN bandrows y ON x.bnum = y.bnum AND x.bkey = y.bkey
+  JOIN documents dy ON dy.doc_id = y.doc_id AND dy.source = '{eval_source}'
+),
+est AS (
+  SELECT c.id_t, c.id_e,
+         list_sum([CASE WHEN st.s[j] = se.s[j] THEN 1 ELSE 0 END
+                   FOR j IN range(1, {num_perm} + 1)]) AS mc
+  FROM cand c
+  JOIN sig st ON st.doc_id = c.id_t
+  JOIN sig se ON se.doc_id = c.id_e
+),
+cand2 AS (SELECT id_t, id_e FROM est
+          WHERE mc / {num_perm}.0 >= ({threshold} - 0.2)),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh0 GROUP BY doc_id),
+inter AS (
+  SELECT c.id_t, c.id_e, count(*) AS i
+  FROM cand2 c
+  JOIN sh0 st ON st.doc_id = c.id_t
+  JOIN sh0 se ON se.doc_id = c.id_e AND se.g = st.g
+  GROUP BY c.id_t, c.id_e
+),
+contaminated AS (
+  SELECT DISTINCT c.id_t AS doc_id
+  FROM inter c
+  JOIN sizes nt ON nt.doc_id = c.id_t
+  JOIN sizes ne ON ne.doc_id = c.id_e
+  WHERE c.i::DOUBLE / (nt.n + ne.n - c.i) >= {threshold}
+)
+SELECT doc_id, source, n_chars FROM documents
+WHERE source <> '{eval_source}'
+  AND doc_id NOT IN (SELECT doc_id FROM contaminated)"""

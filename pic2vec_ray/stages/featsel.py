@@ -70,6 +70,40 @@ def mutual_information(ds, *, x: str, y: str, decimals: int = 6):
     })
 
 
+def chi2_association(ds, *, x: str, y: str, decimals: int = 6):
+    """Pearson chi-square test of independence between two categoricals
+    plus Cramér's V — the counts-cube sibling of ``mutual_information``
+    (and like it, a pure function of exact integer counts, so the SQL
+    oracle replays every expected-count double bit-for-bit).
+
+    ``chi2 = Σ (o − e)²/e`` over the FULL x×y grid (absent cells have
+    o=0 but still contribute e), ``e = row_total·col_total/n``,
+    ``V = sqrt(chi2 / (n·(min(|x|,|y|)−1)))``.  Returns a ONE-ROW
+    pandas DataFrame ``(chi2, cramers_v, dof, n_rows)``."""
+    cube = _counts_cube(ds, [x, y]).sort_values([x, y]).reset_index(drop=True)
+    n = float(cube.w.sum())
+    if n == 0:
+        raise ValueError("chi2_association over an empty dataset")
+    pivot = (cube.pivot_table(index=x, columns=y, values="w",
+                              aggfunc="sum", fill_value=0)
+             .sort_index(axis=0).sort_index(axis=1))
+    o = pivot.to_numpy(np.float64)
+    e = np.outer(o.sum(axis=1), o.sum(axis=0)) / n
+    if np.any(e == 0):
+        raise ValueError("chi2_association: empty marginal level")
+    chi2 = float(np.sum((o - e) ** 2 / e))
+    k = min(o.shape) - 1
+    if k == 0:
+        raise ValueError("chi2_association: a column has one level")
+    dof = (o.shape[0] - 1) * (o.shape[1] - 1)
+    return pd.DataFrame({
+        "chi2": [round(chi2, decimals)],
+        "cramers_v": [round(float(np.sqrt(chi2 / (n * k))), decimals)],
+        "dof": [np.int64(dof)],
+        "n_rows": [np.int64(n)],
+    })
+
+
 def spearman_counts(ds, *, by: str, x: str, y: str, decimals: int = 6):
     """Grouped Spearman rank correlation for BOUNDED-DOMAIN value
     columns, from sufficient counts only — no per-row ranking, no

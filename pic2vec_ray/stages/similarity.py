@@ -322,3 +322,60 @@ def pca_project(ds, *, dim_out: int, vec_col: str = "embedding",
         return b
 
     return ds.map_batches(project, batch_format="pandas"), (comps, evar, mean)
+
+
+def sq8_stats(ds, *, vec_col: str = "embedding"):
+    """Exact per-dimension (min, max) of an embedding corpus — the
+    scalar-quantization codebook. One bounded exchange: each batch
+    reduces to two d-vectors, merged on the driver (2d doubles per
+    batch regardless of rows)."""
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        m = np.stack(b[vec_col].to_numpy()).astype(np.float64)
+        return pd.DataFrame({"dim": np.arange(m.shape[1], dtype=np.int64),
+                             "mn": m.min(axis=0), "mx": m.max(axis=0)})
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    agg = parts.groupby("dim").agg(mn=("mn", "min"), mx=("mx", "max"))
+    return agg.mn.to_numpy(), agg.mx.to_numpy()
+
+
+def sq8_encode(ds, *, vec_col: str = "embedding", id_col: str = "vec_id",
+               stats: tuple[np.ndarray, np.ndarray] | None = None):
+    """int8 scalar quantization of an embedding column — the 4×
+    storage/IO compression step ANN indexes run at corpus scale
+    (codes ride the shuffle/index instead of float32 vectors; exact
+    rerank re-reads floats only for the shortlist)::
+
+        code = round((x − min_d) / ((max_d − min_d) / 255))   ∈ [0, 255]
+
+    per dimension, constant dims pinned to 0 (scale would be 0/0).
+    The codebook is exact per-dim min/max (``sq8_stats``, bounded
+    exchange) broadcast via ``ray.put``; encoding is a stateless
+    vectorized pass.  Every output is an INTEGER function of
+    identical-operand doubles, so the SQL oracle replays codes
+    exactly.  Output: ``id_col``, ``code_sum`` (int64),
+    ``code_min``/``code_max`` (int64) and ``codes`` (list<int16>) —
+    the summary scalars exist so the driver hash check has a flat
+    schema to compare."""
+    import ray
+
+    mn, mx = stats if stats is not None else sq8_stats(ds, vec_col=vec_col)
+    scale = (mx - mn) / 255.0
+    live = scale > 0
+    ref = ray.put((mn, scale, live))
+
+    def encode(b: pd.DataFrame) -> pd.DataFrame:
+        mn_, sc_, lv_ = ray.get(ref)
+        m = np.stack(b[vec_col].to_numpy()).astype(np.float64)
+        codes = np.zeros(m.shape, dtype=np.int64)
+        codes[:, lv_] = np.round((m[:, lv_] - mn_[lv_]) / sc_[lv_])
+        return pd.DataFrame({
+            id_col: b[id_col].to_numpy(),
+            "code_sum": codes.sum(axis=1),
+            "code_min": codes.min(axis=1),
+            "code_max": codes.max(axis=1),
+            "codes": [row.astype(np.int16) for row in codes],
+        })
+
+    return ds.map_batches(encode, batch_format="pandas")

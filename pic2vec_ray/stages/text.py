@@ -1074,3 +1074,79 @@ def bm25_topk(ds, *, queries: list[str], k: int = 5, col: str = "text",
                            order_cols=["score", id_col],
                            ascending=[False, True], n=k,
                            num_partitions=num_partitions)
+
+
+def kl_unigram(ds, *, id_col: str = "doc_id", text_col: str = "text",
+               vocab_size: int = 128, alpha: float = 1.0,
+               _scale: int = 1_000_000_000):
+    """Per-document KL divergence from the corpus unigram distribution
+    over the exact top-V vocabulary — the "how unlike the corpus is
+    this document" quality signal (high = topical outlier / gibberish;
+    the unigram sibling of ``bigram_lm_score``)::
+
+        p_d(t) = (k_t + α) / (n_d + α·V)      (doc, smoothed)
+        q(t)   = (K_t + α) / (N + α·V)        (corpus, smoothed)
+        kl_d   = Σ_{t ∈ vocab} p_d(t) · ln(p_d(t) / q(t))
+
+    summed over ALL V vocabulary terms (k_t = 0 terms contribute their
+    smoothed mass — proper KL, not doc-support surprisal).  ``n_d``
+    counts only vocabulary tokens, so OOV mass never skews the
+    distribution.
+
+    Exactness: every addend is a pure function of exact integer counts
+    (identical doubles both sides), quantized to 1e-9 nats and summed
+    as INTEGERS — order-invariant, SQL-replayable with no pinning
+    (``stages/classify`` discipline).  Scale shape: the (token→count)
+    corpus table is vocabulary-bounded and broadcast once via
+    ``ray.put``; scoring is a stateless dense (batch × V) numpy pass.
+
+    Output: ``id_col``, ``n_vocab_tokens`` (int64), ``kl_micro``
+    (int64, 1e-9-nat units), ``kl_nats`` (rounded double).  Docs with
+    zero vocabulary tokens get the closed-form uniform-vs-q divergence
+    (n_d = 0 ⇒ p_d uniform) — kept, never dropped."""
+    import ray
+
+    def tok_partial(b: pd.DataFrame) -> pd.DataFrame:
+        ex = (b[[id_col]].copy()
+              .assign(w=b[text_col].str.lower().str.findall(r"[a-z0-9]+"))
+              .explode("w").dropna(subset=["w"]))
+        return ex.groupby("w", as_index=False).size() \
+                 .rename(columns={"size": "k"})
+
+    parts = ds.map_batches(tok_partial, batch_format="pandas").to_pandas()
+    tot = parts.groupby("w", as_index=False).k.sum()
+    vocab = (tot.sort_values(["k", "w"], ascending=[False, True])
+             .head(vocab_size))
+    V = len(vocab)
+    words = vocab.w.tolist()
+    K = vocab.k.to_numpy(np.float64)
+    N = float(K.sum())
+    q = (K + alpha) / (N + alpha * V)
+    lnq = np.log(q)
+    ref = ray.put(({w: i for i, w in enumerate(words)}, lnq))
+
+    def score(b: pd.DataFrame) -> pd.DataFrame:
+        t2i, lq = ray.get(ref)
+        ex = (b[[id_col]].copy()
+              .assign(w=b[text_col].str.lower().str.findall(r"[a-z0-9]+"))
+              .explode("w").dropna(subset=["w"]))
+        ex["i"] = ex.w.map(t2i)
+        ex = ex.dropna(subset=["i"])
+        kmat = np.zeros((len(b), V), dtype=np.float64)
+        pos = {d: r for r, d in enumerate(b[id_col])}
+        if len(ex):
+            tf = ex.groupby([id_col, "i"], as_index=False).size()
+            kmat[tf[id_col].map(pos).to_numpy(np.int64),
+                 tf.i.to_numpy(np.int64)] = tf["size"].to_numpy(np.float64)
+        n = kmat.sum(axis=1)
+        p = (kmat + alpha) / (n + alpha * V)[:, None]
+        addends = np.round(p * (np.log(p) - lq[None, :]) * _scale)
+        kl_micro = addends.sum(axis=1)  # int-valued doubles < 2^53
+        return pd.DataFrame({
+            id_col: b[id_col].to_numpy(),
+            "n_vocab_tokens": n.astype(np.int64),
+            "kl_micro": kl_micro.astype(np.int64),
+            "kl_nats": np.round(kl_micro / _scale, 6),
+        })
+
+    return ds.map_batches(score, batch_format="pandas")
