@@ -32,19 +32,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-equivalent SQL for every SQL-expressible query (48 of 50
-    as of round 3, incl. the full audio decode→FFT pipeline, the video
-    demux→frame-sample→JPEG-decode pipeline, the rolling-hash document
-    fingerprint, an end-to-end pixel-exactness check (phash_verify),
-    a HyperLogLog sketch whose registers the SQL reproduces bit-for-bit
-    (hll_distinct_tokens), and — new in round 3 — the ENTIRE
-    minhash/simhash near-dup family: the shingle hash is the SQL-pinned
-    splitmix64(Horner) kernel, so DuckDB replays signatures, LSH band
-    collisions and even the connected-components grouping (recursive
-    CTE) exactly (pipelines/sketch_sql.py). The 2 rows-only residue is
-    genuinely non-SQL-expressible: IVF search (k-means training) and
-    featurize_flagship's CNN feature norms (its structural contract IS
-    oracle-checked via featurize_dims)."""
+    """DuckDB-equivalent SQL for every SQL-expressible query (132 of
+    136 as of round 5), incl. the full audio decode→FFT pipeline, the
+    video demux→frame-sample→JPEG-decode pipeline, end-to-end
+    pixel-exactness (phash_verify), sketches whose registers the SQL
+    reproduces bit-for-bit (HLL, count-min, DDSketch), the ENTIRE
+    minhash/simhash near-dup family incl. cross-side fuzzy
+    decontamination (pipelines/sketch_sql.py), and integer-quantized
+    scores (Naive Bayes micro-nats, EWMA frame sums, KL addends) that
+    make unordered SQL SUM() replay float pipelines exactly. The 4
+    rows-only residue is genuinely non-SQL-expressible: IVF search +
+    word_vectors_docs (iterative k-means/SVD), featurize_flagship's
+    CNN feature norms (structural contract oracle-checked via
+    featurize_dims), phash_dedup_groups (perceptual hashes derive from
+    generator noise; components pytest-pinned)."""
     from pic2vec_ray.pipelines.queries import ORACLE_SQL
 
     return dict(ORACLE_SQL)
