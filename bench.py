@@ -253,7 +253,11 @@ def run_secondary(sf_dir: str) -> dict:
                  "ddsketch_quantiles_price", "embedding_neardup_lsh",
                  "ppmi_matrix_docs", "dedup_quota_docs",
                  "bm25_topk_indexed_docs", "zbox_pruned_read_events",
-                 "phash_dedup_groups"):
+                 "phash_dedup_groups",
+                 # round 5, second batch
+                 "nb_classify_docs", "ewma_value_48h",
+                 "decontaminate_fuzzy_docs", "pit_feature_matrix",
+                 "sq8_encode_embeddings"):
         t0 = time.perf_counter()
         res = Q.QUERIES[name](sf_dir)
         # consume: small results to pandas, large to count
