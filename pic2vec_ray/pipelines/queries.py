@@ -642,14 +642,20 @@ def pit_feature_matrix(sf_dir: str):
 
         from ..temporal.core import partitioned_apply
 
+        # materialized so asof_join's broadcast="auto" can read
+        # size_bytes and pick the no-shuffle broadcast plan when the
+        # aggregated stream fits one node (it shuffles when it doesn't)
         return partitioned_apply(ds, ["user_id", "ts"], agg,
-                                 num_partitions=_nparts(sf_dir, "events"))
+                                 num_partitions=_nparts(sf_dir, "events")) \
+            .materialize()
 
     out = asof_join(obs, stream("click", "last_click_value"), on="ts",
                     by="user_id", allow_exact_matches=False,
-                    suffix="_click", num_partitions=_nparts(sf_dir, "events"))
+                    suffix="_click", broadcast="auto",
+                    num_partitions=_nparts(sf_dir, "events"))
     out = asof_join(out, stream("view", None), on="ts", by="user_id",
                     allow_exact_matches=False, suffix="_view",
+                    broadcast="auto",
                     num_partitions=_nparts(sf_dir, "events"))
 
     def finish(df: pd.DataFrame) -> pd.DataFrame:

@@ -915,6 +915,12 @@ def embedding_neardup_pairs(ds, *, vec_col: str = "embedding", id_col: str = "ve
     # one derived corpus copy in the object store (spillable), reused by
     # the band stage and both join-back sides
     vec_ds = ds.map_batches(to_norm, batch_format="pandas").materialize()
+    # size every downstream exchange from the MATERIALIZED corpus count
+    # (free after materialize) rather than the caller's corpus-scale
+    # hint — 64-way exchanges on a 2k-row table are fixed overhead
+    # (the multimodal_dedup_groups lesson)
+    num_partitions = min(num_partitions,
+                         max(8, vec_ds.count() // 50_000 + 1))
 
     def to_bands(batch: pd.DataFrame) -> pd.DataFrame:
         q = np.stack([np.frombuffer(v, dtype=np.float64) for v in batch["vec"]])
@@ -1362,7 +1368,8 @@ def image_neardup_pairs(ds, *, bytes_col: str = "bytes",
 def image_neardup_groups(ds, *, bytes_col: str = "bytes",
                          id_col: str = "img_key", max_hamming: int = 3,
                          num_partitions: int = 64,
-                         max_bucket_pairs: int | None = 1_000_000):
+                         max_bucket_pairs: int | None = 1_000_000,
+                         edges: str = "star"):
     """Near-duplicate IMAGE groups: perceptual-hash connected components
     — the image-axis counterpart of ``minhash_dedup_groups`` (rounds
     out image dedup past :func:`image_neardup_pairs`'s pair surface).
@@ -1388,6 +1395,17 @@ def image_neardup_groups(ds, *, bytes_col: str = "bytes",
     depends on generator noise — so the query surface entry is
     rows-only and the semantics are pinned by the planted-cluster
     pytest (``tests/test_image_groups.py``).
+
+    ``edges="star"`` (default) enumerates only (bucket-min-rep, other)
+    candidates per band bucket — m−1 per bucket, the same
+    GROUPS-consumer discipline as ``minhash_lsh_pairs(edges="star")``,
+    with the same documented trade: a star edge failing the hamming
+    verify can sever a B–C link full enumeration would keep. This
+    matters on hot-bucket corpora: the synthetic sf0.1 images
+    concentrate 11k distinct hashes into ~150 buckets per band (18.8M
+    all-pairs candidates, measured); star enumeration is linear.
+    ``edges="all"`` restores exhaustive in-bucket pairs under
+    ``max_bucket_pairs``.
     """
     from ..temporal.core import partitioned_apply
     from ..functions.image_ops import average_hash
@@ -1415,8 +1433,18 @@ def image_neardup_groups(ds, *, bytes_col: str = "bytes",
                       if hashes else np.zeros(0, dtype=np.int64)),
             })
 
+    # decode tuning mirrors the featurize pool (decode dominates this
+    # stage: 14.5 → 11.7 s at sf0.1/32 CPUs with the wider pool +
+    # explicit batch size)
     hashed = ds.map_batches(HashRows, batch_format="pandas",
-                            concurrency=(2, 8)).materialize()
+                            batch_size=128, concurrency=(2, 16)).materialize()
+
+    # Every downstream exchange moves (id, h) scalar rows — size the
+    # partition count from the MATERIALIZED hash-row count, not the
+    # caller's corpus-scale hint (the multimodal_dedup_groups lesson:
+    # 64-way exchanges on a 17k-row table are pure fixed overhead).
+    num_partitions = min(num_partitions,
+                         max(16, hashed.count() // 50_000 + 1))
 
     # phase 1 — exact collapse: min-id representative per identical
     # hash; star edges cover within-cluster connectivity at hamming 0
@@ -1457,7 +1485,7 @@ def image_neardup_groups(ds, *, bytes_col: str = "bytes",
             ids = np.sort(g["rep"].unique())
             if len(ids) > 1:
                 pa_, pb_, d = _enumerate_bucket_pairs(
-                    ids, edges="all", max_pairs=max_bucket_pairs)
+                    ids, edges=edges, max_pairs=max_bucket_pairs)
                 dropped += d
                 pairs.append(pd.DataFrame({"id_a": pa_, "id_b": pb_}))
         if dropped:
@@ -1475,12 +1503,11 @@ def image_neardup_groups(ds, *, bytes_col: str = "bytes",
 
     rep_edges = partitioned_apply(banded, "bh", bucket_pairs,
                                   num_partitions=num_partitions)
-
-    def dedupe(df: pd.DataFrame) -> pd.DataFrame:
-        return df.drop_duplicates(["id_a", "id_b"])
-
-    rep_edges = partitioned_apply(rep_edges, ["id_a", "id_b"], dedupe,
-                                  num_partitions=num_partitions)
+    # no cross-partition edge dedup: the same rep pair surviving in
+    # 2+ bands reaches CC multiply, which affects connectivity not at
+    # all and CC work only by the ≤4× band duplication factor — one
+    # whole exchange cheaper (each partition already drop_duplicates
+    # its own candidates before the hamming verify)
     return neardup_groups(star.union(rep_edges),
                           num_partitions=num_partitions)
 
