@@ -2642,6 +2642,49 @@ def target_encode_priority(sf_dir: str):
         .select_columns(["o_orderkey", "o_orderpriority", "o_orderpriority_te"])
 
 
+def target_encode_oof_priority(sf_dir: str):
+    """Leakage-free OUT-OF-FOLD target encoding of o_orderpriority on
+    o_totalprice (stages/encode.target_encode_oof): each order's
+    encoding is its category's mean price over the OTHER 4 CV folds —
+    a row's own target never feeds its feature. The SQL oracle replays
+    the fold hash, the (category × fold) cube, the exclusion
+    arithmetic and the global-mean fallback."""
+    from ..stages.encode import target_encode_oof
+
+    ds = _rd().read_parquet(f"{sf_dir}/orders.parquet",
+                            columns=["o_orderkey", "o_orderpriority",
+                                     "o_totalprice"])
+    out = target_encode_oof(ds, key="o_orderpriority",
+                            target="o_totalprice", id_col="o_orderkey",
+                            k=5)
+    return out.select_columns(["o_orderkey", "o_orderpriority", "fold",
+                               "o_orderpriority_te_oof"])
+
+
+SQL_TARGET_ENCODE_OOF = """
+WITH f AS (
+  SELECT o_orderkey, o_orderpriority AS key, o_totalprice AS y,
+         CAST(((o_orderkey::HUGEINT * 2246822519) % 4294967296) % 5
+              AS BIGINT) AS fold
+  FROM orders
+), cube AS (
+  SELECT key, fold, SUM(y) AS s, COUNT(*) AS n FROM f GROUP BY 1, 2
+), tot AS (SELECT key, SUM(s) AS ts, SUM(n) AS tn FROM cube GROUP BY 1),
+gf AS (SELECT fold, SUM(s) AS gs, SUM(n) AS gn FROM cube GROUP BY 1),
+g AS (SELECT SUM(s) AS total_s, SUM(n) AS total_n FROM cube)
+SELECT f.o_orderkey, f.key AS o_orderpriority, f.fold,
+       ROUND(CASE WHEN tot.tn - COALESCE(c.n, 0) > 0
+                  THEN (tot.ts - COALESCE(c.s, 0))
+                       / (tot.tn - COALESCE(c.n, 0))
+                  ELSE (g.total_s - gf.gs) / (g.total_n - gf.gn)
+             END, 6) AS o_orderpriority_te_oof
+FROM f
+JOIN tot ON tot.key = f.key
+LEFT JOIN cube c ON c.key = f.key AND c.fold = f.fold
+JOIN gf ON gf.fold = f.fold, g
+"""
+
+
 SQL_TARGET_ENCODE = """
 WITH m AS (
   SELECT o_orderpriority,
@@ -4988,6 +5031,7 @@ QUERIES = {
     "kl_unigram_docs": kl_unigram_docs,
     "pit_feature_matrix": pit_feature_matrix,
     "sq8_encode_embeddings": sq8_encode_embeddings,
+    "target_encode_oof_priority": target_encode_oof_priority,
     # bm25_docs / bm25_topk_docs moved up: their oracles were rewritten
     # this round (pinned addend order) — give the rewrite a hard row
     "bm25_docs": bm25_docs,
@@ -5207,6 +5251,7 @@ ORACLE_SQL = {
     "kl_unigram_docs": SQL_KL_UNIGRAM,
     "pit_feature_matrix": SQL_PIT_MATRIX,
     "sq8_encode_embeddings": SQL_SQ8,
+    "target_encode_oof_priority": SQL_TARGET_ENCODE_OOF,
     "asof_nearest_purchase": SQL_ASOF_NEAREST,
     "ewma_value_48h": SQL_EWMA,
     "resample_6h_value": SQL_RESAMPLE,

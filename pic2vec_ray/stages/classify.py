@@ -51,6 +51,9 @@ def _vocab_and_counts(ds, *, label_col: str, text_col: str, vocab_size: int):
                          ignore_index=True).fillna({"ndocs": 0})
 
     parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    if parts.empty:
+        raise ValueError("nb_train_score over an empty corpus "
+                         "(no documents or no tokens)")
     docs = (parts[parts.w == ""].groupby(label_col, as_index=False)
             .ndocs.sum())
     cube = (parts[parts.w != ""].groupby(["w", label_col], as_index=False)
@@ -82,6 +85,9 @@ def nb_train_score(ds, *, label_col: str = "lang", id_col: str = "doc_id",
 
     vocab, cube, docs = _vocab_and_counts(
         ds, label_col=label_col, text_col=text_col, vocab_size=vocab_size)
+    if docs.empty or not vocab:
+        raise ValueError("nb_train_score over an empty corpus "
+                         "(no documents or no tokens)")
     labels = sorted(docs[label_col].tolist())
     V, L = len(vocab), len(labels)
     tok_i = {w: i for i, w in enumerate(vocab)}

@@ -316,3 +316,74 @@ def zorder_key(ds, *, x: str, y: str, bits: int = 16,
         return batch
 
     return ds.map_batches(key, batch_format="pandas")
+
+
+def target_encode_oof(ds, *, key: str, target: str, id_col: str,
+                      k: int = 5, out_col: str | None = None,
+                      fold_col: str = "fold", decimals: int = 6):
+    """OUT-OF-FOLD target encoding — the leakage-free variant of
+    :func:`target_encode`: each row's encoding is the target mean of
+    its category computed over the OTHER k−1 folds only, so a row's
+    own target never leaks into its feature (the north_rule's
+    zero-leakage discipline applied to feature engineering; plain
+    in-fold mean encoding is the classic CV-overfitting bug).
+
+    Folds come from :func:`split.kfold_assign`'s deterministic hash
+    (zero-shuffle, partition-invariant).  Fit reduces the corpus to a
+    (category × fold) cube of (Σy, n) — per-batch partials merged on
+    the driver (bounded by ``|categories|·k``, the counts-cube
+    pattern) — then::
+
+        oof(key, fold) = (S_key − s_{key,fold}) / (N_key − n_{key,fold})
+
+    falling back to the fold-excluded GLOBAL mean when a category
+    appears only in the row's own fold.  Transform is one stateless
+    ``map_batches`` merge against the broadcast mapping.  Output: the
+    input columns + ``fold_col`` (int64) + ``out_col`` (rounded)."""
+    from .split import _KFOLD_MULT, _MOD32
+
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    out_col = out_col or f"{key}_te_oof"
+
+    def fold_of(ids: np.ndarray) -> np.ndarray:
+        h = (ids.astype(np.uint64) * _KFOLD_MULT) & _MOD32
+        return (h % np.uint64(k)).astype(np.int64)
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        g = b[[key, target]].copy()
+        g[fold_col] = fold_of(b[id_col].to_numpy())
+        agg = g.groupby([key, fold_col], as_index=False)[target] \
+               .agg(["sum", "count"])
+        return agg.rename(columns={"sum": "s", "count": "n"})
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    cube = parts.groupby([key, fold_col], as_index=False)[["s", "n"]].sum()
+    tot = cube.groupby(key)[["s", "n"]].sum()  # per-category totals
+    gf = cube.groupby(fold_col)[["s", "n"]].sum()  # per-fold totals
+    GS, GN = float(cube.s.sum()), float(cube.n.sum())
+
+    cell = {(c, int(f)): (float(s), int(n))
+            for c, f, s, n in zip(cube[key], cube[fold_col],
+                                  cube["s"], cube["n"])}
+    mapping = {}
+    for cat in tot.index:
+        S, N = float(tot.loc[cat, "s"]), int(tot.loc[cat, "n"])
+        for f in range(k):
+            s, n = cell.get((cat, f), (0.0, 0))
+            if N - n > 0:
+                mapping[(cat, f)] = round((S - s) / (N - n), decimals)
+            else:
+                gs = float(gf.s.get(f, 0.0))
+                gn = int(gf.n.get(f, 0))
+                mapping[(cat, f)] = round((GS - gs) / (GN - gn), decimals)
+
+    def assign(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b[fold_col] = fold_of(b[id_col].to_numpy())
+        b[out_col] = pd.Series(
+            zip(b[key], b[fold_col]), index=b.index).map(mapping) \
+            .astype(np.float64)
+        return b
+
+    return ds.map_batches(assign, batch_format="pandas")

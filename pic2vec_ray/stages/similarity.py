@@ -336,6 +336,8 @@ def sq8_stats(ds, *, vec_col: str = "embedding"):
                              "mn": m.min(axis=0), "mx": m.max(axis=0)})
 
     parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    if parts.empty:
+        raise ValueError("sq8_stats over an empty dataset")
     agg = parts.groupby("dim").agg(mn=("mn", "min"), mx=("mx", "max"))
     return agg.mn.to_numpy(), agg.mx.to_numpy()
 

@@ -1114,10 +1114,14 @@ def kl_unigram(ds, *, id_col: str = "doc_id", text_col: str = "text",
                  .rename(columns={"size": "k"})
 
     parts = ds.map_batches(tok_partial, batch_format="pandas").to_pandas()
+    if parts.empty:
+        raise ValueError("kl_unigram over an empty corpus (no tokens)")
     tot = parts.groupby("w", as_index=False).k.sum()
     vocab = (tot.sort_values(["k", "w"], ascending=[False, True])
              .head(vocab_size))
     V = len(vocab)
+    if V == 0:
+        raise ValueError("kl_unigram over an empty corpus (no tokens)")
     words = vocab.w.tolist()
     K = vocab.k.to_numpy(np.float64)
     N = float(K.sum())

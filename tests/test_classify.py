@@ -168,3 +168,24 @@ def test_kl_unigram_partition_invariant(ray_session):
                     .to_pandas().sort_values("doc_id")
                     .reset_index(drop=True))
     pd.testing.assert_frame_equal(outs[0], outs[1])
+
+
+def test_empty_corpus_guards(ray_session):
+    import ray.data as rd
+    from pic2vec_ray.stages.classify import nb_train_score
+    from pic2vec_ray.stages.similarity import sq8_stats
+    from pic2vec_ray.stages.text import kl_unigram
+
+    empty_docs = rd.from_pandas(pd.DataFrame(
+        {"doc_id": pd.Series([], dtype="int64"),
+         "lang": pd.Series([], dtype="object"),
+         "text": pd.Series([], dtype="object")}))
+    with pytest.raises(Exception, match="empty corpus"):
+        nb_train_score(empty_docs)
+    with pytest.raises(Exception, match="empty corpus"):
+        kl_unigram(empty_docs)
+    empty_emb = rd.from_pandas(pd.DataFrame(
+        {"vec_id": pd.Series([], dtype="int64"),
+         "embedding": pd.Series([], dtype="object")}))
+    with pytest.raises(Exception, match="empty dataset"):
+        sq8_stats(empty_emb)

@@ -132,3 +132,52 @@ def test_chi2_counts_absent_cells(ray_session):
     obs = pd.crosstab(df.x, df.y).to_numpy(np.float64)  # a-q cell is 0
     e = np.outer(obs.sum(1), obs.sum(0)) / 5.0
     assert out.chi2[0] == pytest.approx(((obs - e) ** 2 / e).sum(), abs=1e-6)
+
+
+def test_target_encode_oof_excludes_own_fold(ray_session):
+    import ray.data as rd
+    from pic2vec_ray.stages.encode import target_encode_oof
+    from pic2vec_ray.stages.split import _KFOLD_MULT, _MOD32
+
+    rng = np.random.default_rng(3)
+    n = 400
+    df = pd.DataFrame({
+        "id": np.arange(n, dtype=np.int64),
+        "cat": rng.choice(["a", "b", "c"], n),
+        "y": rng.uniform(0, 100, n).round(2),
+    })
+    out = (target_encode_oof(rd.from_pandas(df).repartition(6), key="cat",
+                             target="y", id_col="id", k=5)
+           .to_pandas().sort_values("id").reset_index(drop=True))
+    folds = ((df.id.to_numpy().astype(np.uint64) * _KFOLD_MULT) & _MOD32) \
+        % np.uint64(5)
+    df["fold"] = folds.astype(np.int64)
+    for _, r in out.sample(40, random_state=1).iterrows():
+        other = df[(df.cat == r["cat"]) & (df.fold != r["fold"])]
+        assert r.cat_te_oof == pytest.approx(round(other.y.mean(), 6),
+                                             abs=1e-9)
+        assert r.fold == df.loc[df.id == r.id, "fold"].iloc[0]
+
+
+def test_target_encode_oof_single_fold_category_falls_back(ray_session):
+    import ray.data as rd
+    from pic2vec_ray.stages.encode import target_encode_oof
+    from pic2vec_ray.stages.split import _KFOLD_MULT, _MOD32
+
+    df = pd.DataFrame({
+        "id": np.arange(60, dtype=np.int64),
+        "cat": ["common"] * 59 + ["rare"],
+        "y": np.linspace(1, 60, 60),
+    })
+    out = target_encode_oof(
+        rd.from_pandas(df), key="cat", target="y", id_col="id", k=5) \
+        .to_pandas()
+    row = out[out.cat == "rare"].iloc[0]
+    folds = ((df.id.to_numpy().astype(np.uint64) * _KFOLD_MULT) & _MOD32) \
+        % np.uint64(5)
+    other = df[folds.astype(np.int64) != row.fold]
+    # rare category only exists in its own fold -> fold-excluded
+    # GLOBAL mean fallback
+    assert row.cat_te_oof == pytest.approx(round(other.y.mean(), 6),
+                                           abs=1e-9)
+    assert not out.cat_te_oof.isna().any()
